@@ -1,38 +1,463 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship annotate pipeline at sf0.001.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Column names/types are aligned between the two
+(dates as DATE, money math in exact DECIMAL cast to DOUBLE at the
+end) so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from annotation_service_spark.functions import ip as ipf
+from annotation_service_spark.operators import asof as ao
+from annotation_service_spark.operators import interval as iv
+from annotation_service_spark.sources.testdata import TABLES, load_table
+
+_t = load_table
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — scan+filter+groupBy+8 aggs (A-class
+    coverage). Money math in DECIMAL for bit-exact oracle parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(12,2)"
+    price = F.col("l_extendedprice").cast(dec)
+    disc = F.col("l_discount").cast(dec)
+    tax = F.col("l_tax").cast(dec)
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(disc).cast("double").alias("sum_disc"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+            (F.col("sum_disc") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def q_asof_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: as-of snapshot selection (directory/directory.go:230-240)
+    — snapshots = distinct order months, probes = event timestamps;
+    strictly-earlier rule with first-snapshot fallback."""
+    snaps = (
+        _t(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", "o_orderdate").cast("date").alias("dataset_date"))
+        .distinct()
+    )
+    probes = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return ao.asof_join(probes, snaps, probe_date="ts")
+
+
+def q_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the bucketed shuffle strategy: probes fall inside
+    disjoint ranges with gaps (misses stay NULL, ~ErrNodeNotFound)."""
+    part = _t(spark, sf_dir, "part")
+    max_pk = part.agg(F.max("p_partkey")).collect()[0][0]
+    ranges = part.select(
+        ((F.col("p_partkey") - 1) * 100).alias("low"),
+        ((F.col("p_partkey") - 1) * 100 + 49).alias("high"),
+        F.col("p_brand").alias("brand"),
+    )
+    probes = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("l_partkey") * 37 + F.col("l_linenumber")) % (max_pk * 100)).alias("v"),
+    )
+    return iv.range_join_bucketed(
+        probes, ranges, probe_col="v", low="low", high="high",
+        payload=["brand"], bucket_width=4096, how="left",
+    )
+
+
+def q_interval_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: nested/overlapping interval flattening, innermost-wins
+    (iputils/iputils.go:188-264), pure-SQL formulation."""
+    part = _t(spark, sf_dir, "part")
+    src = part.select(
+        F.col("p_partkey").alias("seq"),
+        ((F.col("p_partkey") % 50) * 100).alias("low"),
+        ((F.col("p_partkey") % 50) * 100 + 70 + (F.col("p_partkey") % 7) * 20).alias("high"),
+        F.col("p_brand").alias("payload"),
+    )
+    return iv.flatten_intervals_sql(
+        src, low="low", high="high", payload=["payload"], seq="seq", merge=True
+    )
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: adjacent-equal merge (iputils/iputils.go:155-184) over a
+    run-length encoding of order statuses."""
+    orders = _t(spark, sf_dir, "orders")
+    rn = F.row_number().over(Window.orderBy("o_orderkey"))
+    src = orders.select(
+        ((rn - 1) * 10).alias("low"),
+        ((rn - 1) * 10 + 9).alias("high"),
+        F.col("o_orderstatus").alias("payload"),
+    )
+    return iv.merge_adjacent_equal(src, low="low", high="high", payload=["payload"])
+
+
+def q_merge_annotators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: multi-source snapshot alignment (MergeAnnotators,
+    directory/directory.go:170-202) over order/event month lists."""
+    geo = (
+        _t(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", "o_orderdate").cast("date").alias("dataset_date"))
+        .distinct()
+    )
+    asn = (
+        _t(spark, sf_dir, "events")
+        .select(F.date_trunc("month", "ts").cast("date").alias("dataset_date"))
+        .distinct()
+    )
+    return ao.merge_sources({"geo": geo, "asn": asn})
+
+
+def _annotate_probes(spark: SparkSession, sf_dir: str, m_val: int) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = ((F.col("user_id") * 131 + F.col("event_id") * 7919) % m_val).cast("long")
+    x = (k / 256).cast("long")
+    y = k % 256
+    z = (F.col("event_id") % 256).cast("long")
+    dotted = F.format_string("10.%d.%d.%d", x, y, z)
+    six_to_four = F.format_string("2002:0a%02x:%02x%02x::1", x, y, z)
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, six_to_four).otherwise(dotted).alias("ip"),
+    )
+
+
+def q_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's full query lifecycle (SURVEY §3) —
+    IP parse (P3) → 6to4 rewrite (P4) → broadcast binary-search range
+    join (J1) → missing backfill (P15). Networks derive from `part`
+    (one /24 per partkey), probes from `events`; every 10th probe is
+    the 6to4 form of the same underlying v4 address."""
+    part = _t(spark, sf_dir, "part")
+    max_pk = part.agg(F.max("p_partkey")).collect()[0][0]
+    # probe-key modulus ≈ 110% of the network space → ~10% lookup
+    # misses, matching the reference's production miss rate
+    # (geolite2v2/geo-ip.go:162)
+    m_val = (max_pk + 1) * 10 // 9
+    nets = part.select(
+        F.format_string(
+            "10.%d.%d.0/24",
+            (F.col("p_partkey") / 256).cast("long"),
+            F.col("p_partkey") % 256,
+        ).alias("cidr"),
+        F.col("p_brand"),
+    )
+    ranges = nets.select(
+        ipf.cidr_to_range(F.col("cidr")).alias("r"), "p_brand"
+    ).select(F.col("r.ip_low").alias("ip_low"), F.col("r.ip_high").alias("ip_high"), "p_brand")
+
+    probes = _annotate_probes(spark, sf_dir, m_val)
+    parsed = probes.withColumn("ipb", ipf.ip_to_bytes(F.col("ip"))).withColumn(
+        "eff", ipf.ip6to4(F.col("ipb"))
+    )
+    joined = iv.range_join_broadcast(
+        parsed, ranges, probe_col="eff", payload=["p_brand"], how="left"
+    )
+    return joined.select(
+        "event_id",
+        "ip",
+        F.coalesce(F.col("p_brand"), F.lit("MISSING")).alias("brand"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-analog batch sessionization (30-min gap) — the T2 machinery
+    applied to event time; windows + cumsum, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("__grp", grp)
+        .groupBy("user_id", "__grp")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: log-bucketed histogram (metrics/metrics.go:19-33 analog)
+    using integer digit-count buckets (deterministic across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.length(F.floor(F.col("value") * 1000).cast("long").cast("string"))
+    return (
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_asn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9: RouteViews AS-string decode + BestASN
+    (asn/asn-annotator.go:63-81, api/api.go:118-127)."""
+    sup = _t(spark, sf_dir, "supplier")
+    asn_str = F.format_string(
+        "%d_%d,%d", F.col("s_suppkey"), F.col("s_nationkey"), F.col("s_suppkey") * 7
+    )
+    sys = ipf.asn_decode(asn_str)
+    return sup.select(
+        "s_suppkey",
+        asn_str.alias("asn_str"),
+        ipf.best_asn(sys).alias("best_asn"),
+        F.size(sys).alias("n_systems"),
+        F.aggregate(
+            sys, F.lit(0), lambda acc, s: acc + F.size(s["asns"])
+        ).alias("n_asns"),
+    )
+
+
+def q_response_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: v1 response key ip+base36(epoch)
+    (handler/handler.go:169-170)."""
+    ev = _t(spark, sf_dir, "events")
+    ip = F.format_string(
+        "10.%d.%d.%d",
+        (F.col("user_id") % 65536 / 256).cast("long"),
+        F.col("user_id") % 256,
+        F.col("event_id") % 256,
+    )
+    return ev.select(
+        "event_id",
+        ipf.base36_key(ip, F.unix_timestamp("ts")).alias("rkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship annotate query on /root/testdata/sf0.001."""
+    return q_annotate(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": q_tpch_q1,
+        "asof_select": q_asof_select,
+        "range_lookup": q_range_lookup,
+        "interval_flatten": q_interval_flatten,
+        "interval_merge": q_interval_merge,
+        "merge_annotators": q_merge_annotators,
+        "annotate": q_annotate,
+        "sessionize": q_sessionize,
+        "histogram": q_histogram,
+        "asn_decode": q_asn_decode,
+        "response_keys": q_response_keys,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "asof_select": """
+            WITH snaps AS (
+                SELECT DISTINCT date_trunc('month', o_orderdate) AS dataset_date FROM orders
+            )
+            SELECT e.event_id, e.ts,
+                   COALESCE(
+                       (SELECT max(s.dataset_date) FROM snaps s
+                        WHERE CAST(s.dataset_date AS TIMESTAMP) < e.ts),
+                       (SELECT min(s.dataset_date) FROM snaps s)
+                   ) AS dataset_date
+            FROM events e
+        """,
+        "range_lookup": """
+            WITH ranges AS (
+                SELECT (p_partkey-1)*100 AS low, (p_partkey-1)*100+49 AS high,
+                       p_brand AS brand
+                FROM part
+            ),
+            probes AS (
+                SELECT l_orderkey, l_linenumber,
+                       (l_partkey*37 + l_linenumber) % ((SELECT max(p_partkey) FROM part)*100) AS v
+                FROM lineitem
+            )
+            SELECT p.l_orderkey, p.l_linenumber, p.v, r.brand
+            FROM probes p LEFT JOIN ranges r ON p.v BETWEEN r.low AND r.high
+        """,
+        "interval_flatten": """
+            WITH r AS (
+                SELECT p_partkey AS seq,
+                       (p_partkey % 50)*100 AS low,
+                       (p_partkey % 50)*100 + 70 + (p_partkey % 7)*20 AS high,
+                       p_brand AS payload
+                FROM part
+            ),
+            b AS (
+                SELECT low AS pos FROM r UNION SELECT high+1 FROM r
+            ),
+            s AS (
+                SELECT pos AS seg_low, lead(pos) OVER (ORDER BY pos) - 1 AS seg_high FROM b
+            ),
+            cov AS (
+                SELECT s.seg_low, s.seg_high, arg_max(r.payload, r.seq) AS payload
+                FROM s JOIN r ON r.low <= s.seg_low AND r.high >= s.seg_high
+                WHERE s.seg_high IS NOT NULL
+                GROUP BY s.seg_low, s.seg_high
+            ),
+            m AS (
+                SELECT *,
+                       CASE WHEN lag(seg_high) OVER w IS NULL
+                                 OR seg_low > lag(seg_high) OVER w + 1
+                                 OR payload <> lag(payload) OVER w
+                            THEN 1 ELSE 0 END AS brk
+                FROM cov
+                WINDOW w AS (ORDER BY seg_low)
+            ),
+            g AS (
+                SELECT *, SUM(brk) OVER (ORDER BY seg_low ROWS UNBOUNDED PRECEDING) AS grp FROM m
+            )
+            SELECT MIN(seg_low) AS low, MAX(seg_high) AS high, payload
+            FROM g GROUP BY grp, payload
+        """,
+        "interval_merge": """
+            WITH src AS (
+                SELECT (row_number() OVER (ORDER BY o_orderkey) - 1)*10 AS low,
+                       (row_number() OVER (ORDER BY o_orderkey) - 1)*10 + 9 AS high,
+                       o_orderstatus AS payload
+                FROM orders
+            ),
+            m AS (
+                SELECT *,
+                       CASE WHEN lag(high) OVER w IS NULL
+                                 OR low > lag(high) OVER w + 1
+                                 OR payload <> lag(payload) OVER w
+                            THEN 1 ELSE 0 END AS brk
+                FROM src
+                WINDOW w AS (ORDER BY low)
+            ),
+            g AS (
+                SELECT *, SUM(brk) OVER (ORDER BY low ROWS UNBOUNDED PRECEDING) AS grp FROM m
+            )
+            SELECT MIN(low) AS low, MAX(high) AS high, payload
+            FROM g GROUP BY grp, payload
+        """,
+        "merge_annotators": """
+            WITH a AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS d FROM orders),
+                 b AS (SELECT DISTINCT date_trunc('month', ts) AS d FROM events),
+                 all_d AS (SELECT d FROM a UNION SELECT d FROM b)
+            SELECT d.d AS dataset_date,
+                   (SELECT max(a.d) FROM a WHERE a.d <= d.d) AS geo_date,
+                   (SELECT max(b.d) FROM b WHERE b.d <= d.d) AS asn_date
+            FROM all_d d
+        """,
+        "annotate": """
+            WITH mv AS (SELECT (max(p_partkey)+1)*10//9 AS m FROM part),
+            p1 AS (
+                SELECT event_id,
+                       (user_id * 131 + event_id * 7919) % (SELECT m FROM mv) AS k,
+                       event_id % 256 AS z
+                FROM events
+            ),
+            p2 AS (
+                SELECT event_id, k // 256 AS x, k % 256 AS y, z,
+                       167772160 + k*256 + z AS v
+                FROM p1
+            ),
+            ranges AS (
+                SELECT 167772160 + p_partkey*256 AS low,
+                       167772160 + p_partkey*256 + 255 AS high,
+                       p_brand
+                FROM part
+            )
+            SELECT p2.event_id,
+                   CASE WHEN p2.event_id % 10 = 0
+                        THEN printf('2002:0a%02x:%02x%02x::1', x, y, z)
+                        ELSE printf('10.%d.%d.%d', x, y, z) END AS ip,
+                   COALESCE(r.p_brand, 'MISSING') AS brand
+            FROM p2 LEFT JOIN ranges r ON p2.v BETWEEN r.low AND r.high
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
+                FROM g
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, grp
+        """,
+        "histogram": """
+            SELECT event_type,
+                   CAST(length(CAST(CAST(floor(value*1000) AS BIGINT) AS VARCHAR)) AS INTEGER) AS bucket,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "asn_decode": """
+            SELECT s_suppkey,
+                   printf('%d_%d,%d', s_suppkey, s_nationkey, s_suppkey*7) AS asn_str,
+                   s_suppkey AS best_asn,
+                   2 AS n_systems,
+                   3 AS n_asns
+            FROM supplier
+        """,
+        "response_keys": """
+            SELECT event_id,
+                   printf('10.%d.%d.%d',
+                          (user_id % 65536) // 256,
+                          user_id % 256,
+                          event_id % 256)
+                   || lower(to_base(CAST(floor(epoch(ts)) AS BIGINT), 36)) AS rkey
+            FROM events
+        """,
+    }

@@ -1,0 +1,437 @@
+"""Interval algebra: flattening, merging, and range (point-in-interval) joins.
+
+The reference's build path turns possibly nested/overlapping CIDR rows
+into SORTED DISJOINT ``[low, high]`` ranges (a stack sweep,
+iputils/iputils.go:188-264) and merges adjacent ranges with equal
+payload (iputils/iputils.go:155-179). Its query path is a per-IP
+binary search over the sorted ranges (iputils/iputils.go:111-128).
+
+Semantics contract (verified by the truth tables in
+iputils/iputils_test.go:18-67,161-232):
+- later/inner rows win inside their span ("innermost wins"); the
+  parent's remainder re-emerges after each child;
+- partially-overlapping rows: the later row wins the overlap, the
+  earlier is truncated;
+- adjacent-or-overlapping ranges with EQUAL payload merge;
+- inverted ranges (low > high artifacts of the sweep) are dropped —
+  the reference fixed this in finalizeStackAndList
+  (iputils/iputils.go:207-213, the "KZ fix") and we apply the same
+  rule uniformly.
+
+Spark design
+------------
+``flatten_intervals`` is a BUILD-SIDE operator: inputs are dataset
+snapshots (MaxMind ~4M rows per snapshot), not the 100 TB probe
+stream. We therefore parallelize ACROSS snapshots (``partition_by``,
+e.g. dataset_date × family) and run each group as one vectorized
+Arrow batch (``applyInPandas`` + numpy paint sweep, O(n·depth)); an
+equivalent pure-SQL formulation (boundaries → elementary segments →
+innermost-covering winner via ``max_by``) is provided for
+long-typed bounds and used for DuckDB-oracle differential checks.
+
+``range_join`` is the QUERY-SIDE hot path: the build table is small
+(≤ a few GB), the probe side is the 100 TB stream, so the scalable
+plan is a BROADCAST of the sorted ranges + a vectorized binary search
+per Arrow batch (np.searchsorted, O(log n) per probe, zero shuffle)
+— the distributed analog of the reference's in-memory search. A
+bucketed shuffle variant covers build tables too big to broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# numpy helpers on big-endian fixed-width byte bounds ('S16' / 'S8')
+# ---------------------------------------------------------------------------
+
+
+def _np_inc_u8(m: np.ndarray) -> np.ndarray:
+    """Vectorized +1 over big-endian (n, width) uint8 rows (carry)."""
+    out = m.copy()
+    carry = np.ones(len(out), dtype=bool)
+    for col in range(out.shape[1] - 1, -1, -1):
+        add = carry
+        carry = add & (out[:, col] == 255)
+        out[:, col] = np.where(add, out[:, col] + 1, out[:, col])
+        if not carry.any():
+            break
+    return out
+
+
+def _np_dec_u8(m: np.ndarray) -> np.ndarray:
+    """Vectorized -1: x-1 == ~( ~x + 1 )."""
+    return 255 - _np_inc_u8(255 - m)
+
+
+def _to_u8(s: pd.Series, width: int, is_long: bool) -> np.ndarray:
+    """pandas Series of longs / 16-byte values → (n, width) uint8 matrix.
+
+    NB: never round-trips through numpy 'S' scalars — those truncate
+    trailing NUL bytes. 'S'-dtype is only used transiently as a VIEW
+    for C-speed lexicographic searchsorted/unique (safe: views keep
+    the full fixed-width buffer, and NUL-termination ordering
+    coincides with byte-wise ordering at equal width).
+    """
+    if is_long:
+        v = s.to_numpy(dtype=np.int64).astype(">i8")
+        return v.view(np.uint8).reshape(-1, width)
+    buf = b"".join(bytes(x) for x in s)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, width).copy()
+
+
+def _u8_to_s(m: np.ndarray) -> np.ndarray:
+    """(n, width) uint8 → (n,) 'S<width>' view for searchsorted."""
+    return np.ascontiguousarray(m).view(f"S{m.shape[1]}").ravel()
+
+
+def _s_to_u8(a: np.ndarray, width: int) -> np.ndarray:
+    return a.view(np.uint8).reshape(-1, width)
+
+
+def _u8_out(m: np.ndarray, is_long: bool) -> list | np.ndarray:
+    if is_long:
+        return np.ascontiguousarray(m).view(">i8").ravel().astype(np.int64)
+    return [m[i].tobytes() for i in range(len(m))]
+
+
+def _flatten_group_np(
+    low_m: np.ndarray,
+    high_m: np.ndarray,
+    merge: bool,
+    payload_key: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Paint-sweep flatten of one snapshot group.
+
+    Rows must be in input order (file order — later rows are
+    inner/winning, matching the reference's stack discipline for
+    network-sorted sources). Bounds are (n, width) uint8 matrices.
+    Returns (seg_low_u8, seg_high_u8, winner_row_indices).
+    """
+    n, width = low_m.shape
+    high_excl = _np_inc_u8(high_m)
+    lows_s = _u8_to_s(low_m)
+    he_s = _u8_to_s(high_excl)
+    bounds = np.unique(np.concatenate([lows_s, he_s]))
+    if len(bounds) < 2:
+        empty = np.empty((0, width), dtype=np.uint8)
+        return empty, empty, np.empty(0, dtype=np.int64)
+    # paint: later rows overwrite earlier → innermost/latest wins
+    winner = np.full(len(bounds) - 1, -1, dtype=np.int64)
+    starts = np.searchsorted(bounds, lows_s, side="left")
+    ends = np.searchsorted(bounds, he_s, side="left")
+    for i in range(n):
+        winner[starts[i] : ends[i]] = i
+    covered = winner >= 0
+    seg_low = bounds[:-1][covered]
+    seg_high_excl = bounds[1:][covered]
+    w = winner[covered]
+    if merge and len(w):
+        # merge adjacent segments with equal payload; a dropped (gap)
+        # segment breaks adjacency because seg_low != prev seg_high_excl
+        contiguous = np.concatenate([[False], seg_low[1:] == seg_high_excl[:-1]])
+        same_payload = np.concatenate(
+            [[False], payload_key[w[1:]] == payload_key[w[:-1]]]
+        )
+        keep = ~(contiguous & same_payload)
+        grp = np.cumsum(keep) - 1
+        out_low = seg_low[keep]
+        out_high_excl = np.empty(grp.max() + 1, dtype=seg_high_excl.dtype)
+        out_high_excl[grp] = seg_high_excl  # last write per group wins
+        seg_low, seg_high_excl, w = out_low, out_high_excl, w[keep]
+    seg_high = _np_dec_u8(_s_to_u8(seg_high_excl, width))
+    return _s_to_u8(seg_low, width), seg_high, w
+
+
+def flatten_intervals(
+    df: DataFrame,
+    low: str = "ip_low",
+    high: str = "ip_high",
+    payload: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
+    seq: str | None = None,
+    merge: bool = True,
+) -> DataFrame:
+    """T1+T2: flatten nested/overlapping ranges into sorted disjoint
+    ranges, innermost/latest wins, merging adjacent equal payloads.
+
+    ``low``/``high`` may be BinaryType(16) or LongType (both compared
+    as unsigned big-endian). ``seq`` gives input (file) order; when
+    None, rows are ordered by (low asc, high desc) which equals file
+    order for network-sorted sources like MaxMind CSVs.
+
+    Executes one Arrow batch per ``partition_by`` group — groups are
+    dataset snapshots, so a 1000-executor cluster flattens all
+    snapshots concurrently; within a group the sweep is vectorized
+    numpy (O(n·depth) paint).
+    """
+    is_long = isinstance(df.schema[low].dataType, T.LongType) or isinstance(
+        df.schema[low].dataType, T.IntegerType
+    )
+    width = 8 if is_long else 16
+    payload = list(payload)
+    part = list(partition_by)
+    order_cols = [seq] if seq else [F.col(low).asc(), F.col(high).desc()]
+
+    if is_long:
+        df = df.withColumn(low, F.col(low).cast("long")).withColumn(
+            high, F.col(high).cast("long")
+        )
+
+    cols = part + [low, high] + payload
+    src = df.select(*cols, *( [seq] if seq and seq not in cols else [] ))
+
+    out_fields = [df.schema[c] for c in part]
+    out_fields += [
+        T.StructField(low, T.LongType() if is_long else T.BinaryType()),
+        T.StructField(high, T.LongType() if is_long else T.BinaryType()),
+    ]
+    out_fields += [df.schema[c] for c in payload]
+    out_schema = T.StructType(out_fields)
+
+    sort_keys = [seq] if seq else [low, high]
+    sort_asc = [True] if seq else [True, False]
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_keys, ascending=sort_asc, kind="stable")
+        low_m = _to_u8(pdf[low], width, is_long)
+        high_m = _to_u8(pdf[high], width, is_long)
+        pk = (
+            pdf[payload].astype(str).agg("\x00".join, axis=1).to_numpy()
+            if payload
+            else np.zeros(len(pdf), dtype=np.int64)
+        )
+        seg_low, seg_high, w = _flatten_group_np(low_m, high_m, merge, pk)
+        lo_out = _u8_out(seg_low, is_long)
+        hi_out = _u8_out(seg_high, is_long)
+        out = pd.DataFrame({low: lo_out, high: hi_out})
+        for c in part:
+            out.insert(0, c, pdf[c].iloc[0] if len(pdf) else None)
+        idx = pdf.index.to_numpy()[w] if len(w) else []
+        for c in payload:
+            out[c] = pdf[c].loc[idx].to_numpy() if len(w) else []
+        return out[[f.name for f in out_fields]]
+
+    if part:
+        return src.groupBy(*part).applyInPandas(run_group, out_schema)
+    return src.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: run_group(pdf.drop(columns="__g")), out_schema
+    )
+
+
+def flatten_intervals_sql(
+    df: DataFrame,
+    low: str = "low",
+    high: str = "high",
+    payload: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
+    seq: str | None = None,
+    merge: bool = True,
+) -> DataFrame:
+    """Pure-DataFrame/SQL formulation of ``flatten_intervals`` for
+    LONG bounds (gaps-and-islands): explode all bounds → elementary
+    segments via ``lead`` → winner per segment = covering row with
+    max (low, seq) via ``max_by`` → optional adjacent-equal merge.
+
+    Used for differential testing against the vectorized version and
+    as the shape the DuckDB oracle replicates. The covering join is
+    an equi-join on partition keys plus a range predicate; for the
+    build-side table sizes this engine flattens (≤ a few M rows per
+    snapshot) AQE handles it; probe-side scale never flows through
+    here.
+    """
+    payload = list(payload)
+    part = list(partition_by)
+    w_order = [F.col(seq)] if seq else [F.col(low), F.col(high).desc()]
+    r = df.withColumn(
+        "__seq", F.row_number().over(Window.partitionBy(*part or [F.lit(1)]).orderBy(*w_order))
+    )
+
+    bounds = (
+        r.select(*part, F.col(low).alias("__b"))
+        .unionByName(r.select(*part, (F.col(high) + 1).alias("__b")))
+        .distinct()
+    )
+    wseg = Window.partitionBy(*part or [F.lit(1)]).orderBy("__b")
+    segs = (
+        bounds.withColumn("__nxt", F.lead("__b").over(wseg))
+        .where(F.col("__nxt").isNotNull())
+        .select(*part, F.col("__b").alias("__seg_low"), (F.col("__nxt") - 1).alias("__seg_high"))
+    )
+
+    rr = r.select(
+        *[F.col(c).alias(f"__r_{c}") for c in part],
+        F.col(low).alias("__r_low"),
+        F.col(high).alias("__r_high"),
+        "__seq",
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    cond = (F.col("__r_low") <= F.col("__seg_low")) & (
+        F.col("__r_high") >= F.col("__seg_high")
+    )
+    for c in part:
+        cond = cond & (F.col(f"__r_{c}") == F.col(c))
+    cover = segs.join(rr, cond, "inner")
+
+    winner = cover.groupBy(*part, "__seg_low", "__seg_high").agg(
+        F.max_by(
+            F.struct(*[F.col(f"__p_{c}").alias(c) for c in payload]),
+            F.col("__seq"),
+        ).alias("__pl")
+    )
+    flat = winner.select(
+        *part,
+        F.col("__seg_low").alias(low),
+        F.col("__seg_high").alias(high),
+        *[F.col(f"__pl.{c}").alias(c) for c in payload],
+    )
+    if merge:
+        flat = merge_adjacent_equal(flat, low=low, high=high, payload=payload, partition_by=part)
+    return flat
+
+
+def merge_adjacent_equal(
+    df: DataFrame,
+    low: str = "low",
+    high: str = "high",
+    payload: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """T2 (iputils/iputils.go:155-184): collapse runs of
+    adjacent-or-overlapping ranges with equal payload into one range
+    [min(low), max(high)]. Long bounds. Classic sessionize: lag →
+    new-group flag → cumsum → group."""
+    payload = list(payload)
+    part = list(partition_by)
+    w = Window.partitionBy(*part or [F.lit(1)]).orderBy(low, high)
+    prev_high = F.lag(high).over(w)
+    is_break = prev_high.isNull() | (F.col(low) > prev_high + 1)
+    if payload:
+        prev_payload = F.lag(F.struct(*payload)).over(w)
+        is_break = is_break | (F.struct(*payload) != prev_payload)
+    grp = F.sum(is_break.cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__grp", grp)
+        .groupBy(*part, "__grp", *payload)
+        .agg(F.min(low).alias(low), F.max(high).alias(high))
+        .select(*part, low, high, *payload)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (point-in-interval) join — the query-side hot path (J1)
+# ---------------------------------------------------------------------------
+
+
+def range_join_broadcast(
+    probes: DataFrame,
+    ranges: DataFrame,
+    probe_col: str,
+    low: str = "ip_low",
+    high: str = "ip_high",
+    payload: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """J1 via broadcast + vectorized binary search
+    (iputils/iputils.go:111-128 distributed analog).
+
+    ``ranges`` (sorted disjoint) is collected once and broadcast to
+    every executor; each probe Arrow batch does np.searchsorted —
+    O(log n) per probe, NO shuffle of the 100 TB probe side, no
+    Python-per-row cost. This is the plan a 1000-executor cluster
+    wants whenever the build table fits in executor memory (MaxMind
+    snapshots do: ~4M rows ≪ broadcast limits).
+
+    Misses keep NULL payloads (how='left') or are dropped ('inner'),
+    mirroring ErrNodeNotFound handling (geolite2v2/geo-ip.go:162).
+    """
+    payload = list(payload)
+    is_long = isinstance(ranges.schema[low].dataType, (T.LongType, T.IntegerType))
+    width = 8 if is_long else 16
+
+    rows = ranges.select(low, high, *payload).orderBy(low).collect()
+    lows = _u8_to_s(_to_u8(pd.Series([r[low] for r in rows]), width, is_long))
+    highs = _u8_to_s(_to_u8(pd.Series([r[high] for r in rows]), width, is_long))
+    pl = pd.DataFrame({c: [r[c] for r in rows] for c in payload})
+    bc = probes.sparkSession.sparkContext.broadcast((lows, highs, pl))
+
+    out_fields = list(probes.schema.fields) + [
+        T.StructField(c, ranges.schema[c].dataType, True) for c in payload
+    ]
+    out_schema = T.StructType(out_fields)
+    probe_names = [f.name for f in probes.schema.fields]
+
+    def lookup(it):
+        lows_b, highs_b, pl_b = bc.value
+        for pdf in it:
+            pv = pdf[probe_col]
+            valid_mask = pv.notna().to_numpy()
+            res = pd.DataFrame(index=pdf.index, columns=payload, dtype=object)
+            if valid_mask.any() and len(lows_b):
+                pb = _u8_to_s(_to_u8(pv[valid_mask], width, is_long))
+                idx = np.searchsorted(lows_b, pb, side="right") - 1
+                ok = idx >= 0
+                safe = np.where(ok, idx, 0)
+                ok &= highs_b[safe] >= pb
+                hit_pos = np.flatnonzero(valid_mask)[ok]
+                hit_idx = safe[ok]
+                for c in payload:
+                    col_vals = pl_b[c].to_numpy(dtype=object)
+                    res.iloc[hit_pos, res.columns.get_loc(c)] = col_vals[hit_idx]
+            out = pd.concat([pdf[probe_names], res], axis=1)
+            if how == "inner":
+                out = out[res[payload[0]].notna()] if payload else out
+            yield out
+
+    return probes.mapInPandas(lookup, out_schema)
+
+
+def range_join_bucketed(
+    probes: DataFrame,
+    ranges: DataFrame,
+    probe_col: str,
+    low: str = "low",
+    high: str = "high",
+    payload: Sequence[str] = (),
+    bucket_width: int = 65536,
+    how: str = "left",
+) -> DataFrame:
+    """J1 via prefix-bucket equi-join, for build tables too large to
+    broadcast (long bounds). Each range replicates to the buckets it
+    overlaps (``sequence`` + ``explode``, JVM-side); probes hash to
+    one bucket; the equi-join shuffles both sides by bucket and a
+    BETWEEN filter finishes. Shuffle volume = probes × 1, ranges ×
+    avg-buckets-per-range; pick ``bucket_width`` ≳ median range size
+    so replication stays O(1)."""
+    payload = list(payload)
+    b_ranges = ranges.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                (F.col(low) / bucket_width).cast("long"),
+                (F.col(high) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    b_probes = probes.withColumn(
+        "__bkt", (F.col(probe_col) / bucket_width).cast("long")
+    )
+    joined = b_probes.join(
+        b_ranges,
+        (b_probes["__bkt"] == b_ranges["__bkt"])
+        & (b_probes[probe_col] >= b_ranges[low])
+        & (b_probes[probe_col] <= b_ranges[high]),
+        how,
+    )
+    return joined.select(
+        *[b_probes[f.name] for f in probes.schema.fields],
+        *[b_ranges[c] for c in payload],
+    )

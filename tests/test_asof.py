@@ -1,0 +1,67 @@
+"""As-of join tests — expectations from directory/directory_test.go."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from annotation_service_spark.operators import asof as ao
+
+
+def _d(s):
+    return dt.date(int(s[:4]), int(s[4:6]), int(s[6:]))
+
+
+def test_asof_directory_truth_table(spark):
+    """directory_test.go:44-79: snapshots at 20090208 + k weeks for
+    k in {0,50,100,200,278,478}; request dates pick the last strictly
+    earlier snapshot."""
+    start = _d("20090208")
+    week = dt.timedelta(days=7)
+    snaps = [start + k * week for k in (0, 50, 100, 200, 278, 478)]
+    snap_df = spark.createDataFrame([(s,) for s in snaps], "dataset_date date")
+    cases = [
+        ("20170101", "20140608"),
+        ("20110101", "20100124"),
+        ("20180501", "20180408"),
+        # strictly-earlier rule: exactly-equal date picks the PREVIOUS
+        ("20100124", "20090208"),
+        # before-first fallback: first snapshot serves ancient dates
+        ("20000101", "20090208"),
+    ]
+    probes = spark.createDataFrame(
+        [(i, _d(q)) for i, (q, _) in enumerate(cases)], "id long, req date"
+    )
+    out = ao.asof_join(probes, snap_df, probe_date="req")
+    got = {r.id: r.dataset_date for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == _d(want), f"case {i}: want {want} got {got[i]}"
+
+
+def test_asof_join_is_broadcast(spark):
+    snap_df = spark.createDataFrame(
+        [(_d("20200101"),), (_d("20210101"),)], "dataset_date date"
+    )
+    probes = spark.createDataFrame([(1, _d("20200601"))], "id long, req date")
+    plan = ao.asof_join(probes, snap_df, probe_date="req")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_merge_sources_alignment(spark):
+    """J8 (directory_test.go:128-167 signature semantics): composite
+    per distinct date uses, per source, the newest element <= date."""
+    geo = spark.createDataFrame(
+        [(_d("20100101"), "g1"), (_d("20100301"), "g2")],
+        "dataset_date date, path string",
+    )
+    asn = spark.createDataFrame(
+        [(_d("20100203"), "a1"), (_d("20100401"), "a2")],
+        "dataset_date date, path string",
+    )
+    out = ao.merge_sources({"geo": geo, "asn": asn}, payload=["path"])
+    rows = {r.dataset_date: (r.geo_path, r.asn_path) for r in out.collect()}
+    assert rows[_d("20100101")] == ("g1", None)
+    assert rows[_d("20100203")] == ("g1", "a1")
+    assert rows[_d("20100301")] == ("g2", "a1")
+    assert rows[_d("20100401")] == ("g2", "a2")

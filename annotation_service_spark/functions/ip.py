@@ -253,7 +253,7 @@ def asn_decode(asn_str: Column) -> Column:
     return F.transform(
         F.split(asn_str, "_"),
         lambda s: F.struct(
-            F.transform(F.split(s, ","), lambda x: x.cast("long")).alias("asns")
+            F.transform(F.split(s, ","), lambda x: F.coalesce(x.try_cast("long"), F.lit(0))).alias("asns")
         ),
     )
 

@@ -339,29 +339,48 @@ def range_join_broadcast(
     high: str = "ip_high",
     payload: Sequence[str] = (),
     how: str = "left",
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """J1 via broadcast + vectorized binary search
     (iputils/iputils.go:111-128 distributed analog).
 
-    ``ranges`` (sorted disjoint) is collected once and broadcast to
-    every executor; each probe Arrow batch does np.searchsorted —
-    O(log n) per probe, NO shuffle of the 100 TB probe side, no
-    Python-per-row cost. This is the plan a 1000-executor cluster
-    wants whenever the build table fits in executor memory (MaxMind
-    snapshots do: ~4M rows ≪ broadcast limits).
+    ``ranges`` (sorted disjoint per key group) is collected once and
+    broadcast to every executor; each probe Arrow batch does
+    np.searchsorted — O(log n) per probe, NO shuffle of the 100 TB
+    probe side, no Python-per-row cost. This is the plan a
+    1000-executor cluster wants whenever the build table fits in
+    executor memory (MaxMind snapshots do: ~4M rows ≪ broadcast
+    limits).
+
+    ``keys``: optional equi-join columns shared by probes and ranges
+    (e.g. ``dataset_date`` after an as-of join) — the broadcast holds
+    one sorted array per key group, composing J2∘J1 without any
+    probe-side shuffle.
 
     Misses keep NULL payloads (how='left') or are dropped ('inner'),
     mirroring ErrNodeNotFound handling (geolite2v2/geo-ip.go:162).
     """
     payload = list(payload)
+    keys = list(keys)
     is_long = isinstance(ranges.schema[low].dataType, (T.LongType, T.IntegerType))
     width = 8 if is_long else 16
 
-    rows = ranges.select(low, high, *payload).orderBy(low).collect()
-    lows = _u8_to_s(_to_u8(pd.Series([r[low] for r in rows]), width, is_long))
-    highs = _u8_to_s(_to_u8(pd.Series([r[high] for r in rows]), width, is_long))
-    pl = pd.DataFrame({c: [r[c] for r in rows] for c in payload})
-    bc = probes.sparkSession.sparkContext.broadcast((lows, highs, pl))
+    rows = ranges.select(*keys, low, high, *payload).orderBy(*keys, low).collect()
+
+    def build_group(grows):
+        lows = _u8_to_s(_to_u8(pd.Series([r[low] for r in grows]), width, is_long))
+        highs = _u8_to_s(_to_u8(pd.Series([r[high] for r in grows]), width, is_long))
+        pl = pd.DataFrame({c: [r[c] for r in grows] for c in payload})
+        return lows, highs, pl
+
+    if keys:
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(tuple(r[k] for k in keys), []).append(r)
+        bc_val = {k: build_group(v) for k, v in groups.items()}
+    else:
+        bc_val = {(): build_group(rows)} if rows else {}
+    bc = probes.sparkSession.sparkContext.broadcast(bc_val)
 
     out_fields = list(probes.schema.fields) + [
         T.StructField(c, ranges.schema[c].dataType, True) for c in payload
@@ -369,26 +388,41 @@ def range_join_broadcast(
     out_schema = T.StructType(out_fields)
     probe_names = [f.name for f in probes.schema.fields]
 
+    def lookup_one(tables, pdf, res):
+        pv = pdf[probe_col]
+        valid_mask = pv.notna().to_numpy()
+        if not valid_mask.any():
+            return
+        lows_b, highs_b, pl_b = tables
+        if not len(lows_b):
+            return
+        pb = _u8_to_s(_to_u8(pv[valid_mask], width, is_long))
+        idx = np.searchsorted(lows_b, pb, side="right") - 1
+        ok = idx >= 0
+        safe = np.where(ok, idx, 0)
+        ok &= highs_b[safe] >= pb
+        hit_pos = pdf.index.to_numpy()[valid_mask][ok]
+        hit_idx = safe[ok]
+        for c in payload:
+            col_vals = pl_b[c].to_numpy(dtype=object)
+            res.loc[hit_pos, c] = col_vals[hit_idx]
+
     def lookup(it):
-        lows_b, highs_b, pl_b = bc.value
+        tables_by_key = bc.value
         for pdf in it:
-            pv = pdf[probe_col]
-            valid_mask = pv.notna().to_numpy()
+            pdf = pdf.reset_index(drop=True)
             res = pd.DataFrame(index=pdf.index, columns=payload, dtype=object)
-            if valid_mask.any() and len(lows_b):
-                pb = _u8_to_s(_to_u8(pv[valid_mask], width, is_long))
-                idx = np.searchsorted(lows_b, pb, side="right") - 1
-                ok = idx >= 0
-                safe = np.where(ok, idx, 0)
-                ok &= highs_b[safe] >= pb
-                hit_pos = np.flatnonzero(valid_mask)[ok]
-                hit_idx = safe[ok]
-                for c in payload:
-                    col_vals = pl_b[c].to_numpy(dtype=object)
-                    res.iloc[hit_pos, res.columns.get_loc(c)] = col_vals[hit_idx]
+            if keys:
+                for kv, sub in pdf.groupby(keys, dropna=False, sort=False):
+                    kt = kv if isinstance(kv, tuple) else (kv,)
+                    tables = tables_by_key.get(kt)
+                    if tables is not None:
+                        lookup_one(tables, sub, res)
+            elif tables_by_key:
+                lookup_one(tables_by_key[()], pdf, res)
             out = pd.concat([pdf[probe_names], res], axis=1)
-            if how == "inner":
-                out = out[res[payload[0]].notna()] if payload else out
+            if how == "inner" and payload:
+                out = out[out[payload[0]].notna()]
             yield out
 
     return probes.mapInPandas(lookup, out_schema)

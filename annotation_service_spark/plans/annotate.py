@@ -1,0 +1,215 @@
+"""The annotate query lifecycle (SURVEY.md §3) as one DataFrame plan.
+
+Reference flow (handler/handler.go:194-243, manager/manager.go:49-57,
+geolite2v2/geo-ip.go:99-176, asn/asn-annotator.go:29-92):
+
+    requests(date, ip)
+      → parse/validate (P3) → 6to4 rewrite (P4)
+      → as-of snapshot selection (J2)
+      → geo range join (J1) → location dim join (J3 tail)
+      → asn range join (J1) → AS decode (P8/P9) → AS-name join (J4)
+      → GeolocationIP/ASData struct projection (P13)
+      → Missing backfill (P15)
+      → JSON shaping (S11/P17)
+
+Family routing (J7) is implicit: the canonical 16-byte v4-mapped
+representation makes v4 and v6 ranges disjoint in one sorted table,
+so a single binary search replaces the reference's per-family lists
+(manager/manager.go:213-226 becomes a representation choice).
+
+Scale notes: the probe side (the 100 TB stream) flows through ONE
+mapInPandas (broadcast binary search, possibly keyed by snapshot) and
+TWO broadcast hash joins (locations, asnames). No probe-side shuffle
+anywhere. Snapshot tables are partitioned by ``dataset_date``;
+partition pruning keeps a narrow-date query from touching history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import ip as ipf
+from ..operators.asof import asof_join
+from ..operators.interval import range_join_broadcast
+
+GEO_PAYLOAD = ["gid", "postal_code", "latitude", "longitude"]
+
+
+def prepare_probes(requests: DataFrame, ip_col: str = "ip") -> DataFrame:
+    """P3 + P4: parse to canonical bytes, rewrite 6to4. Invalid IPs
+    keep NULL bytes (they fall out as Missing, like the reference's
+    per-IP error suppression, handler/handler.go:216-229)."""
+    return requests.withColumn("__ipb", ipf.ip_to_bytes(F.col(ip_col))).withColumn(
+        "__eff", ipf.ip6to4(F.col("__ipb"))
+    )
+
+
+def geolocation_struct(locations_joined: DataFrame) -> Column:
+    """P13 (geolite2v2/geo-ip.go:99-125): assemble GeolocationIP.
+    CountryCode3 is always empty and AreaCode 0 for GeoLite2, as in
+    the reference."""
+    hit = F.col("gid").isNotNull()
+    return F.when(
+        hit,
+        F.struct(
+            F.coalesce("continent_code", F.lit("")).alias("continent_code"),
+            F.coalesce("country_code", F.lit("")).alias("country_code"),
+            F.lit("").alias("country_code3"),
+            F.coalesce("country_name", F.lit("")).alias("country_name"),
+            F.coalesce("subdivision_1_iso_code", F.lit("")).alias("region"),
+            F.coalesce("subdivision_1_iso_code", F.lit("")).alias("subdivision1_iso_code"),
+            F.coalesce("subdivision_1_name", F.lit("")).alias("subdivision1_name"),
+            F.coalesce("subdivision_2_iso_code", F.lit("")).alias("subdivision2_iso_code"),
+            F.coalesce("subdivision_2_name", F.lit("")).alias("subdivision2_name"),
+            F.coalesce("metro_code", F.lit(0)).alias("metro_code"),
+            F.coalesce("city_name", F.lit("")).alias("city"),
+            F.lit(0).cast("long").alias("area_code"),
+            F.coalesce("postal_code", F.lit("")).alias("postal_code"),
+            F.coalesce("latitude", F.lit(0.0)).alias("latitude"),
+            F.coalesce("longitude", F.lit(0.0)).alias("longitude"),
+            F.coalesce("accuracy_radius_km", F.lit(0)).alias("radius"),
+            F.lit(False).alias("missing"),
+        ),
+    ).otherwise(
+        # P15 missing backfill (handler/handler.go:66-76)
+        F.struct(
+            F.lit("").alias("continent_code"),
+            F.lit("").alias("country_code"),
+            F.lit("").alias("country_code3"),
+            F.lit("").alias("country_name"),
+            F.lit("").alias("region"),
+            F.lit("").alias("subdivision1_iso_code"),
+            F.lit("").alias("subdivision1_name"),
+            F.lit("").alias("subdivision2_iso_code"),
+            F.lit("").alias("subdivision2_name"),
+            F.lit(0).cast("long").alias("metro_code"),
+            F.lit("").alias("city"),
+            F.lit(0).cast("long").alias("area_code"),
+            F.lit("").alias("postal_code"),
+            F.lit(0.0).alias("latitude"),
+            F.lit(0.0).alias("longitude"),
+            F.lit(0).cast("long").alias("radius"),
+            F.lit(True).alias("missing"),
+        )
+    )
+
+
+def asdata_struct() -> Column:
+    """ASData assembly (asn/asn-annotator.go:61-90): decode the AS
+    string (P8), BestASN (P9), CIDR from the flattened range (P2 at
+    build time → ``cidr`` column), Missing backfill (P15)."""
+    hit = F.col("as_string").isNotNull()
+    systems = ipf.asn_decode(F.col("as_string"))
+    return F.when(
+        hit,
+        F.struct(
+            F.lit("").alias("ip_prefix"),
+            F.coalesce("cidr", F.lit("")).alias("cidr"),
+            ipf.best_asn(systems).alias("as_number"),
+            F.coalesce("as_name", F.lit("")).alias("as_name"),
+            F.lit(False).alias("missing"),
+            systems.alias("systems"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit("").alias("ip_prefix"),
+            F.lit("").alias("cidr"),
+            F.lit(None).cast("long").alias("as_number"),
+            F.lit("").alias("as_name"),
+            F.lit(True).alias("missing"),
+            F.lit(None).cast(ipf.ASN_SYSTEM_TYPE).alias("systems"),
+        )
+    )
+
+
+def annotate(
+    requests: DataFrame,
+    geo_ranges: DataFrame,
+    locations: DataFrame,
+    asn_ranges: DataFrame,
+    asnames: DataFrame,
+    ip_col: str = "ip",
+    date_col: str | None = None,
+    registry: DataFrame | None = None,
+) -> DataFrame:
+    """Full composite annotate (J9): every request row gains ``geo``
+    and ``network`` structs.
+
+    When ``date_col`` + ``registry`` are given, an as-of join selects
+    the snapshot per request and the range joins are keyed by
+    ``dataset_date`` (J2∘J1); otherwise the single-snapshot tables
+    are used directly.
+    """
+    probes = prepare_probes(requests, ip_col)
+    keys: list[str] = []
+    if date_col is not None and registry is not None:
+        probes = asof_join(probes, registry, probe_date=date_col)
+        keys = ["dataset_date"]
+
+    geo_hit = range_join_broadcast(
+        probes,
+        geo_ranges,
+        probe_col="__eff",
+        payload=GEO_PAYLOAD,
+        how="left",
+        keys=keys,
+    )
+    loc_dim = locations.drop("_file_order") if "_file_order" in locations.columns else locations
+    with_loc = geo_hit.join(
+        F.broadcast(loc_dim), on=geo_hit["gid"] == loc_dim["geoname_id"], how="left"
+    ).drop("geoname_id")
+
+    asn_hit = range_join_broadcast(
+        with_loc.withColumn("geo", geolocation_struct(with_loc)).drop(
+            *GEO_PAYLOAD,
+            "continent_code",
+            "country_code",
+            "country_name",
+            "subdivision_1_iso_code",
+            "subdivision_1_name",
+            "subdivision_2_iso_code",
+            "subdivision_2_name",
+            "city_name",
+            "metro_code",
+            "accuracy_radius_km",
+        ),
+        asn_ranges,
+        probe_col="__eff",
+        payload=["as_string", "cidr"],
+        how="left",
+        keys=keys,
+    )
+    systems = ipf.asn_decode(F.col("as_string"))
+    with_asname = asn_hit.withColumn(
+        "__best", ipf.best_asn(systems)
+    ).join(
+        F.broadcast(asnames.select("asn", "as_name")),
+        on=F.col("__best") == F.col("asn"),
+        how="left",
+    )
+    out = with_asname.withColumn("network", asdata_struct()).drop(
+        "as_string", "cidr", "as_name", "asn", "__best", "__ipb", "__eff"
+    )
+    return out
+
+
+def to_v2_response(annotated: DataFrame, ip_col: str = "ip") -> DataFrame:
+    """S11: one JSON document per request row (v2 response is a map
+    ip→Annotations; row-per-ip is the distributed shape, `to_json`
+    at the edge — api/v2/api-v2.go:49-55)."""
+    return annotated.select(
+        F.col(ip_col),
+        F.to_json(F.struct("geo", "network")).alias("annotations_json"),
+    )
+
+
+def to_v1_response_keys(
+    annotated: DataFrame, ip_col: str = "ip", ts_col: str = "ts"
+) -> DataFrame:
+    """P17: legacy v1 response keyed ip+base36(epoch)
+    (handler/handler.go:142-174)."""
+    return annotated.withColumn(
+        "response_key",
+        ipf.base36_key(F.col(ip_col), F.unix_timestamp(F.col(ts_col))),
+    )

@@ -9,10 +9,36 @@ Arrow enabled (every Pandas UDF crossing is Arrow-batched).
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    On a real cluster (and in local mode when the driver's cwd is not
+    the repo root) the Arrow-UDF closures deserialize on workers that
+    have no sys.path entry for the package — self-shipping a zip makes
+    the engine deployable anywhere without --py-files plumbing.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_asvc_shipped", False):
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"asvc_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                zf.write(p, p.relative_to(pkg_dir.parent))
+    sc.addPyFile(zpath)
+    sc._asvc_shipped = True
 
 
 def get_session(
@@ -47,4 +73,5 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
     return spark

@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from annotation_service_spark.functions import ip as ipf
+from annotation_service_spark.functions import text as txt
 from annotation_service_spark.operators import asof as ao
+from annotation_service_spark.operators import dedup as dd
 from annotation_service_spark.operators import interval as iv
+from annotation_service_spark.operators import similarity as sim
 from annotation_service_spark.sources.testdata import TABLES, load_table
 
 _t = load_table
@@ -259,6 +262,64 @@ def q_response_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the smallest id."""
+    return dd.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8-band LSH near-dup pairs over word 3-grams,
+    exact-verified at jaccard ≥ 0.5 (portable md5 hashing)."""
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        ngram=3, num_hashes=16, bands=8, threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup candidates (4 bands, hamming ≤ 2)."""
+    return dd.simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        ngram=3, bits=16, bands=4, max_hamming=2,
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 via shingle equi-join."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.5
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the vec_id%50==0 query subset."""
+    return sim.ann_bruteforce_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, stopword/punct ratios, quality score, content
+    fingerprint per document."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        txt.token_count(t).alias("n_tokens"),
+        txt.whitespace_token_count(t).alias("n_ws_tokens"),
+        txt.round_fixed(txt.stopword_ratio(t), 6).alias("stop_ratio"),
+        txt.round_fixed(txt.punct_ratio(t), 6).alias("punct_ratio"),
+        txt.quality_score(t).alias("quality"),
+        txt.doc_fingerprint(t, 5).alias("fingerprint"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language guess per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", txt.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -282,7 +343,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "asn_decode": q_asn_decode,
         "response_keys": q_response_keys,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_metrics": q_text_metrics,
+        "lang_id": q_lang_id,
     }
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """Shared DuckDB CTE: distinct (id, word-n-gram shingle) pairs."""
+    joins = "||' '||".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+        w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(range(1, len(ws)-{n - 2}), i -> {joins})) AS s
+            FROM w WHERE len(ws) >= {n}
+        )
+    """
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 8, thr: float = 0.5) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}|'||s)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+            b=b,
+            parts="||'|'||".join(f"mh{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_shingle_cte(3)},
+        sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.id < b.id
+        ),
+        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        common AS (
+            SELECT c.id_a, c.id_b, count(*) AS cnt
+            FROM cand c
+            JOIN sh x ON x.id = c.id_a
+            JOIN sh y ON y.id = c.id_b AND y.s = x.s
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= {thr}
+    """
+
+
+def _simhash_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 2) -> str:
+    votes = []
+    for j in range(bits):
+        nib = f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"((({nib} >> {3 - (j % 4)}) & 1) * 2 - 1)"
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> {bit})) > 0"
+            f" THEN {1 << (bits - 1 - j)} ELSE 0 END"
+        )
+    sh_expr = " + ".join(votes)
+    bpb = bits // bands
+    mask = (1 << bpb) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, (sh >> {(bands - 1 - b) * bpb}) & {mask} AS key, sh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_shingle_cte(3)},
+        hsh AS (SELECT id, list(md5(s)) AS hs FROM sh GROUP BY id),
+        sig AS (SELECT id, CAST({sh_expr} AS BIGINT) AS sh FROM hsh),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+            WHERE a.id < b.id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -459,5 +614,112 @@ def oracle_sql() -> dict[str, str]:
                           event_id % 256)
                    || lower(to_base(CAST(floor(epoch(ts)) AS BIGINT), 36)) AS rkey
             FROM events
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh": _minhash_oracle(16, 8, 0.5),
+        "dedup_simhash": _simhash_oracle(16, 4, 2),
+        "dedup_ngram_jaccard": f"""
+            WITH {_shingle_cte(3)},
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+        """,
+        "ann_cosine_topk": """
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+            s AS (
+                SELECT qid, v.vec_id AS nid,
+                       round(
+                         list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*e[i]))
+                         / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])))
+                            * sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i])))),
+                         6) AS cos
+                FROM q, v WHERE v.vec_id <> qid
+            )
+            SELECT qid, nid, cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+            WHERE rn <= 3
+        """,
+        "text_metrics": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, text, toks,
+                       len(toks) AS n_tokens,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+                       CASE WHEN len(toks) > 0 THEN
+                         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS stop_ratio,
+                       CASE WHEN length(text) > 0 THEN
+                         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+                       ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(toks) > 0 THEN
+                         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS wl
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(n_ws_tokens AS INTEGER) AS n_ws_tokens,
+                   floor(stop_ratio*1e6 + 0.5)/1e6 AS stop_ratio,
+                   floor(punct_ratio*1e6 + 0.5)/1e6 AS punct_ratio,
+                   floor((0.3*least(stop_ratio*5, 1.0)
+                         + 0.25*(1.0 - least(punct_ratio*4, 1.0))
+                         + 0.25*least(n_tokens/100.0, 1.0)
+                         + 0.2*(1.0 - least(abs(wl - 5.0)/5.0, 1.0)))*1e4 + 0.5)/1e4 AS quality,
+                   coalesce(
+                     list_min(list_transform(
+                       list_transform(range(1, len(toks)-3),
+                                      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]),
+                       s -> md5(s))),
+                     md5(list_aggregate(toks, 'string_agg', ' '))) AS fingerprint
+            FROM m
+        """,
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un'], x))) AS s_fr,
+                       len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un'], x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
+                FROM t
+            )
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_fr AND s_zh > s_es THEN 'zh'
+                     WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+                     WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+                     WHEN s_de > s_en THEN 'de'
+                     ELSE 'en'
+                   END AS pred_lang
+            FROM s
         """,
     }

@@ -1,0 +1,121 @@
+"""Text analysis column library for training-data pipelines.
+
+Language-ID (stopword-overlap heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace +
+regex-token variants), and document fingerprinting (min-hash-of-
+shingles, a winnowing-style content fingerprint).
+
+Everything is built-in expressions (JVM codegen) and engine-portable
+(md5 / regexp / array ops only), so each metric is DuckDB-oracle
+checkable and runs at corpus scale with zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens, word_ngrams
+
+# tiny per-language stopword profiles (deterministic heuristic)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """BPE-ish proxy: split on runs of whitespace only."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(0.0)
+
+
+def punct_ratio(text: Column) -> Column:
+    clean = F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")
+    return F.when(
+        F.length(text) > 0, F.length(clean) / F.length(text)
+    ).otherwise(0.0)
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(0.0)
+
+
+def round_fixed(x: Column, digits: int) -> Column:
+    """Engine-portable fixed rounding: floor(x·10^d + 0.5)/10^d on the
+    BINARY double value. Spark's round() rounds the shortest decimal
+    repr (HALF_UP on Double.toString) while DuckDB rounds the binary
+    value — they disagree on exact-half boundaries; this doesn't."""
+    scale = float(10**digits)
+    return F.floor(x * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewarded for natural
+    stopword density, moderate word length, low punctuation, and
+    enough tokens. Weights are arbitrary but fixed; the value is a
+    FILTER SIGNAL, not a calibrated probability."""
+    s = stopword_ratio(text)
+    p = punct_ratio(text)
+    n = token_count(text)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    wl = mean_word_len(text)
+    wl_term = F.lit(1.0) - F.least(F.abs(wl - 5.0) / F.lit(5.0), F.lit(1.0))
+    return round_fixed(
+        F.lit(0.3) * F.least(s * 5, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(p * 4, F.lit(1.0)))
+        + F.lit(0.25) * len_term
+        + F.lit(0.2) * wl_term,
+        4,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        stops = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = profile with the max overlap count; ties
+    break in fixed profile order (en first). Deterministic, portable."""
+    scores = lang_scores(text)
+    langs = list(LANG_PROFILES)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(text: Column, ngram: int = 5) -> Column:
+    """Winnowing-style content fingerprint: the minimum md5 over word
+    n-gram shingles (robust to reordering of distant content, stable
+    under small edits away from the minimal shingle). Falls back to
+    md5 of the normalized text for very short docs."""
+    shingles = word_ngrams(text, ngram)
+    normalized = F.concat_ws(" ", tokens(text))
+    return F.coalesce(
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))),
+        F.md5(normalized),
+    )

@@ -1,0 +1,292 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond-reference operators (SURVEY §7 step 9): exact hash dedup,
+MinHash+LSH near-dup, SimHash near-dup, and exact n-gram Jaccard —
+each designed for 100 TB corpora:
+
+- features/shingles/minhashes are pure built-in expressions (md5,
+  split, transform, aggregate — all JVM codegen, no Python);
+- MinHash-LSH: the only shuffles are (band-key groupBy) + (candidate
+  verify join), both keyed by content hashes — uniformly distributed,
+  skew-free by construction;
+- hash functions are md5-based and engine-portable, so every operator
+  is differentially testable against a DuckDB oracle (the
+  randomized-differential pattern of geolite2v2/geo-ip_test.go:123-203).
+
+Determinism note: all "random" hash seeds are just integer prefixes
+to md5 — no RNG, same output everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens (engine-portable regex)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda w: w != "")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings."""
+    w = tokens(text)
+    if n == 1:
+        return w
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def seeded_hash(col: Column, seed: int) -> Column:
+    """Deterministic portable hash: md5 of 'seed|value' (hex string;
+    lexicographic min over these == uniform min-hash)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), col))
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: md5-hash groupBy keeping the smallest id. At scale
+    this is one map-side-combinable shuffle on a uniform key."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the feature relation shared by
+    minhash / jaccard / simhash paths."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(F.col(text_col), ngram)).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: for each seed, the lexicographic min
+    of seeded md5 over the doc's shingles. One groupBy, `num_hashes`
+    min-aggregates — map-side partial aggregation keeps the shuffle
+    tiny regardless of corpus size."""
+    aggs = [
+        F.min(seeded_hash(F.col("s"), i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-verified.
+
+    shingle → minhash (b bands × r rows) → band-bucket equi-join for
+    candidates → exact Jaccard verification → pairs ≥ threshold.
+    Returns (id_a, id_b, jaccard). With r=num_hashes/bands, candidate
+    probability is 1-(1-j^r)^b (~0.9 at j=0.5 for 16/8).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingle_table(df, id_col, text_col, ngram).cache()
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col("id").alias("id_a"), "band", "bucket"
+    )
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("s").alias("s2")), "id_b")
+        .where(F.col("s") == F.col("s2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def _nibble_val(hexstr: Column, pos: int) -> Column:
+    """hex char at 1-based pos → 0..15, portable (strpos trick)."""
+    return F.instr(F.lit(HEX_DIGITS), F.substring(hexstr, pos, 1)) - 1
+
+
+def simhash(text: Column, ngram: int = 3, bits: int = 16) -> Column:
+    """SimHash over word n-gram features, pure built-in expressions.
+
+    For each feature, md5 supplies ``bits`` pseudo-random bits (4 per
+    hex nibble); per bit position we sum +1/-1 votes across features
+    via one ``aggregate`` over the feature array, then assemble the
+    fingerprint integer. JVM-side, no UDF; O(features × bits) work
+    embarrassingly parallel per row.
+    """
+    feats = F.array_distinct(word_ngrams(text, ngram))
+    hashes = F.transform(feats, lambda s: F.md5(s))
+    nibbles = bits // 4
+
+    def bit_of(h: Column, j: int) -> Column:
+        nib = _nibble_val(h, j // 4 + 1)
+        return F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
+
+    def vote(j: int) -> Column:
+        return F.aggregate(
+            hashes, F.lit(0), lambda acc, h: acc + bit_of(h, j) * 2 - 1
+        )
+
+    votes = [vote(j) for j in range(bits)]
+    out = F.lit(0).cast("long")
+    for j, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(1 << (bits - 1 - j))).otherwise(0)
+    # no features → no fingerprint (a featureless doc must not match
+    # every other featureless doc at hamming 0)
+    return F.when(F.size(feats) > 0, out)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup candidates via band equi-join (a pair within
+    hamming ≤ bands-1 shares ≥1 exact band by pigeonhole), verified
+    with xor-popcount. Returns (id_a, id_b, hamming)."""
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash(F.col(text_col), ngram, bits).alias("sh"),
+        )
+        .where(F.col("sh").isNotNull())
+        .cache()
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sh"), (bands - 1 - b) * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select("id", "sh", F.explode(band_arr).alias("bb")).select(
+        "id", "sh", "bb.band", "bb.key"
+    )
+    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via shingle equi-join (the
+    non-approximate baseline; the shingle join IS the blocking — only
+    docs sharing a shingle ever meet). Returns (id_a, id_b, jaccard).
+    At 100 TB prefer minhash_lsh_pairs; this is the ground-truth
+    operator for differential testing and small corpora."""
+    sh = shingle_table(df, id_col, text_col, ngram).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

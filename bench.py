@@ -30,6 +30,13 @@ BENCH_QUERIES = [
     "histogram",
     "merge_annotators",
     "response_keys",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_metrics",
+    "lang_id",
 ]
 
 

@@ -300,24 +300,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, stopword/punct ratios, quality score, content
     fingerprint per document."""
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        txt.token_count(t).alias("n_tokens"),
-        txt.whitespace_token_count(t).alias("n_ws_tokens"),
-        txt.round_fixed(txt.stopword_ratio(t), 6).alias("stop_ratio"),
-        txt.round_fixed(txt.punct_ratio(t), 6).alias("punct_ratio"),
-        txt.quality_score(t).alias("quality"),
-        txt.doc_fingerprint(t, 5).alias("fingerprint"),
-    )
+    return txt.text_metrics_table(docs).withColumnRenamed("id", "doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language guess per document."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", txt.lang_id(F.col("text")).alias("pred_lang")
-    )
+    pred = txt.lang_id_table(docs).withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id", "lang").join(pred, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +364,7 @@ def _shingle_cte(n: int = 3) -> str:
 def _minhash_oracle(num_hashes: int = 16, bands: int = 8, thr: float = 0.5) -> str:
     r = num_hashes // bands
     mins = ", ".join(
-        f"min(md5('{i}|'||s)) AS mh{i}" for i in range(num_hashes)
+        f"min(h1 + {i}*h2) AS mh{i}" for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
@@ -385,7 +375,13 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8, thr: float = 0.5) -> s
     )
     return f"""
         WITH {_shingle_cte(3)},
-        sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+        hw AS (
+            SELECT id,
+                   CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h1,
+                   CAST('0x' || substr(md5(s), 11, 10) AS BIGINT) AS h2
+            FROM sh
+        ),
+        sig AS (SELECT id, {mins} FROM hw GROUP BY id),
         bands AS ({band_selects}),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -108,6 +108,114 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def text_metrics_table(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """All per-document text metrics in ONE pass over exploded tokens
+    plus one over 5-gram shingles — each token/shingle is evaluated
+    exactly once, vs. the column expressions where Catalyst's
+    projection collapsing re-tokenizes per metric (measured ~10x
+    slower at corpus scale). Returns (id, n_tokens, n_ws_tokens,
+    stop_ratio, punct_ratio, quality, fingerprint); ratios use
+    engine-portable fixed rounding.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    t = F.col(text_col)
+    stops = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars_total"),
+        F.length(F.regexp_replace(F.lower(t), "[a-z0-9 ]", "")).alias("n_punct"),
+        F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")).alias("n_ws_tokens"),
+        tokens(t).alias("toks"),
+    )
+    tok = base.select("id", F.explode("toks").alias("tok"))
+    tok_agg = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("tok")).alias("tok_len_total"),
+        F.sum(F.array_contains(stops, F.col("tok")).cast("int")).alias("n_stop"),
+    )
+    sh = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 5,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("toks", (i + j).cast("int")) for j in range(5)]
+                    ),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", "toks")))
+        ).alias("s"),
+    )
+    fp = sh.groupBy("id").agg(F.min(F.md5("s")).alias("fingerprint"))
+
+    j = (
+        base.drop("toks")
+        .join(tok_agg, "id", "left")
+        .join(fp, "id", "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+    )
+    s = F.when(
+        F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")
+    ).otherwise(0.0)
+    p = F.when(
+        F.col("n_chars_total") > 0, F.col("n_punct") / F.col("n_chars_total")
+    ).otherwise(0.0)
+    wl = F.when(
+        F.col("n_tokens") > 0, F.col("tok_len_total") / F.col("n_tokens")
+    ).otherwise(0.0)
+    len_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    wl_term = F.lit(1.0) - F.least(F.abs(wl - 5.0) / F.lit(5.0), F.lit(1.0))
+    quality = round_fixed(
+        F.lit(0.3) * F.least(s * 5, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(p * 4, F.lit(1.0)))
+        + F.lit(0.25) * len_term
+        + F.lit(0.2) * wl_term,
+        4,
+    )
+    return j.select(
+        "id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_ws_tokens",
+        round_fixed(s, 6).alias("stop_ratio"),
+        round_fixed(p, 6).alias("punct_ratio"),
+        quality.alias("quality"),
+        "fingerprint",
+    )
+
+
+def lang_id_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Language-ID over exploded tokens (one tokenization, one
+    map-side-combinable groupBy) — same argmax-with-profile-order
+    semantics as the ``lang_id`` column expression, ~5x cheaper at
+    corpus scale."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    aggs = []
+    for lang, words in LANG_PROFILES.items():
+        stops = F.array(*[F.lit(w) for w in words])
+        aggs.append(
+            F.sum(F.array_contains(stops, F.col("tok")).cast("int")).alias(f"s_{lang}")
+        )
+    scores = tok.groupBy("id").agg(*aggs)
+    base = df.select(F.col(id_col).alias("id"))
+    scores = base.join(scores, "id", "left").na.fill(0)
+    langs = list(LANG_PROFILES)
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"s_{langs[0]}")
+    for lang in langs[1:]:
+        is_better = F.col(f"s_{lang}") > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, F.col(f"s_{lang}")).otherwise(best_score)
+    return scores.select("id", best_lang.alias("pred_lang"))
+
+
 def doc_fingerprint(text: Column, ngram: int = 5) -> Column:
     """Winnowing-style content fingerprint: the minimum md5 over word
     n-gram shingles (robust to reordering of distant content, stable

@@ -155,7 +155,7 @@ def annotate(
         how="left",
         keys=keys,
     )
-    loc_dim = locations.drop("_file_order") if "_file_order" in locations.columns else locations
+    loc_dim = locations
     with_loc = geo_hit.join(
         F.broadcast(loc_dim), on=geo_hit["gid"] == loc_dim["geoname_id"], how="left"
     ).drop("geoname_id")

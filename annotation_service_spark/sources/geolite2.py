@@ -179,7 +179,6 @@ def geolite2_locations(spark: SparkSession, path: str, strict: bool = True) -> D
             if "is_in_european_union" in named.columns
             else F.lit(0).cast("long")
         ).alias("accuracy_radius_km"),
-        F.monotonically_increasing_id().alias("_file_order"),
     )
     return out
 
@@ -207,7 +206,11 @@ def build_geo_ranges(
     """
     part = list(partition_by)
     loc_ids = locations.select("geoname_id").distinct()
-    first_gid = locations.orderBy("_file_order").select("geoname_id").limit(1)
+    # "index 0" fallback = first location row in FILE order; limit(1)
+    # on the un-sorted scan reads the first row of the first file
+    # (no monotonically_increasing_id — it would poison downstream
+    # streaming plans, which reject that expression at analysis)
+    first_gid = locations.select("geoname_id").limit(1)
 
     b = blocks.withColumn(
         "__seq", F.monotonically_increasing_id()

@@ -1,0 +1,130 @@
+"""Dataset refresh as Structured Streaming (ST1-ST4).
+
+Reference behavior: a ~24h randomized timer plus Pub/Sub file-arrival
+events trigger an incremental reload — only files not in the cache
+load, then the directory is atomically swapped under a RWMutex
+(main.go:95-96, handler/pubsub.go:20-42, geoloader/geoloader.go:
+122-152, manager/manager.go:38-57).
+
+Spark-first mapping:
+- ST1/ST2 (discovery + triggering): a streaming FILE SOURCE. New
+  dataset files landing under the watched path ARE the events; the
+  checkpoint gives exactly-once, file-level incrementality (ST3's
+  cache map for free). A Pub/Sub topic would slot in as another
+  readStream source with the same sink.
+- ST3 (incremental load): each micro-batch holds ONLY the new files;
+  ``foreachBatch`` builds their interval tables and appends them as
+  new ``dataset_date`` partitions.
+- ST4 (atomic swap): partitioned-parquet append + ``SnapshotStore``
+  re-resolution. Readers hold the previous cached DataFrame until
+  ``swap`` republishes — the copy-on-write snapshot semantics of the
+  reference's directory swap, with Spark's immutable DataFrames
+  giving the isolation.
+- ST5 (readiness): ``SnapshotStore.ready`` — queries against an
+  empty store raise, mirroring errNoAnnotator → HTTP 503.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class SnapshotStore:
+    """Copy-on-write published view of the current dataset tables
+    (the Spark analog of manager.SetDirectory's RWMutex swap —
+    readers keep whatever DataFrame they already resolved; new
+    queries see the new snapshot after ``swap``)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._tables: dict[str, DataFrame] = {}
+        self._version = 0
+
+    @property
+    def ready(self) -> bool:
+        return bool(self._tables)
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    def get(self, name: str) -> DataFrame:
+        with self._lock:
+            if name not in self._tables:
+                raise RuntimeError(
+                    "no dataset loaded yet (reference: errNoAnnotator / 503)"
+                )
+            return self._tables[name]
+
+    def swap(self, name: str, df: DataFrame) -> None:
+        with self._lock:
+            self._tables[name] = df
+            self._version += 1
+
+
+def watch_new_files(
+    spark: SparkSession,
+    path_glob: str,
+    schema: T.StructType,
+    fmt: str = "csv",
+    **options,
+) -> DataFrame:
+    """ST1/ST2/ST3: streaming scan that discovers and reads ONLY new
+    files (checkpoint-tracked), tagged with their path for P7 date
+    extraction."""
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 16)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path_glob).withColumn(
+        "_src_path", F.input_file_name()
+    )
+
+
+def start_refresh(
+    stream_df: DataFrame,
+    build_batch,
+    store: SnapshotStore,
+    table_name: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+):
+    """Run the refresh loop: per micro-batch of newly-arrived rows,
+    ``build_batch(batch_df) -> DataFrame`` produces new snapshot
+    partitions, which append to the partitioned parquet table; the
+    store then re-publishes the whole table (ST4 swap).
+
+    ``available_now=True`` drains pending files and stops — the
+    scheduled-batch analog of the reference's randomized timer; pass
+    False for a continuously-running watcher.
+    """
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        built = build_batch(batch_df)
+        (
+            built.write.mode("append")
+            .partitionBy("dataset_date")
+            .parquet(output_dir)
+        )
+        store.swap(table_name, spark.read.parquet(output_dir))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()

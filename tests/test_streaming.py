@@ -1,0 +1,140 @@
+"""Structured Streaming surface tests (memory sink + availableNow)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from annotation_service_spark.functions import ip as ipf
+from annotation_service_spark.operators.interval import flatten_intervals
+from annotation_service_spark.sources import dims, geolite2, routeviews
+from annotation_service_spark.streaming import refresh as rf
+from annotation_service_spark.streaming import annotate_stream as astream
+from tests.test_sources import BLOCKS_CSV, fixture_dir  # noqa: F401
+
+
+def test_refresh_incremental_and_swap(spark, tmp_path):
+    """ST1-ST4: only NEW files load per trigger; the store swaps
+    atomically; a second drop of files appends a new snapshot."""
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out = tmp_path / "table"
+    ckpt = tmp_path / "ckpt"
+    store = rf.SnapshotStore()
+    assert not store.ready
+    with pytest.raises(RuntimeError):
+        store.get("geo")
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in geolite2.BLOCKS_COLUMNS]
+    )
+
+    def build(batch_df):
+        b = batch_df.withColumn(
+            "dataset_date",
+            F.to_date(F.regexp_extract("_src_path", r"(\d{8})T", 1), "yyyyMMdd"),
+        ).withColumn("__r", ipf.cidr_to_range(F.col("network")))
+        src = b.select(
+            "dataset_date",
+            F.monotonically_increasing_id().alias("seq"),
+            F.col("__r.ip_low").alias("ip_low"),
+            F.col("__r.ip_high").alias("ip_high"),
+            F.col("geoname_id"),
+        )
+        return flatten_intervals(
+            src, payload=["geoname_id"], partition_by=["dataset_date"], seq="seq"
+        )
+
+    # snapshot 1 arrives
+    (watch / "20170907T000000Z-blocks.csv").write_text(BLOCKS_CSV)
+    stream = rf.watch_new_files(
+        spark, str(watch), schema, fmt="csv", header=True
+    )
+    q = rf.start_refresh(stream, build, store, "geo", str(ckpt), str(out))
+    q.awaitTermination(120)
+    assert store.ready and store.version == 1
+    t1 = store.get("geo")
+    dates1 = {str(r.dataset_date) for r in t1.select("dataset_date").distinct().collect()}
+    assert dates1 == {"2017-09-07"}
+
+    # snapshot 2 arrives later; checkpoint ensures snapshot 1 is NOT reloaded
+    (watch / "20180301T000000Z-blocks.csv").write_text(BLOCKS_CSV)
+    q2 = rf.start_refresh(stream, build, store, "geo", str(ckpt), str(out))
+    q2.awaitTermination(120)
+    assert store.version == 2
+    t2 = store.get("geo")
+    dates2 = {str(r.dataset_date) for r in t2.select("dataset_date").distinct().collect()}
+    assert dates2 == {"2017-09-07", "2018-03-01"}
+    # 4 ranges per snapshot (from BLOCKS_CSV fixtures), not 8 per snapshot
+    counts = {str(r.dataset_date): r["count"] for r in
+              t2.groupBy("dataset_date").count().collect()}
+    assert all(c == 4 for c in counts.values())
+
+
+def test_annotate_request_stream(spark, tmp_path, fixture_dir):  # noqa: F811
+    """ST6: a parquet-file request stream flows through the SAME
+    annotate plan; results match the batch run."""
+    blocks = geolite2.geolite2_blocks(spark, str(fixture_dir / "blocks.csv"))
+    locs = geolite2.geolite2_locations(spark, str(fixture_dir / "locations.csv"))
+    geo_ranges = geolite2.build_geo_ranges(blocks, locs)
+    asn_ranges = routeviews.build_asn_ranges(
+        routeviews.routeviews_pfx2as(spark, str(fixture_dir / "pfx2as.tsv"))
+    )
+    names = dims.asnames(spark, str(fixture_dir / "asnames.csv"))
+
+    reqs = spark.createDataFrame(
+        [("1.0.0.5",), ("1.0.8.1",), ("9.9.9.9",)], "ip string"
+    )
+    req_dir = tmp_path / "requests"
+    reqs.write.parquet(str(req_dir))
+
+    stream = spark.readStream.schema("ip string").parquet(str(req_dir))
+    out = astream.annotate_stream(stream, geo_ranges, locs, asn_ranges, names)
+    assert out.isStreaming
+
+    q = (
+        out.select("ip", "geo.country_code", "network.as_number")
+        .writeStream.format("memory")
+        .queryName("annot_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.ip: r for r in spark.sql("SELECT * FROM annot_out").collect()}
+    assert rows["1.0.0.5"].country_code == "AU"
+    assert rows["1.0.0.5"].as_number == 13335
+    assert rows["1.0.8.1"].as_number == 55967
+    assert rows["9.9.9.9"].as_number is None
+
+
+def test_streaming_metrics_window(spark, tmp_path):
+    """A1/A2 streaming aggregates with watermark + windows."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=m), float(10**(m % 4))) for m in range(20)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    d = tmp_path / "events"
+    df.write.parquet(str(d))
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(str(d))
+    hist = astream.latency_histogram(stream, window="10 minutes")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hist_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hist_out").collect()
+    # 20 minutes of data in 10-minute windows → 2 windows; 4 buckets
+    windows = {(str(r.window.start), str(r.window.end)) for r in got}
+    assert len(windows) == 2
+    assert sum(r.n for r in got) == 20
+    buckets = {r.log10_bucket for r in got}
+    assert buckets == {0, 1, 2, 3}

@@ -362,9 +362,14 @@ def _shingle_cte(n: int = 3) -> str:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 8, thr: float = 0.5) -> str:
+    from annotation_service_spark.operators.dedup import MOD_40, cw_constants
+
     r = num_hashes // bands
     mins = ", ".join(
-        f"min(h1 + {i}*h2) AS mh{i}" for i in range(num_hashes)
+        "min(({a}*h + {b}) % {p}) AS mh{i}".format(
+            a=cw_constants(i)[0], b=cw_constants(i)[1], p=MOD_40, i=i
+        )
+        for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
@@ -377,8 +382,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8, thr: float = 0.5) -> s
         WITH {_shingle_cte(3)},
         hw AS (
             SELECT id,
-                   CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h1,
-                   CAST('0x' || substr(md5(s), 11, 10) AS BIGINT) AS h2
+                   CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h
             FROM sh
         ),
         sig AS (SELECT id, {mins} FROM hw GROUP BY id),

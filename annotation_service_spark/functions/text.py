@@ -130,33 +130,34 @@ def text_metrics_table(
         F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")).alias("n_ws_tokens"),
         tokens(t).alias("toks"),
     )
-    tok = base.select("id", F.explode("toks").alias("tok"))
+    tok = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     tok_agg = tok.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.length("tok")).alias("tok_len_total"),
         F.sum(F.array_contains(stops, F.col("tok")).cast("int")).alias("n_stop"),
     )
-    sh = base.select(
-        "id",
-        F.explode(
-            F.when(
-                F.size("toks") >= 5,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 4),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at("toks", (i + j).cast("int")) for j in range(5)]
-                    ),
-                ),
-            ).otherwise(F.array(F.concat_ws(" ", "toks")))
-        ).alias("s"),
+    # 5-gram shingles via window leads over the SAME exploded tokens
+    # (explode of a transform() array re-evaluates per output row —
+    # see operators.dedup.shingle_table)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, 5)]
+    sh = (
+        tok.select("id", F.concat_ws(" ", *parts).alias("s"), parts[-1].alias("_last"))
+        .where(F.col("_last").isNotNull())
     )
     fp = sh.groupBy("id").agg(F.min(F.md5("s")).alias("fingerprint"))
 
     j = (
-        base.drop("toks")
+        base.withColumn("norm", F.concat_ws(" ", "toks"))
+        .drop("toks")
         .join(tok_agg, "id", "left")
         .join(fp, "id", "left")
         .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn(
+            "fingerprint", F.coalesce("fingerprint", F.md5("norm"))
+        )
     )
     s = F.when(
         F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")

@@ -310,6 +310,149 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang").join(pred, "doc_id")
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join + agg + top-10
+    (deterministic tie-break on orderkey)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: 6-way star join keyed
+    through region→nation→(customer, supplier)→orders→lineitem."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    return (
+        region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
+        .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(
+            sup,
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (sup["s_nationkey"] == nation["n_nationkey"]),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (window top-k pattern)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+def q_annotate_multisnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2∘J1 through the real machinery: TWO dated snapshots of the
+    network table (v2 brands suffixed), an as-of join over the
+    registry, and the snapshot-keyed broadcast range join — requests
+    before the first snapshot take the first (fallback rule)."""
+    import datetime as dt
+
+    part = _t(spark, sf_dir, "part")
+    row = part.agg(
+        F.max("p_partkey").alias("mx"),
+        F.min("p_partkey").alias("mn"),
+    ).collect()[0]
+    max_pk = row["mx"]
+    d1, d2 = dt.date(2020, 1, 1), dt.date(2020, 7, 1)
+
+    ranges_v1 = part.select(
+        (F.lit(167772160) + F.col("p_partkey") * 256).alias("low"),
+        (F.lit(167772160) + F.col("p_partkey") * 256 + 255).alias("high"),
+        F.col("p_brand").alias("brand"),
+    ).withColumn("dataset_date", F.lit(d1))
+    ranges_v2 = part.select(
+        (F.lit(167772160) + F.col("p_partkey") * 256).alias("low"),
+        (F.lit(167772160) + F.col("p_partkey") * 256 + 255).alias("high"),
+        F.concat(F.col("p_brand"), F.lit("-v2")).alias("brand"),
+    ).withColumn("dataset_date", F.lit(d2))
+    ranges = ranges_v1.unionByName(ranges_v2)
+    registry = spark.createDataFrame([(d1,), (d2,)], "dataset_date date")
+
+    m_val = (max_pk + 1) * 10 // 9
+    ev = _t(spark, sf_dir, "events")
+    k = (F.col("user_id") * 131 + F.col("event_id") * 7919) % m_val
+    probes = ev.select(
+        "event_id",
+        (F.lit(167772160) + k * 256 + F.col("event_id") % 256).alias("v"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(dt.date(2019, 6, 1)))
+        .when(F.col("event_id") % 3 == 1, F.lit(dt.date(2020, 3, 1)))
+        .otherwise(F.lit(dt.date(2021, 1, 1)))
+        .alias("req_date"),
+    )
+    probed = ao.asof_join(probes, registry, probe_date="req_date")
+    out = iv.range_join_broadcast(
+        probed,
+        ranges,
+        probe_col="v",
+        low="low",
+        high="high",
+        payload=["brand"],
+        how="left",
+        keys=["dataset_date"],
+    )
+    return out.select(
+        "event_id",
+        "req_date",
+        "dataset_date",
+        F.coalesce(F.col("brand"), F.lit("MISSING")).alias("brand"),
+    )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite: text metrics → quality filter →
+    exact-dedup keep-list → language partition → per (lang, source)
+    corpus stats. The shape of a real training-data curation job."""
+    docs = _t(spark, sf_dir, "documents")
+    metrics = txt.text_metrics_table(docs).withColumnRenamed("id", "doc_id")
+    langs = txt.lang_id_table(docs).withColumnRenamed("id", "doc_id")
+    keep = dd.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    q4 = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    curated = (
+        docs.join(keep, "doc_id")
+        .join(metrics, "doc_id")
+        .join(langs, "doc_id")
+        .where(F.col("quality") >= 0.55)
+        .select("doc_id", "source", "pred_lang", q4.alias("q4"), "n_tokens")
+    )
+    return curated.groupBy("pred_lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("q4") / F.count(F.lit(1)) / 10000.0).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -340,6 +483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "topk_per_group": q_topk_per_group,
+        "annotate_multisnapshot": q_annotate_multisnapshot,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -721,5 +869,125 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'en'
                    END AS pred_lang
             FROM s
+        """,
+        "tpch_q3": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                            (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT r.r_name, n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                            (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM region r
+            JOIN nation n ON r.r_regionkey = n.n_regionkey
+            JOIN customer c ON n.n_nationkey = c.c_nationkey
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        """,
+        "topk_per_group": """
+            SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INTEGER) AS rk
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC, p_partkey) AS rk
+                FROM part
+            ) WHERE rk <= 3
+        """,
+        "annotate_multisnapshot": """
+            WITH mv AS (SELECT (max(p_partkey)+1)*10//9 AS m FROM part),
+            probes AS (
+                SELECT event_id,
+                       167772160
+                       + ((user_id*131 + event_id*7919) % (SELECT m FROM mv))*256
+                       + event_id % 256 AS v,
+                       CASE WHEN event_id % 3 = 0 THEN DATE '2019-06-01'
+                            WHEN event_id % 3 = 1 THEN DATE '2020-03-01'
+                            ELSE DATE '2021-01-01' END AS req_date
+                FROM events
+            ),
+            sel AS (
+                SELECT *,
+                       CASE WHEN req_date > DATE '2020-07-01' THEN DATE '2020-07-01'
+                            ELSE DATE '2020-01-01' END AS dataset_date
+                FROM probes
+            ),
+            ranges AS (
+                SELECT 167772160 + p_partkey*256 AS low,
+                       167772160 + p_partkey*256 + 255 AS high,
+                       p_brand AS brand, DATE '2020-01-01' AS dataset_date
+                FROM part
+                UNION ALL
+                SELECT 167772160 + p_partkey*256,
+                       167772160 + p_partkey*256 + 255,
+                       p_brand || '-v2', DATE '2020-07-01'
+                FROM part
+            )
+            SELECT s.event_id, s.req_date, s.dataset_date,
+                   COALESCE(r.brand, 'MISSING') AS brand
+            FROM sel s
+            LEFT JOIN ranges r ON r.dataset_date = s.dataset_date
+                              AND s.v BETWEEN r.low AND r.high
+        """,
+        "corpus_curation": """
+            WITH toks AS (
+                SELECT doc_id, text, source,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, source,
+                       len(tk) AS n_tokens,
+                       CASE WHEN len(tk) > 0 THEN
+                         CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)/len(tk)
+                       ELSE 0.0 END AS stop_ratio,
+                       CASE WHEN length(text) > 0 THEN
+                         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)/length(text)
+                       ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(tk) > 0 THEN
+                         CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)/len(tk)
+                       ELSE 0.0 END AS wl,
+                       len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
+                       len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+                       len(list_filter(tk, x -> list_contains(['le','la','les','et','est','un'], x))) AS s_fr,
+                       len(list_filter(tk, x -> list_contains(['el','la','los','y','es','un'], x))) AS s_es,
+                       len(list_filter(tk, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
+                FROM toks
+            ),
+            q AS (
+                SELECT doc_id, source, n_tokens,
+                       floor((0.3*least(stop_ratio*5, 1.0)
+                             + 0.25*(1.0 - least(punct_ratio*4, 1.0))
+                             + 0.25*least(n_tokens/100.0, 1.0)
+                             + 0.2*(1.0 - least(abs(wl - 5.0)/5.0, 1.0)))*1e4 + 0.5)/1e4 AS quality,
+                       CASE
+                         WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_fr AND s_zh > s_es THEN 'zh'
+                         WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+                         WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+                         WHEN s_de > s_en THEN 'de'
+                         ELSE 'en'
+                       END AS pred_lang
+                FROM m
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+            SELECT pred_lang, source,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(floor(quality*10000 + 0.5) AS BIGINT))/COUNT(*)/10000.0 AS avg_quality,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM q JOIN keep USING (doc_id)
+            WHERE quality >= 0.55
+            GROUP BY 1, 2
         """,
     }

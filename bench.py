@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "text_metrics",
     "lang_id",
+    "tpch_q3",
+    "tpch_q5",
+    "topk_per_group",
+    "annotate_multisnapshot",
+    "corpus_curation",
 ]
 
 
@@ -51,9 +56,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run may pay JVM/GC noise
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

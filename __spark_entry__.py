@@ -296,6 +296,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_bruteforce_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the 100 TB scale path). No SQL
+    oracle (the hyperplane projection isn't SQL-expressible without
+    shipping the plane literals); the driver records a rows-only
+    check and the recall-vs-brute-force property is pytest-verified
+    (tests/test_dedup_similarity.py::test_ann_lsh_recall)."""
+    return sim.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, stopword/punct ratios, quality score, content
     fingerprint per document."""
@@ -481,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "tpch_q3": q_tpch_q3,

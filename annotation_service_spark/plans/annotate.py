@@ -204,6 +204,45 @@ def to_v2_response(annotated: DataFrame, ip_col: str = "ip") -> DataFrame:
     )
 
 
+def to_v2_response_document(
+    annotated: DataFrame,
+    ip_col: str = "ip",
+    batch_col: str | None = None,
+    annotator_date_col: str | None = "dataset_date",
+) -> DataFrame:
+    """S11, full v2 shape (api/v2/api-v2.go:49-55): ONE JSON document
+    per batch — ``{AnnotatorDate, Annotations: {ip: {Geo, Network}}}``.
+    Row-per-ip (``to_v2_response``) is the distributed-native shape;
+    this document form is the wire-parity edge for serving, built with
+    map_from_entries + to_json (no driver-side assembly).
+
+    ``batch_col`` groups rows into response documents (None = one
+    document for the whole DataFrame); AnnotatorDate = the min
+    snapshot date used, mirroring CompositeAnnotator's earliest-date
+    rule (directory/directory.go:76-85)."""
+    gcols = [batch_col] if batch_col else []
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col(ip_col), F.struct("geo", "network")))
+    )
+    date_agg = (
+        F.min(annotator_date_col)
+        if annotator_date_col and annotator_date_col in annotated.columns
+        else F.lit(None).cast("date")
+    )
+    doc = annotated.groupBy(*gcols).agg(
+        date_agg.alias("annotator_date"), entries.alias("annotations")
+    )
+    return doc.select(
+        *gcols,
+        F.to_json(
+            F.struct(
+                F.col("annotator_date").alias("AnnotatorDate"),
+                F.col("annotations").alias("Annotations"),
+            )
+        ).alias("response_json"),
+    )
+
+
 def to_v1_response_keys(
     annotated: DataFrame, ip_col: str = "ip", ts_col: str = "ts"
 ) -> DataFrame:

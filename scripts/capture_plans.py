@@ -1,0 +1,81 @@
+"""Capture physical plans of headline queries → docs/PLANS.md.
+
+Usage: python scripts/capture_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as em
+from annotation_service_spark.session import get_session
+
+QUERIES = ["tpch_q1", "annotate", "range_lookup", "asof_select", "dedup_minhash_lsh"]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session("plans")
+    sections = []
+    for name in QUERIES:
+        p = plan_of(em.queries()[name](spark, sf))
+        tree = p.split("(1) ")[0].strip()
+        joins = sorted(
+            set(
+                re.findall(
+                    r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+                    r"BroadcastNestedLoopJoin|CartesianProduct)",
+                    p,
+                )
+            )
+        )
+        pushed = re.findall(r"PushedFilters: (\[[^\]]*\])", p)
+        schemas = re.findall(r"ReadSchema: (.*)", p)
+        sections.append((name, tree, joins, pushed[:3], schemas[:3]))
+
+    out = [
+        "# Physical plans of headline queries",
+        "",
+        "Captured via `.explain('formatted')` at sf0.01 (regenerate with",
+        "`python scripts/capture_plans.py`). What to look for: broadcast",
+        "joins on every dimension/range path, parquet filter pushdown +",
+        "column pruning, and no probe-side shuffles in the annotate path",
+        "(the range join is a mapInPandas over a broadcast table, so the",
+        "probe stream shows NO Exchange between scan and output).",
+        "",
+    ]
+    for name, tree, joins, pushed, schemas in sections:
+        out.append(f"## {name}")
+        out.append("")
+        out.append(
+            "- join strategies: "
+            + (", ".join(joins) if joins else "none (scan/agg only)")
+        )
+        out.append(f"- pushed filters: {pushed}")
+        out.append(f"- read schemas (pruned): {schemas}")
+        out.append("")
+        out.append("```")
+        out.append(tree)
+        out.append("```")
+        out.append("")
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/PLANS.md", "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote docs/PLANS.md ({len(sections)} queries)")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,20 @@ def test_v2_response_json(spark, tables):
     assert js.ip == "1.0.0.5"
     assert '"country_code":"AU"' in js.annotations_json
     assert '"as_number":13335' in js.annotations_json
+
+
+def test_v2_response_document(spark, tables):
+    """Full wire shape: one JSON doc with the ip→annotations map."""
+    import json
+
+    geo_ranges, locs, asn_ranges, names = tables
+    requests = spark.createDataFrame(
+        [("1.0.0.5",), ("9.9.9.9",)], "ip string"
+    )
+    out = plan.annotate(requests, geo_ranges, locs, asn_ranges, names)
+    doc = plan.to_v2_response_document(out).collect()
+    assert len(doc) == 1
+    body = json.loads(doc[0].response_json)
+    assert set(body["Annotations"].keys()) == {"1.0.0.5", "9.9.9.9"}
+    assert body["Annotations"]["1.0.0.5"]["geo"]["country_code"] == "AU"
+    assert body["Annotations"]["9.9.9.9"]["geo"]["missing"] is True

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: cross-batch sessionization.
+
+The batch engine sessionizes with windows (gate query ``sessionize``);
+on an unbounded request stream the same semantics need PER-KEY STATE
+that survives micro-batches — ``applyInPandasWithState``: state holds
+the open session per user; a new event either extends it or closes it
+(emitting the finished session downstream). This is the
+recommended shape for custom stateful operators the reference's
+streaming surface would need (its refresh/metrics loops are
+per-process state the same way).
+
+Scale notes: state is keyed by user — uniformly distributed, one
+HDFS/RocksDB state row per active user; each micro-batch touches only
+keys present in the batch. Output is append-mode (sessions emit
+exactly once, when closed).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _us(ts) -> int:
+    if isinstance(ts, pd.Timestamp):
+        return ts.value // 1000
+    return int(ts.timestamp() * 1_000_000)
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming sessionizer: emits a (user, start, end, n_events) row
+    each time a session CLOSES (next event arrives > gap later). The
+    open session rides in GroupState across micro-batches; same gap
+    semantics as the batch ``sessionize`` gate query."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = n = None
+
+        closed: list[tuple[int, int, int, int]] = []
+        ts_values: list[int] = []
+        for pdf in pdf_iter:
+            ts_values.extend(_us(t) for t in pdf[ts_col])
+        ts_values.sort()
+        for t in ts_values:
+            if start_us is None:
+                start_us, end_us, n = t, t, 1
+            elif t - end_us > gap_us:
+                closed.append((user_id, start_us, end_us, n))
+                start_us, end_us, n = t, t, 1
+            else:
+                end_us, n = t, n + 1
+        if start_us is not None:
+            state.update((start_us, end_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [
+                        dt.datetime.utcfromtimestamp(c[1] / 1e6) for c in closed
+                    ],
+                    "session_end": [
+                        dt.datetime.utcfromtimestamp(c[2] / 1e6) for c in closed
+                    ],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,91 @@
+"""applyInPandasWithState cross-batch sessionization tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from annotation_service_spark.streaming import stateful
+
+
+def _run_batch(spark, src_dir, ckpt, qname):
+    # foreachBatch sink: unlike format("memory"), it supports
+    # restarting from an existing checkpoint (cross-batch state)
+    collected: list = []
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src_dir))
+    out = stateful.stateful_sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, _eid: collected.extend(df.collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.awaitTermination(120)
+    return collected
+
+
+def test_sessions_close_across_batches(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "events"
+    ckpt = tmp_path / "ckpt"
+
+    # batch 1: two events 10 min apart (one open session), another user
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (1, base + dt.timedelta(minutes=10)),
+            (2, base + dt.timedelta(minutes=5)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    b1.write.mode("append").parquet(str(src))
+    rows = _run_batch(spark, src, ckpt, "sess_out")
+    assert rows == []  # nothing closed yet — sessions still open in state
+
+    # batch 2: user 1 returns 2h later → closes their first session;
+    # user 2 stays silent (session remains open)
+    b2 = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=2))], "user_id long, ts timestamp"
+    )
+    b2.write.mode("append").parquet(str(src))
+    rows = _run_batch(spark, src, ckpt, "sess_out2")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1
+    assert r.session_start == base
+    assert r.session_end == base + dt.timedelta(minutes=10)
+    assert r.n_events == 2
+
+    # batch 3: user 1 again within the gap → extends, nothing closes
+    b3 = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=2, minutes=10))],
+        "user_id long, ts timestamp",
+    )
+    b3.write.mode("append").parquet(str(src))
+    rows = _run_batch(spark, src, ckpt, "sess_out3")
+    assert rows == []
+
+
+def test_storage_roundtrip(spark, tmp_path):
+    import datetime as dtm
+
+    from annotation_service_spark.sources import storage
+
+    df = spark.createDataFrame(
+        [
+            (dtm.date(2020, 1, 1), 10, 19, "a"),
+            (dtm.date(2020, 1, 1), 0, 9, "b"),
+            (dtm.date(2020, 2, 1), 5, 14, "c"),
+        ],
+        "dataset_date date, ip_low long, ip_high long, payload string",
+    )
+    storage.write_interval_table(df, str(tmp_path / "t"), low="ip_low")
+    back = storage.read_interval_table(spark, str(tmp_path / "t"))
+    assert back.count() == 3
+    # partition pruning works on dataset_date
+    pruned = back.where("dataset_date = DATE '2020-01-01'")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dataset_date" in plan

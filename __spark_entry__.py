@@ -305,6 +305,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs form (the
+    oracle-checkable ground truth; the LSH/IVF variants are the scale
+    paths, recall-verified in pytest). Threshold 0.45 because the
+    synthetic embeddings are i.i.d. random (max pairwise cos ~0.51)
+    — high-threshold behavior is covered by pytest with planted
+    near-dups."""
+    return sim.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic k-means coarse quantizer + n_probe
+    inverted lists). No SQL oracle (iterative centroid build); driver
+    records rows-only; recall vs brute force is pytest-verified."""
+    return sim.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, n_centroids=8, n_probe=3
+    )
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, stopword/punct ratios, quality score, content
     fingerprint per document."""
@@ -491,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "tpch_q3": q_tpch_q3,
@@ -795,6 +818,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]))
+                     / (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])))),
+                     6) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]))
+                     / (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])))),
+                     6) >= 0.45
         """,
         "ann_cosine_topk": """
             WITH v AS (

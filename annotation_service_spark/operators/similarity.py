@@ -73,6 +73,174 @@ def ann_bruteforce_topk(
     )
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+    use_lsh: bool = False,
+    n_planes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cosine ≥ threshold and id_a < id_b.
+
+    ``use_lsh=False`` is the exact all-pairs form (|corpus|² cosines —
+    the oracle-checkable ground truth, fine up to ~10^5 rows);
+    ``use_lsh=True`` restricts pairs to LSH band-bucket candidates
+    first — the 100 TB path, verified against the exact form by the
+    recall test."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
+    )
+    if use_lsh:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes)
+        bits_per_band = n_planes // bands
+        mask = (1 << bits_per_band) - 1
+        sig = base.withColumn("sig", lsh_signature(F.col("ve"), planes))
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sig"), (bands - 1 - b) * bits_per_band)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        banded = sig.select("id", "ve", F.explode(band_arr).alias("bb")).select(
+            "id", "ve", "bb.band", "bb.key"
+        )
+        left = banded.select(F.col("id").alias("id_a"), F.col("ve").alias("va"), "band", "key")
+        right = banded.select(F.col("id").alias("id_b"), F.col("ve").alias("vb"), "band", "key")
+        cand = (
+            left.join(right, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .distinct()
+        )
+    else:
+        a = base.select(F.col("id").alias("id_a"), F.col("ve").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("ve").alias("vb"))
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+    ).where(F.col("cos") >= threshold)
+
+
+def ivf_build_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """IVF coarse quantizer: deterministic k-means (init = the vectors
+    whose ids hash smallest — no RNG; Lloyd iterations as DataFrame
+    aggs). Returns driver-side centroid list (tiny: k × dim floats).
+
+    At 100 TB the corpus passes are the only cost: each iteration is
+    one crossJoin-to-k-literals argmin + one groupBy mean — both
+    map-side heavy, no large shuffle."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
+    ).cache()
+    init = (
+        base.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r.ve) for r in init]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = base.withColumn(
+            "c", _nearest_centroid(F.col("ve"), centroids)
+        )
+        agg = assigned.groupBy("c").agg(
+            *[F.avg(F.col("ve")[i]).alias(f"d{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = {r.c: r for r in agg.collect()}
+        centroids = [
+            [rows[k][f"d{i}"] for i in range(dim)] if k in rows else centroids[k]
+            for k in range(n_centroids)
+        ]
+    base.unpersist()
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin squared-distance to literal centroids, pure expressions."""
+    best_idx = F.lit(0)
+    best_dist = None
+    for k, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d = dot(vec, vec) - 2 * dot(vec, lit_c) + sum(x * x for x in c)
+        if best_dist is None:
+            best_dist = d
+        else:
+            better = d < best_dist
+            best_idx = F.when(better, F.lit(k)).otherwise(best_idx)
+            best_dist = F.when(better, d).otherwise(best_dist)
+    return best_idx
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN: corpus rows are inverted-listed by nearest centroid;
+    each query scans only its ``n_probe`` nearest lists, then exact
+    cosine re-ranks. The corpus-side pass is one argmin projection;
+    the probe join is an equi-join on the centroid id — at scale this
+    replaces |corpus|×|queries| with |corpus|×(n_probe/k_centroids)."""
+    centroids = ivf_build_centroids(embeddings, id_col, vec_col, n_centroids)
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
+    ).withColumn("c", _nearest_centroid(F.col("ve"), centroids))
+
+    qf = query_filter if query_filter is not None else (F.col("id") % 50 == 0)
+    # per query: its n_probe nearest centroid ids, exploded
+    q = base.where(qf).select(
+        F.col("id").alias("qid"), F.col("ve").alias("qe")
+    )
+    probe_lists = []
+    for k_i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d = dot(F.col("qe"), F.col("qe")) - 2 * dot(F.col("qe"), lit_c) + sum(
+            x * x for x in c
+        )
+        probe_lists.append(F.struct(d.alias("d"), F.lit(k_i).alias("c")))
+    q = q.withColumn(
+        "probes", F.slice(F.array_sort(F.array(*probe_lists)), 1, n_probe)
+    ).select("qid", "qe", F.explode("probes.c").alias("c"))
+
+    cand = q.join(base, "c").where(F.col("qid") != F.col("id"))
+    scored = cand.select(
+        "qid",
+        F.col("id").alias("nid"),
+        F.round(cosine(F.col("qe"), F.col("ve")), round_digits).alias("cos"),
+    ).distinct()
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "cos")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim))

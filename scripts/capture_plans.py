@@ -16,7 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as em
 from annotation_service_spark.session import get_session
 
-QUERIES = ["tpch_q1", "annotate", "range_lookup", "asof_select", "dedup_minhash_lsh"]
+QUERIES = [
+    "tpch_q1", "annotate", "range_lookup", "asof_select",
+    "dedup_minhash_lsh", "annotate_multisnapshot", "corpus_curation",
+]
 
 
 def plan_of(df) -> str:

@@ -29,16 +29,33 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-to-right sum — bit-identical to the DuckDB
-    oracle's list_sum over the zipped product."""
+    oracle's list_sum over the zipped product.
+
+    With ``dim`` known (the usual case — embedding width is fixed),
+    the product-sum is unrolled into positional getItem expressions,
+    which whole-stage codegen compiles; the HOF fallback
+    (aggregate/zip_with) is INTERPRETED per row and ~10x slower on
+    the pair-scoring hot path. Same value either way: the fold's
+    0.0+x0 equals x0 and both associate left-to-right."""
+    if dim is not None:
+        expr = a[0] * b[0]
+        for i in range(1, dim):
+            expr = expr + a[i] * b[i]
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
+
+
+def _vec_dim(embeddings: DataFrame, vec_col: str) -> int:
+    row = embeddings.select(vec_col).first()
+    return len(row[0])
 
 
 def ann_bruteforce_topk(
@@ -51,19 +68,27 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for the filtered query subset against the
     whole corpus. Returns (qid, nid, cos), rank by (cos desc, nid) —
-    rounding before ranking keeps the ordering engine-portable."""
+    rounding before ranking keeps the ordering engine-portable.
+
+    Norms are computed ONCE per corpus/query row below the join (not
+    per pair), and the per-pair dot product is a dim-unrolled codegen
+    expression — together ~10x over the HOF-per-pair form."""
+    dim = _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ce")
-    )
+    ).withColumn("cn", F.sqrt(dot(F.col("ce"), F.col("ce"), dim)))
     qf = query_filter if query_filter is not None else (F.col(id_col) % 50 == 0)
     q = embeddings.where(qf).select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
-    )
+    ).withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"), dim)))
     scored = base.crossJoin(F.broadcast(q)).where(F.col("qid") != F.col("nid"))
     scored = scored.select(
         "qid",
         "nid",
-        F.round(cosine(F.col("qe"), F.col("ce")), round_digits).alias("cos"),
+        F.round(
+            dot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * F.col("cn")),
+            round_digits,
+        ).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -91,11 +116,11 @@ def embedding_dup_pairs(
     ``use_lsh=True`` restricts pairs to LSH band-bucket candidates
     first — the 100 TB path, verified against the exact form by the
     recall test."""
+    dim = _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
-    )
+    ).withColumn("nrm", F.sqrt(dot(F.col("ve"), F.col("ve"), dim)))
     if use_lsh:
-        dim = len(embeddings.select(vec_col).first()[0])
         planes = _hyperplanes(dim, n_planes)
         bits_per_band = n_planes // bands
         mask = (1 << bits_per_band) - 1
@@ -111,25 +136,38 @@ def embedding_dup_pairs(
                 for b in range(bands)
             ]
         )
-        banded = sig.select("id", "ve", F.explode(band_arr).alias("bb")).select(
-            "id", "ve", "bb.band", "bb.key"
+        banded = sig.select("id", "ve", "nrm", F.explode(band_arr).alias("bb")).select(
+            "id", "ve", "nrm", "bb.band", "bb.key"
         )
-        left = banded.select(F.col("id").alias("id_a"), F.col("ve").alias("va"), "band", "key")
-        right = banded.select(F.col("id").alias("id_b"), F.col("ve").alias("vb"), "band", "key")
+        left = banded.select(
+            F.col("id").alias("id_a"), F.col("ve").alias("va"),
+            F.col("nrm").alias("na"), "band", "key",
+        )
+        right = banded.select(
+            F.col("id").alias("id_b"), F.col("ve").alias("vb"),
+            F.col("nrm").alias("nb"), "band", "key",
+        )
         cand = (
             left.join(right, ["band", "key"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b", "va", "vb", "na", "nb")
             .distinct()
         )
     else:
-        a = base.select(F.col("id").alias("id_a"), F.col("ve").alias("va"))
-        b = base.select(F.col("id").alias("id_b"), F.col("ve").alias("vb"))
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("ve").alias("va"), F.col("nrm").alias("na")
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("ve").alias("vb"), F.col("nrm").alias("nb")
+        )
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return cand.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+        F.round(
+            dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+            round_digits,
+        ).alias("cos"),
     ).where(F.col("cos") >= threshold)
 
 
@@ -177,11 +215,12 @@ def ivf_build_centroids(
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Argmin squared-distance to literal centroids, pure expressions."""
+    dim = len(centroids[0])
     best_idx = F.lit(0)
     best_dist = None
     for k, c in enumerate(centroids):
         lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = dot(vec, vec) - 2 * dot(vec, lit_c) + sum(x * x for x in c)
+        d = dot(vec, vec, dim) - 2 * dot(vec, lit_c, dim) + sum(x * x for x in c)
         if best_dist is None:
             best_dist = d
         else:
@@ -207,31 +246,37 @@ def ann_ivf_topk(
     the probe join is an equi-join on the centroid id — at scale this
     replaces |corpus|×|queries| with |corpus|×(n_probe/k_centroids)."""
     centroids = ivf_build_centroids(embeddings, id_col, vec_col, n_centroids)
+    dim = len(centroids[0])
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
-    ).withColumn("c", _nearest_centroid(F.col("ve"), centroids))
+    ).withColumn("c", _nearest_centroid(F.col("ve"), centroids)).withColumn(
+        "nrm", F.sqrt(dot(F.col("ve"), F.col("ve"), dim))
+    )
 
     qf = query_filter if query_filter is not None else (F.col("id") % 50 == 0)
     # per query: its n_probe nearest centroid ids, exploded
     q = base.where(qf).select(
-        F.col("id").alias("qid"), F.col("ve").alias("qe")
+        F.col("id").alias("qid"), F.col("ve").alias("qe"), F.col("nrm").alias("qn")
     )
     probe_lists = []
     for k_i, c in enumerate(centroids):
         lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = dot(F.col("qe"), F.col("qe")) - 2 * dot(F.col("qe"), lit_c) + sum(
-            x * x for x in c
-        )
+        d = dot(F.col("qe"), F.col("qe"), dim) - 2 * dot(
+            F.col("qe"), lit_c, dim
+        ) + sum(x * x for x in c)
         probe_lists.append(F.struct(d.alias("d"), F.lit(k_i).alias("c")))
     q = q.withColumn(
         "probes", F.slice(F.array_sort(F.array(*probe_lists)), 1, n_probe)
-    ).select("qid", "qe", F.explode("probes.c").alias("c"))
+    ).select("qid", "qe", "qn", F.explode("probes.c").alias("c"))
 
     cand = q.join(base, "c").where(F.col("qid") != F.col("id"))
     scored = cand.select(
         "qid",
         F.col("id").alias("nid"),
-        F.round(cosine(F.col("qe"), F.col("ve")), round_digits).alias("cos"),
+        F.round(
+            dot(F.col("qe"), F.col("ve"), dim) / (F.col("qn") * F.col("nrm")),
+            round_digits,
+        ).alias("cos"),
     ).distinct()
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -251,10 +296,10 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     planes become literal arrays in the plan — JVM-side dot products,
     no Python, no shuffle."""
     sig = F.lit(0).cast("long")
-    n_planes = planes.shape[0]
+    n_planes, dim = planes.shape
     for i in range(n_planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        proj = dot(vec, lit_plane)
+        proj = dot(vec, lit_plane, dim)
         sig = sig + F.when(proj > 0, F.lit(1 << (n_planes - 1 - i))).otherwise(0)
     return sig
 
@@ -273,7 +318,7 @@ def ann_lsh_topk(
     """Banded random-hyperplane ANN: candidates share ≥1 signature
     band with the query; exact cosine re-ranks. Recall rises with
     bands (pigeonhole: hamming < bands ⇒ some band matches)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    dim = _vec_dim(embeddings, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
@@ -282,7 +327,7 @@ def ann_lsh_topk(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("ve"),
         lsh_signature(as_double(F.col(vec_col)), planes).alias("sig"),
-    )
+    ).withColumn("nrm", F.sqrt(dot(F.col("ve"), F.col("ve"), dim)))
     band_arr = F.array(
         *[
             F.struct(
@@ -294,23 +339,30 @@ def ann_lsh_topk(
             for b in range(bands)
         ]
     )
-    banded = base.select("id", "ve", F.explode(band_arr).alias("bb")).select(
-        "id", "ve", "bb.band", "bb.key"
+    banded = base.select("id", "ve", "nrm", F.explode(band_arr).alias("bb")).select(
+        "id", "ve", "nrm", "bb.band", "bb.key"
     )
     qf = query_filter if query_filter is not None else (F.col("id") % 50 == 0)
     qb = banded.where(qf).select(
-        F.col("id").alias("qid"), F.col("ve").alias("qe"), "band", "key"
+        F.col("id").alias("qid"), F.col("ve").alias("qe"),
+        F.col("nrm").alias("qn"), "band", "key",
     )
     cand = (
         banded.join(qb, ["band", "key"])
         .where(F.col("id") != F.col("qid"))
-        .select("qid", "qe", F.col("id").alias("nid"), F.col("ve").alias("ce"))
+        .select(
+            "qid", "qe", "qn",
+            F.col("id").alias("nid"), F.col("ve").alias("ce"), F.col("nrm").alias("cn"),
+        )
         .distinct()
     )
     scored = cand.select(
         "qid",
         "nid",
-        F.round(cosine(F.col("qe"), F.col("ce")), round_digits).alias("cos"),
+        F.round(
+            dot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * F.col("cn")),
+            round_digits,
+        ).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (

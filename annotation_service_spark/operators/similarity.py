@@ -21,6 +21,7 @@ Two paths over an ``array<float>`` embedding column:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -197,9 +198,7 @@ def ivf_build_centroids(
     centroids = [list(r.ve) for r in init]
     dim = len(centroids[0])
     for _ in range(iterations):
-        assigned = base.withColumn(
-            "c", _nearest_centroid(F.col("ve"), centroids)
-        )
+        assigned = base.withColumn("c", _nearest_centroid(centroids)(F.col("ve")))
         agg = assigned.groupBy("c").agg(
             *[F.avg(F.col("ve")[i]).alias(f"d{i}") for i in range(dim)],
             F.count(F.lit(1)).alias("n"),
@@ -213,21 +212,49 @@ def ivf_build_centroids(
     return centroids
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Argmin squared-distance to literal centroids, pure expressions."""
-    dim = len(centroids[0])
-    best_idx = F.lit(0)
-    best_dist = None
-    for k, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = dot(vec, vec, dim) - 2 * dot(vec, lit_c, dim) + sum(x * x for x in c)
-        if best_dist is None:
-            best_dist = d
-        else:
-            better = d < best_dist
-            best_idx = F.when(better, F.lit(k)).otherwise(best_idx)
-            best_dist = F.when(better, d).otherwise(best_dist)
-    return best_idx
+def _nearest_centroid(centroids: list[list[float]]):
+    """Vectorized centroid assignment: one BLAS matmul per Arrow batch.
+
+    ‖v−c‖² = v·v − 2 v·c + c·c and v·v is constant across centroids,
+    so the argmin needs only (−2 v·c + c·c). A pure-expression
+    formulation (k × dim unrolled literals) janino-compiles MiBs of
+    code per plan — the k×dim closure here is ~4 KB in the task
+    binary and the per-row cost is a matmul row, which is both the
+    local[32] and the 1000-executor win (no codegen, no giant plan
+    broadcast; scales with corpus rows only)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cc = (c * c).sum(axis=1)
+    neg2ct = -2.0 * c.T
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = v @ neg2ct + cc
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_centroids(centroids: list[list[float]], n_probe: int):
+    """Per query row: ids of its ``n_probe`` nearest centroids
+    (stable argsort ⇒ ties break toward the smaller centroid id,
+    matching the assignment argmin)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cc = (c * c).sum(axis=1)
+    neg2ct = -2.0 * c.T
+
+    @F.pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = v @ neg2ct + cc
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    return probes
 
 
 def ann_ivf_topk(
@@ -249,7 +276,7 @@ def ann_ivf_topk(
     dim = len(centroids[0])
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
-    ).withColumn("c", _nearest_centroid(F.col("ve"), centroids)).withColumn(
+    ).withColumn("c", _nearest_centroid(centroids)(F.col("ve"))).withColumn(
         "nrm", F.sqrt(dot(F.col("ve"), F.col("ve"), dim))
     )
 
@@ -258,16 +285,9 @@ def ann_ivf_topk(
     q = base.where(qf).select(
         F.col("id").alias("qid"), F.col("ve").alias("qe"), F.col("nrm").alias("qn")
     )
-    probe_lists = []
-    for k_i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = dot(F.col("qe"), F.col("qe"), dim) - 2 * dot(
-            F.col("qe"), lit_c, dim
-        ) + sum(x * x for x in c)
-        probe_lists.append(F.struct(d.alias("d"), F.lit(k_i).alias("c")))
     q = q.withColumn(
-        "probes", F.slice(F.array_sort(F.array(*probe_lists)), 1, n_probe)
-    ).select("qid", "qe", "qn", F.explode("probes.c").alias("c"))
+        "probes", _probe_centroids(centroids, n_probe)(F.col("qe"))
+    ).select("qid", "qe", "qn", F.explode("probes").alias("c"))
 
     cand = q.join(base, "c").where(F.col("qid") != F.col("id"))
     scored = cand.select(

@@ -66,6 +66,19 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAX_PK_MEMO: dict[str, int] = {}
+
+
+def _max_partkey(spark: SparkSession, sf_dir: str) -> int:
+    """max(p_partkey), memoized per sf_dir — the probe generators
+    need it as a Python scalar; without the memo every invocation
+    pays an extra Spark job for a constant."""
+    if sf_dir not in _MAX_PK_MEMO:
+        part = _t(spark, sf_dir, "part")
+        _MAX_PK_MEMO[sf_dir] = part.agg(F.max("p_partkey")).collect()[0][0]
+    return _MAX_PK_MEMO[sf_dir]
+
+
 def q_asof_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: as-of snapshot selection (directory/directory.go:230-240)
     — snapshots = distinct order months, probes = event timestamps;
@@ -83,7 +96,7 @@ def q_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 via the bucketed shuffle strategy: probes fall inside
     disjoint ranges with gaps (misses stay NULL, ~ErrNodeNotFound)."""
     part = _t(spark, sf_dir, "part")
-    max_pk = part.agg(F.max("p_partkey")).collect()[0][0]
+    max_pk = _max_partkey(spark, sf_dir)
     ranges = part.select(
         ((F.col("p_partkey") - 1) * 100).alias("low"),
         ((F.col("p_partkey") - 1) * 100 + 49).alias("high"),
@@ -165,7 +178,7 @@ def q_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one /24 per partkey), probes from `events`; every 10th probe is
     the 6to4 form of the same underlying v4 address."""
     part = _t(spark, sf_dir, "part")
-    max_pk = part.agg(F.max("p_partkey")).collect()[0][0]
+    max_pk = _max_partkey(spark, sf_dir)
     # probe-key modulus ≈ 110% of the network space → ~10% lookup
     # misses, matching the reference's production miss rate
     # (geolite2v2/geo-ip.go:162)
@@ -410,11 +423,7 @@ def q_annotate_multisnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
 
     part = _t(spark, sf_dir, "part")
-    row = part.agg(
-        F.max("p_partkey").alias("mx"),
-        F.min("p_partkey").alias("mn"),
-    ).collect()[0]
-    max_pk = row["mx"]
+    max_pk = _max_partkey(spark, sf_dir)
     d1, d2 = dt.date(2020, 1, 1), dt.date(2020, 7, 1)
 
     ranges_v1 = part.select(

@@ -57,7 +57,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run may pay JVM/GC noise
+        for _ in range(3):  # best-of-3: first runs pay codegen/JIT compile
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -189,3 +189,31 @@ def test_base36_key(spark):
     out = df.select(ipf.base36_key(F.col("ip"), F.col("ts")).alias("k")).collect()[0]
     # python: base36(1234567890) == 'kf12oi'
     assert out.k == "1.2.3.4kf12oi"
+
+
+def _reference_cidr_fixture(name):
+    import csv as _csv
+    import os as _os
+
+    path = f"/root/reference/iputils/testdata/{name}"
+    if not _os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("reference fixtures unavailable")
+    with open(path) as f:
+        return [f"{row[0]}/{row[1]}" for row in _csv.reader(f, delimiter="\t")]
+
+
+def test_cidr_roundtrip_reference_fixture_v4():
+    """iputils_test.go:376-398: every fixture CIDR → range → CIDR is
+    identity (100 real RouteViews IPv4 prefixes)."""
+    for cidr in _reference_cidr_fixture("ipv4-cidr.csv"):
+        lo, hi = ipf.py_cidr_to_range(cidr)
+        assert ipf.py_range_to_cidr(lo, hi) == cidr, cidr
+
+
+def test_cidr_roundtrip_reference_fixture_v6():
+    """iputils_test.go:400-423: same round-trip over IPv6 prefixes."""
+    for cidr in _reference_cidr_fixture("ipv6-cidr.csv"):
+        lo, hi = ipf.py_cidr_to_range(cidr)
+        assert ipf.py_range_to_cidr(lo, hi) == cidr, cidr

@@ -19,6 +19,7 @@ from annotation_service_spark.session import get_session
 QUERIES = [
     "tpch_q1", "annotate", "range_lookup", "asof_select",
     "dedup_minhash_lsh", "annotate_multisnapshot", "corpus_curation",
+    "ann_ivf_topk", "ann_cosine_topk",
 ]
 
 

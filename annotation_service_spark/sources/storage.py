@@ -36,3 +36,33 @@ def write_interval_table(
 
 def read_interval_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join key.
+
+    Two tables bucketed on the same key with the same bucket count
+    equi-join WITHOUT a shuffle — the bucket id IS the partitioning,
+    so a 100 TB fact ⨝ fact join (e.g. repeated probe-log ⨝ session
+    joins on user_id) skips both Exchanges entirely; with matching
+    ``sort_cols`` the per-bucket sort of SortMergeJoin is skipped
+    too. This is the persistent-layout analog of what
+    ``repartition(key)`` buys a single query — paid once at write
+    time, reused by every subsequent join. Hive-style bucketing:
+    requires ``saveAsTable`` (bucket metadata lives in the catalog,
+    not in parquet files). ``path=None`` → managed table under the
+    warehouse dir."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

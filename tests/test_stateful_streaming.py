@@ -89,3 +89,33 @@ def test_storage_roundtrip(spark, tmp_path):
     assert pruned.count() == 2
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dataset_date" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key equi-join with ZERO
+    Exchange operators — the persisted bucket layout replaces the
+    shuffle (the 100 TB fact-⨝-fact strategy)."""
+    from annotation_service_spark.sources import storage
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    storage.write_bucketed_table(
+        left, "bkt_left", ["k"], num_buckets=8, sort_cols=["k"],
+        path=str(tmp_path / "l"),
+    )
+    storage.write_bucketed_table(
+        right, "bkt_right", ["k"], num_buckets=8, sort_cols=["k"],
+        path=str(tmp_path / "r"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

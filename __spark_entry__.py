@@ -309,6 +309,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_bruteforce_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 via per-partition BLAS matmul + local
+    top-k (the 100 TB exact-search layout). No SQL oracle (numpy
+    matmul arithmetic rounds differently than a sequential SQL sum);
+    pytest asserts set-equality with the expression form
+    (tests/test_similarity_extra.py::test_gemm_topk_matches_expression_form)."""
+    return sim.ann_bruteforce_topk_gemm(_t(spark, sf_dir, "embeddings"), k=3)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the 100 TB scale path). No SQL
     oracle (the hyperplane projection isn't SQL-expressible without
@@ -520,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_gemm_topk": q_ann_gemm_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,

@@ -99,6 +99,67 @@ def ann_bruteforce_topk(
     )
 
 
+def ann_bruteforce_topk_gemm(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k via one BLAS matmul per corpus partition —
+    the 100 TB form of ``ann_bruteforce_topk``.
+
+    The normalized query matrix (|Q| × dim) is broadcast; every
+    corpus Arrow batch computes ``V̂ @ Q̂ᵀ`` and keeps only its local
+    top-k rows per query (argpartition), so the shuffle into the
+    global re-rank carries ≤ batches × |Q| × k rows instead of
+    |corpus| × |Q| pairs. Per-pair cost drops from a codegen
+    expression tree to a dense-matmul lane. Same result set as the
+    expression form (ties broken by nid after round)."""
+    spark = embeddings.sparkSession
+    qf = query_filter if query_filter is not None else (F.col(id_col) % 50 == 0)
+    qpdf = embeddings.where(qf).select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy(dtype=np.int64)
+    qm = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def score(it):
+        bqids, bq = bc.value
+        nq = len(bqids)
+        for pdf in it:
+            if not len(pdf) or not nq:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            s = v @ bq.T  # (n, |Q|)
+            s[ids[:, None] == bqids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, len(ids))
+            top = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, |Q|)
+            rows = top.ravel(order="F")
+            cols = np.repeat(np.arange(nq), kk)
+            keep = np.isfinite(s[rows, cols])
+            yield pd.DataFrame(
+                {
+                    "qid": bqids[cols[keep]],
+                    "nid": ids[rows[keep]],
+                    "cos": np.round(s[rows, cols][keep], round_digits),
+                }
+            )
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "qid long, nid long, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "cos")
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "ann_gemm_topk",
     "text_metrics",
     "lang_id",
     "tpch_q3",

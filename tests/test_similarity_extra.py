@@ -56,3 +56,15 @@ def test_ivf_topk_recall(spark, vec_df):
         for r in sim.ann_ivf_topk(vec_df, k=3, n_centroids=4, n_probe=4).collect()
     }
     assert full == bf
+
+
+def test_gemm_topk_matches_expression_form(spark, vec_df):
+    """The per-partition GEMM formulation returns the same neighbor
+    set as the crossJoin expression form (exact method, different
+    physical strategy)."""
+    bf = {(r.qid, r.nid) for r in sim.ann_bruteforce_topk(vec_df, k=3).collect()}
+    gemm = {
+        (r.qid, r.nid)
+        for r in sim.ann_bruteforce_topk_gemm(vec_df, k=3).collect()
+    }
+    assert gemm == bf

@@ -364,15 +364,27 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style shipping priority: 3-way join + agg + top-10
-    (deterministic tie-break on orderkey)."""
+    (deterministic tie-break on orderkey).
+
+    Build-side choice matters: statically Catalyst picks lineitem as
+    the broadcast side (its 3-column scan estimate is smaller than the
+    join output estimate), but lineitem is the FACT table — at cluster
+    scale it can never be broadcast. The segment-filtered cust⋈orders
+    side is the small one (1/5 of orders), so we hint it; if even that
+    outgrows broadcast at extreme SF, drop the hint and the bucketed
+    layout (sources/storage.py) gives a zero-Exchange SortMergeJoin
+    on l_orderkey."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = "decimal(12,2)"
     one = F.lit(1).cast("decimal(4,2)")
     rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    co = cust.join(orders, cust["c_custkey"] == orders["o_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        F.broadcast(co)
         .join(li, F.col("o_orderkey") == li["l_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -383,7 +395,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue: 6-way star join keyed
-    through region→nation→(customer, supplier)→orders→lineitem."""
+    through region→nation→(customer, supplier)→orders→lineitem.
+
+    Shaped so lineitem (the biggest fact) is the PROBE stream and is
+    never broadcast/shuffled before the final 2-key agg: dims fold
+    into orders first (region⋈nation⋈customer is tiny, broadcast),
+    then the order→nation map and the supplier dim broadcast into the
+    lineitem scan. At extreme SF where orders outgrows broadcast,
+    drop that hint → AQE picks SMJ, co-located if both facts use the
+    bucketed layout (sources/storage.py)."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -393,15 +413,22 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(12,2)"
     one = F.lit(1).cast("decimal(4,2)")
     rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
-    return (
+    dims = (
         region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
         .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
-        .join(orders, cust["c_custkey"] == orders["o_custkey"])
-        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("r_name", "n_name", "n_nationkey", "c_custkey")
+    )
+    co = (
+        F.broadcast(dims)
+        .join(orders, dims["c_custkey"] == orders["o_custkey"])
+        .select("r_name", "n_name", "n_nationkey", "o_orderkey")
+    )
+    return (
+        li.join(F.broadcast(co), co["o_orderkey"] == li["l_orderkey"])
         .join(
-            sup,
+            F.broadcast(sup),
             (li["l_suppkey"] == sup["s_suppkey"])
-            & (sup["s_nationkey"] == nation["n_nationkey"]),
+            & (sup["s_nationkey"] == F.col("n_nationkey")),
         )
         .groupBy("r_name", "n_name")
         .agg(
@@ -501,6 +528,39 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end: documents wrapped as
+    opaque binary media + typed metadata, Arrow-batched mapInPandas
+    decode/featurize (codec stubbed deterministically), video-style
+    frame sampling, and aspect-preserving resize planning — one
+    summary row per media blob. The decode stage is the real
+    mapInPandas path; only the byte→pixels codec is a stub."""
+    from annotation_service_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.documents_as_fake_media(docs)
+    feats = mm.extract_features(media, feature_dim=16)
+    frames = (
+        mm.sample_frames(media, every_n=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+    )
+    resized = mm.resize_meta(media, max_side=32).select(
+        "media_id",
+        F.col("resize_target.width").cast("long").alias("resize_w"),
+        F.col("resize_target.height").cast("long").alias("resize_h"),
+    )
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            F.size("features").cast("long").alias("feat_dim"),
+        )
+        .join(frames, "media_id")
+        .join(resized, "media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -540,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "annotate_multisnapshot": q_annotate_multisnapshot,
         "corpus_curation": q_corpus_curation,
+        "multimodal_pipeline": q_multimodal_pipeline,
     }
 
 
@@ -1059,5 +1120,22 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN keep USING (doc_id)
             WHERE quality >= 0.55
             GROUP BY 1, 2
+        """,
+        "multimodal_pipeline": """
+            WITH geom AS (
+                SELECT doc_id,
+                       CAST(n_chars % 64 + 1 AS DOUBLE) AS w,
+                       CAST(n_chars % 48 + 1 AS DOUBLE) AS h,
+                       n_chars % 7 + 1 AS n_frames,
+                       text
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(unhex(md5(text) || md5('2|' || text))) AS BIGINT) AS n_bytes,
+                   CAST(16 AS BIGINT) AS feat_dim,
+                   CAST((n_frames - 1) // 2 + 1 AS BIGINT) AS n_sampled_frames,
+                   CAST(ceil(w * least(1.0, 32.0/greatest(w, h))) AS BIGINT) AS resize_w,
+                   CAST(ceil(h * least(1.0, 32.0/greatest(w, h))) AS BIGINT) AS resize_h
+            FROM geom
         """,
     }

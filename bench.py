@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "topk_per_group",
     "annotate_multisnapshot",
     "corpus_curation",
+    "multimodal_pipeline",
 ]
 
 

@@ -64,6 +64,11 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Drop this query's cached intermediates (CacheManager matches
+        # canonicalized plans, so best-of-3 reuse above still applies);
+        # without this, cached blocks pile up across the session and
+        # later queries degrade under memory/GC pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

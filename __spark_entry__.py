@@ -10,6 +10,7 @@ end) so the driver's order-insensitive value-hash matches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -311,18 +312,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 via per-partition BLAS matmul + local
-    top-k (the 100 TB exact-search layout). No SQL oracle (numpy
-    matmul arithmetic rounds differently than a sequential SQL sum);
-    pytest asserts set-equality with the expression form
+    top-(k+slack) prune, then exact expression re-score of the tiny
+    survivor set (the 100 TB exact-search layout). The re-score uses
+    the same codegen expression as ``ann_bruteforce_topk``, so the
+    oracle is the brute-force SQL verbatim; set-equality with the
+    expression form is additionally pytest-verified
     (tests/test_similarity_extra.py::test_gemm_topk_matches_expression_form)."""
     return sim.ann_bruteforce_topk_gemm(_t(spark, sf_dir, "embeddings"), k=3)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (the 100 TB scale path). No SQL
-    oracle (the hyperplane projection isn't SQL-expressible without
-    shipping the plane literals); the driver records a rows-only
-    check and the recall-vs-brute-force property is pytest-verified
+    """Random-hyperplane LSH ANN (the 100 TB scale path). The
+    seeded hyperplanes are plan literals, so the DuckDB oracle embeds
+    the same planes as SQL literals (``_lsh_oracle``) and replays the
+    signature → band join → exact re-rank pipeline; recall vs brute
+    force is additionally pytest-verified
     (tests/test_dedup_similarity.py::test_ann_lsh_recall)."""
     return sim.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
@@ -340,11 +344,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (deterministic k-means coarse quantizer + n_probe
-    inverted lists). No SQL oracle (iterative centroid build); driver
-    records rows-only; recall vs brute force is pytest-verified."""
+    """IVF ANN (k-means coarse quantizer + n_probe inverted lists).
+    The gate uses driver-side deterministic centroids
+    (``ivf_centroids_from_parquet``) so the DuckDB oracle can embed
+    the SAME centroid literals and replay assignment → probe →
+    exact re-rank in SQL; the distributed ``ivf_build_centroids``
+    remains the 100 TB build path and its recall vs brute force is
+    pytest-verified."""
+    cents = sim.ivf_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", n_centroids=8, iterations=3
+    )
     return sim.ann_ivf_topk(
-        _t(spark, sf_dir, "embeddings"), k=3, n_centroids=8, n_probe=3
+        _t(spark, sf_dir, "embeddings"), k=3, n_centroids=8, n_probe=3,
+        centroids=cents,
     )
 
 
@@ -701,6 +713,163 @@ def _simhash_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 2) -> str
     """
 
 
+def _oracle_sf_dir() -> str:
+    """The sf dir the driver's DuckDB oracle runs against (contract:
+    sf0.01). Data-dependent oracle literals (IVF centroids, embedding
+    dim) are derived from these files."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _oracle_embedding_dim() -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["embedding"]
+    )
+    return len(t.column("embedding")[0])
+
+
+def _cos6(a: str, b: str) -> str:
+    """Round-6 cosine between two DOUBLE[] columns — same sequential
+    arithmetic as the Spark dim-unrolled expression."""
+    d = f"list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i]*{b}[i])))"
+    return f"round({d} / ({na} * {nb}), 6)"
+
+
+_ANN_RERANK = f"""
+        s AS (
+            SELECT cand.qid, cand.nid, {_cos6('qv.e', 'cv.e')} AS cos
+            FROM cand
+            JOIN v qv ON qv.vec_id = cand.qid
+            JOIN v cv ON cv.vec_id = cand.nid
+        )
+        SELECT qid, nid, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        WHERE rn <= 3
+"""
+
+_V_CTE = """
+        v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        )
+"""
+
+
+def _ann_cosine_oracle(k: int = 3) -> str:
+    return f"""
+        WITH {_V_CTE},
+        q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+        s AS (
+            SELECT qid, v.vec_id AS nid, {_cos6('qe', 'v.e')} AS cos
+            FROM q, v WHERE v.vec_id <> qid
+        )
+        SELECT qid, nid, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        WHERE rn <= {k}
+    """
+
+
+def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -> str:
+    """DuckDB replay of ``ann_lsh_topk``: the seeded hyperplanes are
+    embedded as SQL literals (they are plan literals on the Spark
+    side too — similarity.py:_hyperplanes), signature = sum of
+    bit-weights where the projection is positive, band keys by
+    shift+mask, candidates by band equi-join, exact round-6 cosine
+    re-rank. repr() round-trips each float64 exactly."""
+    from annotation_service_spark.operators.similarity import _hyperplanes
+
+    dim = _oracle_embedding_dim()
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_rows = ", ".join(
+        "({w}, [{vals}])".format(
+            w=1 << (n_planes - 1 - i),
+            vals=", ".join(repr(float(x)) for x in planes[i]),
+        )
+        for i in range(n_planes)
+    )
+    bpb = n_planes // bands
+    mask = (1 << bpb) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {(bands - 1 - b) * bpb}) & {mask} AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_V_CTE},
+        planes(w, p) AS (VALUES {plane_rows}),
+        proj AS (
+            SELECT v.vec_id, pl.w,
+                   list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * pl.p[i])) AS pr
+            FROM v CROSS JOIN planes pl
+        ),
+        sig AS (
+            SELECT vec_id, CAST(SUM(CASE WHEN pr > 0 THEN w ELSE 0 END) AS BIGINT) AS sig
+            FROM proj GROUP BY vec_id
+        ),
+        bands AS ({band_selects}),
+        qb AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+            FROM bands c JOIN qb q ON c.band = q.band AND c.key = q.key
+            WHERE c.vec_id <> q.vec_id
+        ),
+        {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
+    """
+
+
+def _ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 3) -> str:
+    """DuckDB replay of ``ann_ivf_topk`` with the SAME deterministic
+    centroids the gate query uses (shared helper reads the oracle
+    parquet): distance cc − 2·v·c with cc as a literal, assignment =
+    first-min by (dist, cid), probes = n_probe smallest by the same
+    order, candidates via inverted-list equi-join, exact re-rank."""
+    import numpy as np
+
+    from annotation_service_spark.operators.similarity import (
+        ivf_centroids_from_parquet,
+    )
+
+    cents = ivf_centroids_from_parquet(
+        f"{_oracle_sf_dir()}/embeddings.parquet", n_centroids, 3
+    )
+    c = np.asarray(cents, dtype=np.float64)
+    cc = (c * c).sum(axis=1)
+    cent_rows = ", ".join(
+        "({cid}, {cc}, [{vals}])".format(
+            cid=i, cc=repr(float(cc[i])),
+            vals=", ".join(repr(float(x)) for x in cents[i]),
+        )
+        for i in range(n_centroids)
+    )
+    return f"""
+        WITH {_V_CTE},
+        cents(cid, cc, c) AS (VALUES {cent_rows}),
+        d AS (
+            SELECT v.vec_id, ct.cid,
+                   ct.cc - 2 * list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * ct.c[i])) AS dist
+            FROM v CROSS JOIN cents ct
+        ),
+        ranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d
+        ),
+        assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS qid, cid FROM ranked
+            WHERE vec_id % 50 = 0 AND rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT DISTINCT q.qid, a.vec_id AS nid
+            FROM qprobe q JOIN assign a ON a.cid = q.cid
+            WHERE a.vec_id <> q.qid
+        ),
+        {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1": """
@@ -917,25 +1086,12 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])))),
                      6) >= 0.45
         """,
-        "ann_cosine_topk": """
-            WITH v AS (
-                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings
-            ),
-            q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
-            s AS (
-                SELECT qid, v.vec_id AS nid,
-                       round(
-                         list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*e[i]))
-                         / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])))
-                            * sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i])))),
-                         6) AS cos
-                FROM q, v WHERE v.vec_id <> qid
-            )
-            SELECT qid, nid, cos
-            FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
-            WHERE rn <= 3
-        """,
+        "ann_cosine_topk": _ann_cosine_oracle(3),
+        # gemm path re-scores survivors with the identical expression →
+        # same result set and values as the brute-force form
+        "ann_gemm_topk": _ann_cosine_oracle(3),
+        "ann_lsh_topk": _lsh_oracle(16, 8, 3),
+        "ann_ivf_topk": _ivf_oracle(8, 3, 3),
         "text_metrics": """
             WITH t AS (
                 SELECT doc_id, text,

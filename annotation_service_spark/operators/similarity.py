@@ -106,18 +106,25 @@ def ann_bruteforce_topk_gemm(
     query_filter: Column | None = None,
     k: int = 3,
     round_digits: int = 6,
+    local_slack: int = 8,
 ) -> DataFrame:
     """Exact cosine top-k via one BLAS matmul per corpus partition —
     the 100 TB form of ``ann_bruteforce_topk``.
 
     The normalized query matrix (|Q| × dim) is broadcast; every
     corpus Arrow batch computes ``V̂ @ Q̂ᵀ`` and keeps only its local
-    top-k rows per query (argpartition), so the shuffle into the
-    global re-rank carries ≤ batches × |Q| × k rows instead of
-    |corpus| × |Q| pairs. Per-pair cost drops from a codegen
-    expression tree to a dense-matmul lane. Same result set as the
-    expression form (ties broken by nid after round)."""
+    top-(k+slack) rows per query (argpartition), so the shuffle into
+    the global re-rank carries ≤ batches × |Q| × (k+slack) rows
+    instead of |corpus| × |Q| pairs. Survivors are then RE-SCORED
+    with the same codegen expression as ``ann_bruteforce_topk`` (one
+    broadcast of the tiny candidate set into a corpus scan), so the
+    output values are bit-identical to the expression form and share
+    its SQL oracle. ``local_slack`` guards the prune against
+    matmul-vs-sequential-sum ordering flips at near-ties: a true
+    global top-k row would have to fall ``slack`` ranks inside its
+    own partition for the prune to lose it."""
     spark = embeddings.sparkSession
+    dim = _vec_dim(embeddings, vec_col)
     qf = query_filter if query_filter is not None else (F.col(id_col) % 50 == 0)
     qpdf = embeddings.where(qf).select(id_col, vec_col).toPandas()
     qids = qpdf[id_col].to_numpy(dtype=np.int64)
@@ -136,25 +143,43 @@ def ann_bruteforce_topk_gemm(
             v /= np.linalg.norm(v, axis=1, keepdims=True)
             s = v @ bq.T  # (n, |Q|)
             s[ids[:, None] == bqids[None, :]] = -np.inf  # self-pairs
-            kk = min(k, len(ids))
+            kk = min(k + local_slack, len(ids))
             top = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, |Q|)
             rows = top.ravel(order="F")
             cols = np.repeat(np.arange(nq), kk)
             keep = np.isfinite(s[rows, cols])
             yield pd.DataFrame(
-                {
-                    "qid": bqids[cols[keep]],
-                    "nid": ids[rows[keep]],
-                    "cos": np.round(s[rows, cols][keep], round_digits),
-                }
+                {"qid": bqids[cols[keep]], "nid": ids[rows[keep]]}
             )
 
-    local = embeddings.select(id_col, vec_col).mapInPandas(
-        score, "qid long, nid long, cos double"
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "qid long, nid long"
+    )
+    # exact re-score: candidate set is tiny (≤ partitions × |Q| ×
+    # (k+slack)) so it broadcasts into one corpus scan; query vectors
+    # broadcast likewise. Same expression tree as the brute-force
+    # form ⇒ identical round-6 values and tie-breaks.
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ce")
+    ).withColumn("cn", F.sqrt(dot(F.col("ce"), F.col("ce"), dim)))
+    q = embeddings.where(qf).select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
+    ).withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"), dim)))
+    scored = (
+        base.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
-        local.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("qid", "nid", "cos")
     )
@@ -273,6 +298,54 @@ def ivf_build_centroids(
     return centroids
 
 
+_IVF_PARQUET_MEMO: dict[tuple, list[list[float]]] = {}
+
+
+def ivf_centroids_from_parquet(
+    path: str, n_centroids: int = 8, iterations: int = 3
+) -> list[list[float]]:
+    """Deterministic k-means centroids computed driver-side straight
+    from a parquet file — same algorithm as ``ivf_build_centroids``
+    (init = vectors whose md5(id) sort smallest; Lloyd with
+    first-min tie-break) but with a FIXED reduction order, so the
+    exact double values are reproducible across engines.
+
+    This exists for oracle checking: the gate query and the DuckDB
+    oracle both call it on the same file and embed bit-identical
+    centroid literals. The distributed ``ivf_build_centroids`` stays
+    the 100 TB build path (corpus never leaves the cluster there);
+    recall of that path is pytest-verified separately."""
+    key = (path, n_centroids, iterations)
+    if key not in _IVF_PARQUET_MEMO:
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        t = (
+            pq.read_table(path, columns=["vec_id", "embedding"])
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        v = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+        ids = t["vec_id"].to_numpy()
+        h = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        )
+        order = np.argsort(h, kind="stable")
+        c = v[order[:n_centroids]].copy()
+        for _ in range(iterations):
+            cc = (c * c).sum(axis=1)
+            d = v @ (-2.0 * c.T) + cc
+            a = np.argmin(d, axis=1)
+            for j in range(n_centroids):
+                m = a == j
+                if m.any():
+                    c[j] = v[m].mean(axis=0)
+        _IVF_PARQUET_MEMO[key] = [[float(x) for x in row] for row in c]
+    return _IVF_PARQUET_MEMO[key]
+
+
 def _nearest_centroid(centroids: list[list[float]]):
     """Vectorized centroid assignment: one BLAS matmul per Arrow batch.
 
@@ -327,13 +400,19 @@ def ann_ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus rows are inverted-listed by nearest centroid;
     each query scans only its ``n_probe`` nearest lists, then exact
     cosine re-ranks. The corpus-side pass is one argmin projection;
     the probe join is an equi-join on the centroid id — at scale this
-    replaces |corpus|×|queries| with |corpus|×(n_probe/k_centroids)."""
-    centroids = ivf_build_centroids(embeddings, id_col, vec_col, n_centroids)
+    replaces |corpus|×|queries| with |corpus|×(n_probe/k_centroids).
+
+    ``centroids``: pass precomputed centroids (e.g. from
+    ``ivf_centroids_from_parquet`` for oracle-checkable determinism);
+    default builds them distributed via ``ivf_build_centroids``."""
+    if centroids is None:
+        centroids = ivf_build_centroids(embeddings, id_col, vec_col, n_centroids)
     dim = len(centroids[0])
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")

@@ -378,14 +378,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style shipping priority: 3-way join + agg + top-10
     (deterministic tie-break on orderkey).
 
-    Build-side choice matters: statically Catalyst picks lineitem as
-    the broadcast side (its 3-column scan estimate is smaller than the
-    join output estimate), but lineitem is the FACT table — at cluster
-    scale it can never be broadcast. The segment-filtered cust⋈orders
-    side is the small one (1/5 of orders), so we hint it; if even that
-    outgrows broadcast at extreme SF, drop the hint and the bucketed
-    layout (sources/storage.py) gives a zero-Exchange SortMergeJoin
-    on l_orderkey."""
+    Scale strategy: NO hard-coded broadcast hints — every join side
+    here (customer, orders, lineitem) grows with SF, so a forced
+    broadcast is an OOM at cluster scale (a hint is obeyed regardless
+    of size). AQE decides at runtime: at small SF it converts the
+    shuffle joins to broadcasts from actual sizes; at 100 TB it keeps
+    SortMergeJoin, which the bucketed layout (sources/storage.py,
+    plan-asserted in test_stateful_streaming.py::
+    test_bucketed_join_has_no_shuffle) runs shuffle-free on
+    l_orderkey."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -396,8 +397,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     return (
-        F.broadcast(co)
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        co.join(li, F.col("o_orderkey") == li["l_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -409,13 +409,13 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue: 6-way star join keyed
     through region→nation→(customer, supplier)→orders→lineitem.
 
-    Shaped so lineitem (the biggest fact) is the PROBE stream and is
-    never broadcast/shuffled before the final 2-key agg: dims fold
-    into orders first (region⋈nation⋈customer is tiny, broadcast),
-    then the order→nation map and the supplier dim broadcast into the
-    lineitem scan. At extreme SF where orders outgrows broadcast,
-    drop that hint → AQE picks SMJ, co-located if both facts use the
-    bucketed layout (sources/storage.py)."""
+    Shaped so lineitem (the biggest fact) is the PROBE stream: dims
+    fold into orders first, then the order→nation map joins into the
+    lineitem scan. Only region⋈nation (fixed 5/25 rows) carries a
+    broadcast hint; customer, orders, and lineitem all grow with SF,
+    so their join strategies are left to AQE — broadcast at small
+    actual sizes, SortMergeJoin at scale (shuffle-free on l_orderkey
+    under the bucketed layout, sources/storage.py)."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -426,19 +426,18 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(4,2)")
     rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
     dims = (
-        region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
-        .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
+        F.broadcast(region.join(nation, region["r_regionkey"] == nation["n_regionkey"]))
+        .join(cust, F.col("n_nationkey") == cust["c_nationkey"])
         .select("r_name", "n_name", "n_nationkey", "c_custkey")
     )
     co = (
-        F.broadcast(dims)
-        .join(orders, dims["c_custkey"] == orders["o_custkey"])
+        dims.join(orders, dims["c_custkey"] == orders["o_custkey"])
         .select("r_name", "n_name", "n_nationkey", "o_orderkey")
     )
     return (
-        li.join(F.broadcast(co), co["o_orderkey"] == li["l_orderkey"])
+        li.join(co, co["o_orderkey"] == li["l_orderkey"])
         .join(
-            F.broadcast(sup),
+            sup,
             (li["l_suppkey"] == sup["s_suppkey"])
             & (sup["s_nationkey"] == F.col("n_nationkey")),
         )

@@ -331,6 +331,33 @@ def merge_adjacent_equal(
 # ---------------------------------------------------------------------------
 
 
+def _pruned_ranges(
+    probes: DataFrame,
+    ranges: DataFrame,
+    keys: list[str],
+    prune_keys: bool,
+    probe_keys_df: DataFrame | None,
+) -> DataFrame:
+    """Restrict the build table to the snapshot key groups the probe
+    set actually references before anything is collected.
+
+    Without this, a multi-snapshot build (the reference's real corpus
+    is ~176 snapshots × ~4M rows) would be collected and broadcast in
+    full even when the probe batch touches two snapshots — the
+    single-node in-memory model smuggled into Spark. The semi-join
+    costs one map-side-combinable distinct over the probe stream
+    (or nothing, when the caller passes ``probe_keys_df`` — e.g. the
+    registry dates that survived the as-of join)."""
+    if not keys or not prune_keys:
+        return ranges
+    ref = (
+        probe_keys_df.select(*keys).distinct()
+        if probe_keys_df is not None
+        else probes.select(*keys).distinct()
+    )
+    return ranges.join(F.broadcast(ref), keys, "left_semi")
+
+
 def range_join_broadcast(
     probes: DataFrame,
     ranges: DataFrame,
@@ -341,6 +368,9 @@ def range_join_broadcast(
     how: str = "left",
     keys: Sequence[str] = (),
     parse_ips: bool = False,
+    prune_keys: bool = True,
+    probe_keys_df: DataFrame | None = None,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """J1 via broadcast + vectorized binary search
     (iputils/iputils.go:111-128 distributed analog).
@@ -366,16 +396,44 @@ def range_join_broadcast(
     parse→rewrite→search path runs in ONE Python crossing instead of
     ArrowEvalPython + MapInPandas — measured ~2x probe throughput on
     the annotate hot path.
+
+    Scale guards: with ``keys`` the build table is SEMI-JOINED to the
+    distinct key groups the probes reference before collection
+    (``prune_keys``; pass ``probe_keys_df`` to supply the referenced
+    keys without a probe-side pass), and the collected size is
+    estimated first — past ``max_broadcast_bytes`` the call falls
+    back to ``range_join_bucketed`` (long bounds) instead of
+    broadcasting a build table that belongs in a shuffle join.
     """
     payload = list(payload)
     keys = list(keys)
     is_long = isinstance(ranges.schema[low].dataType, (T.LongType, T.IntegerType))
     width = 8 if is_long else 16
 
+    pruned = _pruned_ranges(probes, ranges, keys, prune_keys, probe_keys_df)
+
+    # size gate: rough per-row bytes (bounds + payload cells + keys).
+    # count() on the build side is one tiny job; the build table is
+    # dimension-scale by contract here.
+    n_ranges = pruned.count()
+    est_bytes = n_ranges * (2 * width + 64 * len(payload) + 16 * len(keys))
+    if est_bytes > max_broadcast_bytes:
+        if is_long and not parse_ips:
+            return range_join_bucketed(
+                probes, pruned, probe_col, low=low, high=high,
+                payload=payload, how=how, keys=keys,
+            )
+        raise ValueError(
+            f"range_join_broadcast: build table ~{est_bytes >> 20} MiB exceeds "
+            f"max_broadcast_bytes ({max_broadcast_bytes >> 20} MiB) and no "
+            "bucketed fallback exists for binary bounds / parse_ips — "
+            "flatten per snapshot and use range_join_bucketed on long bounds"
+        )
+
     # Arrow toPandas: an order of magnitude faster than collect() for
     # wide/binary build tables (measured ~3s -> ~0.3s at 20k ranges)
     rpdf = (
-        ranges.select(*keys, low, high, *payload).orderBy(*keys, low).toPandas()
+        pruned.select(*keys, low, high, *payload).orderBy(*keys, low).toPandas()
     )
 
     def build_group(g: pd.DataFrame):
@@ -461,6 +519,7 @@ def range_join_bucketed(
     payload: Sequence[str] = (),
     bucket_width: int = 65536,
     how: str = "left",
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """J1 via prefix-bucket equi-join, for build tables too large to
     broadcast (long bounds). Each range replicates to the buckets it
@@ -468,8 +527,11 @@ def range_join_bucketed(
     one bucket; the equi-join shuffles both sides by bucket and a
     BETWEEN filter finishes. Shuffle volume = probes × 1, ranges ×
     avg-buckets-per-range; pick ``bucket_width`` ≳ median range size
-    so replication stays O(1)."""
+    so replication stays O(1). ``keys``: extra equi-join columns
+    shared by both sides (e.g. ``dataset_date``), folded into the
+    shuffle key."""
     payload = list(payload)
+    keys = list(keys)
     b_ranges = ranges.withColumn(
         "__bkt",
         F.explode(
@@ -482,13 +544,14 @@ def range_join_bucketed(
     b_probes = probes.withColumn(
         "__bkt", (F.col(probe_col) / bucket_width).cast("long")
     )
-    joined = b_probes.join(
-        b_ranges,
+    cond = (
         (b_probes["__bkt"] == b_ranges["__bkt"])
         & (b_probes[probe_col] >= b_ranges[low])
-        & (b_probes[probe_col] <= b_ranges[high]),
-        how,
+        & (b_probes[probe_col] <= b_ranges[high])
     )
+    for c in keys:
+        cond = cond & (b_probes[c] == b_ranges[c])
+    joined = b_probes.join(b_ranges, cond, how)
     return joined.select(
         *[b_probes[f.name] for f in probes.schema.fields],
         *[b_ranges[c] for c in payload],

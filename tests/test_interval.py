@@ -226,3 +226,77 @@ def test_range_join_bucketed_matches_broadcast(spark):
     la = sorted((r.v, r.payload) for r in a.collect())
     lb = sorted((r.v, r.payload) for r in b.collect())
     assert la == lb
+
+
+def _snapshot_fixture(spark):
+    """3 dated snapshots of long ranges + probes touching only 2 dates."""
+    import datetime as dt
+
+    dates = [dt.date(2020, 1, 1), dt.date(2020, 7, 1), dt.date(2021, 1, 1)]
+    rows = [
+        (d, i * 100, i * 100 + 99, f"{d.isoformat()}:p{i}")
+        for d in dates
+        for i in range(20)
+    ]
+    ranges = spark.createDataFrame(
+        rows, "dataset_date date, low long, high long, payload string"
+    )
+    probes = spark.createDataFrame(
+        [(i, i * 37 % 2000, dates[i % 2]) for i in range(100)],
+        "pid long, v long, dataset_date date",
+    )
+    return dates, ranges, probes
+
+
+def test_range_join_broadcast_prunes_unreferenced_snapshots(spark):
+    """VERDICT r1 #3: the broadcast must hold only the snapshots the
+    probe set references — not every snapshot in the build table."""
+    dates, ranges, probes = _snapshot_fixture(spark)
+    pruned = iv._pruned_ranges(probes, ranges, ["dataset_date"], True, None)
+    got_dates = {r.dataset_date for r in pruned.select("dataset_date").distinct().collect()}
+    assert got_dates == {dates[0], dates[1]}  # 2021 snapshot never collected
+
+    out = iv.range_join_broadcast(
+        probes, ranges, probe_col="v", low="low", high="high",
+        payload=["payload"], how="left", keys=["dataset_date"],
+    )
+    for r in out.collect():
+        assert r.payload == f"{r.dataset_date.isoformat()}:p{r.v // 100}"
+
+
+def test_range_join_broadcast_probe_keys_df_avoids_probe_pass(spark):
+    dates, ranges, probes = _snapshot_fixture(spark)
+    reg = spark.createDataFrame([(dates[0],), (dates[1],)], "dataset_date date")
+    pruned = iv._pruned_ranges(probes, ranges, ["dataset_date"], True, reg)
+    assert pruned.select("dataset_date").distinct().count() == 2
+
+
+def test_range_join_broadcast_size_gate_falls_back_to_bucketed(spark):
+    dates, ranges, probes = _snapshot_fixture(spark)
+    a = iv.range_join_broadcast(
+        probes, ranges, probe_col="v", low="low", high="high",
+        payload=["payload"], how="left", keys=["dataset_date"],
+    )
+    b = iv.range_join_broadcast(
+        probes, ranges, probe_col="v", low="low", high="high",
+        payload=["payload"], how="left", keys=["dataset_date"],
+        max_broadcast_bytes=1,  # force the bucketed fallback
+    )
+    la = sorted((r.pid, r.payload) for r in a.collect())
+    lb = sorted((r.pid, r.payload) for r in b.collect())
+    assert la == lb
+
+
+def test_range_join_broadcast_size_gate_raises_for_binary(spark):
+    import pytest as _pytest
+
+    ranges = iv.flatten_intervals(
+        _mk_ranges(spark, TRUTH_FLATTEN), payload=["payload"], seq="seq"
+    )
+    probes = spark.createDataFrame([("1.0.0.5",)], "ip string")
+    probes = probes.withColumn("ipb", ipf.ip_to_bytes(F.col("ip")))
+    with _pytest.raises(ValueError, match="bucketed fallback"):
+        iv.range_join_broadcast(
+            probes, ranges, probe_col="ipb", payload=["payload"],
+            max_broadcast_bytes=1,
+        )

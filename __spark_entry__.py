@@ -516,6 +516,56 @@ def q_annotate_multisnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEGACY_FIXTURE_PATH = "/tmp/asvc_legacy_fixture.dat"
+
+
+def _v4_long(c):
+    # canonical 16-byte v4-mapped bytes → host-order long (last 4 bytes)
+    return F.conv(F.substring(F.hex(c), 25, 8), 16, 10).cast("long")
+
+
+def q_legacy_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 end-to-end: deterministic city-edition .dat fixture →
+    binaryFile + mapInPandas binary parse (sources/legacy_dat.py) →
+    v4 ranges → event-derived probes → broadcast range join. The
+    binary parser itself is pytest-validated against the reference's
+    own binary fixture (legacy/testdata/GeoIPv6.dat, geoip_test.go
+    expectations); this gate verifies the distributed pipeline around
+    it, with the oracle embedding the converted ranges as literals."""
+    from annotation_service_spark.sources import legacy_dat as ld
+
+    path = ld.ensure_demo_fixture(_LEGACY_FIXTURE_PATH)
+    recs = ld.legacy_dat_table(spark, path)
+    ranges = recs.select(
+        _v4_long(F.col("ip_low")).alias("low"),
+        _v4_long(F.col("ip_high")).alias("high"),
+        "country_code", "city", "metro_code", "area_code",
+    )
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("user_id") * 131 + F.col("event_id") * 7919
+    v = (
+        F.when(F.col("event_id") % 4 == 0,
+               F.lit(207 * 2**24 + 171 * 2**16) + k % 65536)
+        .when(F.col("event_id") % 4 == 1, F.lit(10 * 2**24) + k % (1 << 24))
+        .when(F.col("event_id") % 4 == 2,
+              F.lit(192 * 2**24 + 2 * 2**8) + k % 256)
+        .otherwise(F.lit(8 * 2**24) + k % 65536)  # guaranteed miss
+    )
+    probes = ev.select("event_id", v.cast("long").alias("v"))
+    out = iv.range_join_broadcast(
+        probes, ranges, probe_col="v", low="low", high="high",
+        payload=["country_code", "city", "metro_code", "area_code"], how="left",
+    )
+    return out.select(
+        "event_id",
+        "v",
+        F.coalesce("country_code", F.lit("MISS")).alias("country_code"),
+        F.coalesce("city", F.lit("")).alias("city"),
+        F.coalesce(F.col("metro_code"), F.lit(-1)).cast("long").alias("metro_code"),
+        F.coalesce(F.col("area_code"), F.lit(-1)).cast("long").alias("area_code"),
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composite: text metrics → quality filter →
     exact-dedup keep-list → language partition → per (lang, source)
@@ -610,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "topk_per_group": q_topk_per_group,
         "annotate_multisnapshot": q_annotate_multisnapshot,
+        "legacy_annotate": q_legacy_annotate,
         "corpus_curation": q_corpus_curation,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
@@ -869,6 +920,45 @@ def _ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 3) -> str:
     """
 
 
+def _legacy_oracle() -> str:
+    """VALUES-table replay of q_legacy_annotate: the converted ranges
+    come from the same deterministic fixture + pure-Python enumerator
+    (which pytest validates against the reference's binary fixture);
+    probes and the BETWEEN join are recomputed independently."""
+    from annotation_service_spark.sources import legacy_dat as ld
+
+    rows = []
+    for r in ld.enumerate_dat(ld.build_dat(ld.demo_fixture_networks())):
+        lo = int.from_bytes(r["ip_low"][-4:], "big")
+        hi = int.from_bytes(r["ip_high"][-4:], "big")
+        rows.append(
+            f"({lo}, {hi}, '{r['country_code']}', '{r['city']}',"
+            f" {r['metro_code']}, {r['area_code']})"
+        )
+    vals = ", ".join(rows)
+    k = "(user_id*131 + event_id*7919)"
+    return f"""
+        WITH ranges(low, high, country_code, city, metro_code, area_code)
+          AS (VALUES {vals}),
+        probes AS (
+            SELECT event_id,
+                   CAST(CASE
+                     WHEN event_id % 4 = 0 THEN {207 * 2**24 + 171 * 2**16} + {k} % 65536
+                     WHEN event_id % 4 = 1 THEN {10 * 2**24} + {k} % {1 << 24}
+                     WHEN event_id % 4 = 2 THEN {192 * 2**24 + 2 * 2**8} + {k} % 256
+                     ELSE {8 * 2**24} + {k} % 65536
+                   END AS BIGINT) AS v
+            FROM events
+        )
+        SELECT p.event_id, p.v,
+               COALESCE(r.country_code, 'MISS') AS country_code,
+               COALESCE(r.city, '') AS city,
+               CAST(COALESCE(r.metro_code, -1) AS BIGINT) AS metro_code,
+               CAST(COALESCE(r.area_code, -1) AS BIGINT) AS area_code
+        FROM probes p LEFT JOIN ranges r ON p.v BETWEEN r.low AND r.high
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1": """
@@ -1050,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "legacy_annotate": _legacy_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(16, 8, 0.5),
         "dedup_simhash": _simhash_oracle(16, 4, 2),
         "dedup_ngram_jaccard": f"""

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "tpch_q5",
     "topk_per_group",
     "annotate_multisnapshot",
+    "legacy_annotate",
     "corpus_curation",
     "multimodal_pipeline",
 ]

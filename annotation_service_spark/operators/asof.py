@@ -109,6 +109,13 @@ def merge_sources(
     per source ``last_value(ignoreNulls)`` over the global date
     order. Output column per source: ``{source}_{payload_col}`` plus
     ``{source}_date``.
+
+    SIZE CONTRACT: inputs are snapshot REGISTRIES — file listings in
+    the hundreds of rows (the reference's whole directory is ~200
+    entries). The global-order window below deliberately runs in one
+    partition (constant partition key, so WindowExec doesn't warn and
+    the plan states the intent); do NOT reuse this operator for
+    fact-scale inputs.
     """
     payload = list(payload)
     parts = []
@@ -127,15 +134,13 @@ def merge_sources(
     dates = u.select("__d").distinct()
     pivoted = dates
     for name in registries:
-        w = (
-            Window.orderBy("__d")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
         src_rows = u.where(F.col("__src") == name).select(
             "__d", F.col("__pl").alias(f"__pl_{name}")
         )
         pivoted = pivoted.join(src_rows, "__d", "left")
-    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(F.lit(1)).orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     out = pivoted
     for name in registries:
         out = out.withColumn(

@@ -35,6 +35,41 @@ from ..operators.interval import range_join_broadcast
 
 GEO_PAYLOAD = ["gid", "postal_code", "latitude", "longitude"]
 
+# the v4-mapped /96: canonical home of every v4 address (J7)
+_V4_SPAN_LOW = b"\x00" * 10 + b"\xff\xff" + b"\x00" * 4
+_V4_SPAN_HIGH = b"\x00" * 10 + b"\xff\xff" + b"\xff" * 4
+_V4_SPAN_BELOW = b"\x00" * 10 + b"\xff\xfe" + b"\xff" * 4  # _V4_SPAN_LOW − 1
+_V4_SPAN_ABOVE = b"\x00" * 11 + b"\x01" + b"\x00" * 4  # _V4_SPAN_HIGH + 1
+
+
+def family_union(
+    v4_mapped: DataFrame, v6: DataFrame, low: str = "ip_low", high: str = "ip_high"
+) -> DataFrame:
+    """J7 with the reference's FAMILY ROUTING made explicit: the
+    reference keeps separate v4/v6 lists and a v4 probe can never
+    match a v6 row (manager/manager.go:213-226). In the single
+    sorted-table design a v6 row covering the v4-mapped /96 would
+    shadow that rule, so v6 rows are CLIPPED around the /96 (split
+    into the pieces below/above) before the union. Real GeoLite2 v6
+    data never covers ::ffff:0:0/96 — the clip is a no-op there; it
+    exists so synthetic/adversarial inputs (e.g. the full-range v6
+    node in handler/handler_test.go:49-126) behave identically."""
+    lo, hi = F.col(low), F.col(high)
+    below = F.when(
+        lo < F.lit(_V4_SPAN_LOW),
+        F.struct(lo.alias(low), F.least(hi, F.lit(_V4_SPAN_BELOW)).alias(high)),
+    )
+    above = F.when(
+        hi > F.lit(_V4_SPAN_HIGH),
+        F.struct(F.greatest(lo, F.lit(_V4_SPAN_ABOVE)).alias(low), hi.alias(high)),
+    )
+    others = [c for c in v6.columns if c not in (low, high)]
+    clipped = (
+        v6.select(F.explode(F.array_compact(F.array(below, above))).alias("__r"), *others)
+        .select(F.col(f"__r.{low}").alias(low), F.col(f"__r.{high}").alias(high), *others)
+    )
+    return clipped.unionByName(v4_mapped.select(low, high, *others)).orderBy(low)
+
 
 def prepare_probes(requests: DataFrame, ip_col: str = "ip") -> DataFrame:
     """P3 + P4: parse to canonical bytes, rewrite 6to4. Invalid IPs

@@ -41,6 +41,68 @@ V1_SCHEMA = T.ArrayType(
 )
 
 
+def _nz_str(c: F.Column) -> F.Column:
+    return F.when(F.length(c) > 0, c)
+
+
+def _nz_num(c: F.Column) -> F.Column:
+    return F.when(c != 0, c)
+
+
+def _nz_bool(c: F.Column) -> F.Column:
+    return F.when(c, F.lit(True))
+
+
+def go_annotations_json(geo: F.Column, network: F.Column) -> F.Column:
+    """S11 wire parity: marshal one (geo, network) pair exactly as
+    Go's ``json.Marshal(api.GeoData)`` does — field names and order
+    from the struct declarations (api/api.go:32-51,101-112), and
+    ``omitempty`` semantics (empty string / 0 / false / nil → field
+    omitted) via NULLifying + to_json's null dropping.
+
+    Caveat (documented, not hit by the reference's goldens): Go
+    renders integral floats shortest-form ("42"), Jackson keeps the
+    decimal ("42.0"); lat/lon of real data are non-integral."""
+    g = geo
+    n = network
+    geo_out = F.struct(
+        _nz_str(g["continent_code"]).alias("continent_code"),
+        _nz_str(g["country_code"]).alias("country_code"),
+        _nz_str(g["country_code3"]).alias("country_code3"),
+        _nz_str(g["country_name"]).alias("country_name"),
+        _nz_str(g["region"]).alias("region"),
+        _nz_str(g["subdivision1_iso_code"]).alias("Subdivision1ISOCode"),
+        _nz_str(g["subdivision1_name"]).alias("Subdivision1Name"),
+        _nz_str(g["subdivision2_iso_code"]).alias("Subdivision2ISOCode"),
+        _nz_str(g["subdivision2_name"]).alias("Subdivision2Name"),
+        _nz_num(g["metro_code"]).alias("metro_code"),
+        _nz_str(g["city"]).alias("city"),
+        _nz_num(g["area_code"]).alias("area_code"),
+        _nz_str(g["postal_code"]).alias("postal_code"),
+        _nz_num(g["latitude"]).alias("latitude"),
+        _nz_num(g["longitude"]).alias("longitude"),
+        _nz_num(g["radius"]).alias("radius"),
+        _nz_bool(g["missing"]).alias("Missing"),
+    )
+    net_out = F.struct(
+        _nz_str(n["ip_prefix"]).alias("IPPrefix"),
+        _nz_str(n["cidr"]).alias("CIDR"),
+        _nz_num(n["as_number"]).alias("ASNumber"),
+        _nz_str(n["as_name"]).alias("ASName"),
+        _nz_bool(n["missing"]).alias("Missing"),
+        F.transform(
+            n["systems"], lambda s: F.struct(s["asns"].alias("ASNs"))
+        ).alias("Systems"),
+    )
+    return F.to_json(F.struct(geo_out.alias("Geo"), net_out.alias("Network")))
+
+
+def truncate_error_body(body: F.Column, limit: int = 60) -> F.Column:
+    """O4 (api/v2/api-v2.go:328-331): error responses echo at most
+    the first ``limit`` characters of the offending request body."""
+    return F.substring(body, 1, limit)
+
+
 def parse_requests(
     docs: DataFrame, body_col: str = "body", id_col: str = "request_id"
 ) -> DataFrame:

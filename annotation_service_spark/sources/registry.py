@@ -79,3 +79,23 @@ def build_registry(
             | (F.dayofmonth("dataset_date") == 1)
         )
     return out
+
+
+def dataset_count_gauge(
+    registry: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """A5 (metrics.go DatasetCount gauge): loaded-snapshot counts,
+    one row per source plus the total the reference exports —
+    (source, n_datasets, earliest, latest)."""
+    per_source = registry.groupBy(source_col).agg(
+        F.count_distinct("dataset_date").alias("n_datasets"),
+        F.min("dataset_date").alias("earliest"),
+        F.max("dataset_date").alias("latest"),
+    )
+    total = registry.agg(
+        F.lit("__total__").alias(source_col),
+        F.count_distinct("dataset_date").alias("n_datasets"),
+        F.min("dataset_date").alias("earliest"),
+        F.max("dataset_date").alias("latest"),
+    )
+    return per_source.unionByName(total)

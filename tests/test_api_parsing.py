@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from annotation_service_spark.plans import api
 
 
@@ -40,3 +42,13 @@ def test_v2_and_v1_sniffing(spark):
 
     # unparseable body yields no rows (the reference 400s it)
     assert 3 not in by_req
+
+
+def test_error_body_truncation(spark):
+    """O4 (api/v2/api-v2.go:328-331): error echoes cap at 60 chars."""
+    from annotation_service_spark.plans.api import truncate_error_body
+
+    long_body = "x" * 100
+    df = spark.createDataFrame([(long_body,), ("short",)], "body string")
+    out = [r.t for r in df.select(truncate_error_body(F.col("body")).alias("t")).collect()]
+    assert sorted(out, key=len) == ["short", "x" * 60]

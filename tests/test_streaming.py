@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -138,3 +140,78 @@ def test_streaming_metrics_window(spark, tmp_path):
     assert sum(r.n for r in got) == 20
     buckets = {r.log10_bucket for r in got}
     assert buckets == {0, 1, 2, 3}
+
+
+def test_event_stream_refresh_pubsub_analog(spark, tmp_path):
+    """ST2 as an event stream (handler/pubsub.go:20-42 analog): the
+    stream carries file-ARRIVAL MESSAGES naming dataset files; only
+    not-yet-loaded paths build and append; duplicate announcements
+    are dropped by the loader cache map (ST3)."""
+    import json
+
+    data_dir = tmp_path / "datasets"
+    data_dir.mkdir()
+    events = tmp_path / "events"
+    events.mkdir()
+    out = tmp_path / "table"
+    ckpt = tmp_path / "ckpt"
+    store = rf.SnapshotStore()
+
+    f1 = data_dir / "20200101T000000Z-data.csv"
+    f1.write_text("k,v\na,1\nb,2\n")
+    f2 = data_dir / "20200601T000000Z-data.csv"
+    f2.write_text("k,v\nc,3\n")
+
+    def build(paths):
+        df = spark.read.csv(paths, header=True)
+        return df.withColumn("_src_path", F.input_file_name()).withColumn(
+            "dataset_date",
+            F.to_date(
+                F.regexp_extract(F.input_file_name(), r"(\d{8})T", 1), "yyyyMMdd"
+            ),
+        )
+
+    msg_schema = T.StructType([T.StructField("path", T.StringType())])
+
+    def announce(name, *paths):
+        (events / name).write_text(
+            "\n".join(json.dumps({"path": str(p)}) for p in paths)
+        )
+
+    # message 1 announces file 1
+    announce("m1.json", f1)
+    stream = spark.readStream.format("json").schema(msg_schema).load(str(events))
+    q = rf.start_event_refresh(stream, build, store, "geo", str(ckpt), str(out))
+    q.awaitTermination(120)
+    assert store.ready and store.version == 1
+    assert store.get("geo").count() == 2
+
+    # message 2 announces file 2 AND re-announces file 1 (duplicate)
+    announce("m2.json", f2, f1)
+    stream2 = spark.readStream.format("json").schema(msg_schema).load(str(events))
+    q2 = rf.start_event_refresh(stream2, build, store, "geo", str(ckpt), str(out))
+    q2.awaitTermination(120)
+    assert store.version == 2
+    t = store.get("geo")
+    assert t.count() == 3  # file 1 NOT double-loaded
+    dates = {str(r.dataset_date) for r in t.select("dataset_date").distinct().collect()}
+    assert dates == {"2020-01-01", "2020-06-01"}
+
+
+def test_dataset_count_gauge(spark):
+    """A5: per-source + total loaded-snapshot gauge."""
+    from annotation_service_spark.sources.registry import dataset_count_gauge
+
+    reg = spark.createDataFrame(
+        [
+            ("geolite2", dt.date(2020, 1, 1)),
+            ("geolite2", dt.date(2020, 2, 1)),
+            ("asn_v4", dt.date(2020, 1, 1)),
+        ],
+        "source string, dataset_date date",
+    )
+    rows = {r.source: r for r in dataset_count_gauge(reg).collect()}
+    assert rows["geolite2"].n_datasets == 2
+    assert rows["asn_v4"].n_datasets == 1
+    assert rows["__total__"].n_datasets == 2  # distinct dates overall
+    assert str(rows["__total__"].earliest) == "2020-01-01"

@@ -172,7 +172,7 @@ def _annotate_probes(spark: SparkSession, sf_dir: str, m_val: int) -> DataFrame:
     )
 
 
-def q_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_annotate(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFrame:
     """Flagship: the reference's full query lifecycle (SURVEY §3) —
     IP parse (P3) → 6to4 rewrite (P4) → broadcast binary-search range
     join (J1) → missing backfill (P15). Networks derive from `part`
@@ -197,6 +197,15 @@ def q_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("r.ip_low").alias("ip_low"), F.col("r.ip_high").alias("ip_high"), "p_brand")
 
     probes = _annotate_probes(spark, sf_dir, m_val)
+    if multiplier > 1:
+        # bench probe-scale sweep: replicate probes JVM-side (explode of
+        # a sequence — no extra input IO) to measure the per-probe cost
+        # curve of the broadcast join at 10x/100x probe volume
+        probes = probes.withColumn(
+            "__m", F.explode(F.sequence(F.lit(1), F.lit(multiplier)))
+        ).select(
+            (F.col("event_id") * multiplier + F.col("__m")).alias("event_id"), "ip"
+        )
     # fused kernel: parse (P3) + 6to4 (P4) + binary search (J1) in one
     # Arrow crossing — ~40% more probe throughput than UDF-then-join
     joined = iv.range_join_broadcast(

@@ -54,9 +54,17 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
 
 
+_DIM_MEMO: dict[tuple[int, str], int] = {}
+
+
 def _vec_dim(embeddings: DataFrame, vec_col: str) -> int:
-    row = embeddings.select(vec_col).first()
-    return len(row[0])
+    """Embedding width (fixed per corpus). Memoized on the plan's
+    semantic hash so repeated query construction over the same source
+    doesn't re-run a .first() driver job each time."""
+    key = (embeddings.semanticHash(), vec_col)
+    if key not in _DIM_MEMO:
+        _DIM_MEMO[key] = len(embeddings.select(vec_col).first()[0])
+    return _DIM_MEMO[key]
 
 
 def ann_bruteforce_topk(

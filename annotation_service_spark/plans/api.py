@@ -53,12 +53,13 @@ def _nz_bool(c: F.Column) -> F.Column:
     return F.when(c, F.lit(True))
 
 
-def go_annotations_json(geo: F.Column, network: F.Column) -> F.Column:
-    """S11 wire parity: marshal one (geo, network) pair exactly as
+def go_annotations_struct(geo: F.Column, network: F.Column) -> F.Column:
+    """S11 wire parity: shape one (geo, network) pair exactly as
     Go's ``json.Marshal(api.GeoData)`` does — field names and order
     from the struct declarations (api/api.go:32-51,101-112), and
     ``omitempty`` semantics (empty string / 0 / false / nil → field
-    omitted) via NULLifying + to_json's null dropping.
+    omitted) via NULLifying + to_json's null dropping. A zero-value
+    ASData marshals as ``{}``, as in Go.
 
     Caveat (documented, not hit by the reference's goldens): Go
     renders integral floats shortest-form ("42"), Jackson keeps the
@@ -94,7 +95,48 @@ def go_annotations_json(geo: F.Column, network: F.Column) -> F.Column:
             n["systems"], lambda s: F.struct(s["asns"].alias("ASNs"))
         ).alias("Systems"),
     )
-    return F.to_json(F.struct(geo_out.alias("Geo"), net_out.alias("Network")))
+    return F.struct(geo_out.alias("Geo"), net_out.alias("Network"))
+
+
+def go_annotations_json(geo: F.Column, network: F.Column) -> F.Column:
+    """v1 single-IP response body (handler/handler_test.go goldens)."""
+    return F.to_json(go_annotations_struct(geo, network))
+
+
+def go_v2_response_document(
+    annotated: DataFrame,
+    annotator_date: F.Column,
+    ip_col: str = "ip",
+) -> DataFrame:
+    """S11, full v2 document with Go-marshal parity
+    (api/v2/api-v2_test.go:46-164 golden): ``{"AnnotatorDate":
+    RFC3339, "Annotations": {ip: GeoData…}}`` — map keys in sorted
+    order (Go sorts map keys when marshalling; sort_array on the
+    entry structs reproduces it), omitempty per field, empty ASData
+    as ``{}``."""
+    entries = F.map_from_entries(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ip_col),
+                    go_annotations_struct(F.col("geo"), F.col("network")),
+                )
+            )
+        )
+    )
+    doc = annotated.agg(
+        F.first(annotator_date).alias("__date"), entries.alias("__ann")
+    )
+    return doc.select(
+        F.to_json(
+            F.struct(
+                F.date_format(
+                    F.col("__date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("AnnotatorDate"),
+                F.col("__ann").alias("Annotations"),
+            )
+        ).alias("response_json")
+    )
 
 
 def truncate_error_body(body: F.Column, limit: int = 60) -> F.Column:

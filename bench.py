@@ -61,14 +61,31 @@ def main() -> None:
     for name in BENCH_QUERIES:
         best = float("inf")
         for _ in range(3):  # best-of-3: first runs pay codegen/JIT compile
+            # clearCache BEFORE each iteration so every timing is a
+            # cold-cache execution (operators that .cache() internally
+            # would otherwise measure a warm rerun — ADVICE r1); JVM
+            # JIT/codegen warmth still accrues, which is intended.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        # Drop this query's cached intermediates (CacheManager matches
-        # canonicalized plans, so best-of-3 reuse above still applies);
-        # without this, cached blocks pile up across the session and
-        # later queries degrade under memory/GC pressure.
+    spark.catalog.clearCache()
+
+    # probe-scale sweep: the broadcast-range-join design promises a
+    # flat per-probe cost; demonstrate it by replaying annotate at
+    # 10x / 100x probe volume (JVM-side replication, single run each).
+    # The x100 per-probe microseconds is the closest local proxy for
+    # the 100x-scale claim.
+    import __spark_entry__ as em
+
+    sweep: dict[str, float] = {"x1": timings["annotate"]}
+    for mult in (10, 100):
+        t0 = time.perf_counter()
+        em.q_annotate(spark, sf_dir, multiplier=mult).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sweep[f"x{mult}"] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -79,6 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "annotate_probe_sweep": sweep,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -132,3 +132,55 @@ def test_family_union_noop_on_disjoint_data(spark):
     v6_row = [r for r in rows if r.p == "b"][0]
     assert v6_row.ip_low == ipf.py_ip_to_bytes16("2001:db8::")
     assert v6_row.ip_high == ipf.py_ip_to_bytes16("2001:db8::ffff")
+
+
+GOLDEN_V2_DOC = (
+    '{"AnnotatorDate":"2018-12-05T00:00:00Z","Annotations":'
+    '{"147.1.2.3":{"Geo":{"continent_code":"NA","country_code":"US",'
+    '"country_name":"United States","latitude":37.751,"longitude":-97.822},'
+    '"Network":{}},"8.8.8.8":{"Geo":{"continent_code":"NA",'
+    '"country_code":"US","country_name":"United States","latitude":37.751,'
+    '"longitude":-97.822},"Network":{}}}}'
+)
+
+
+def test_v2_document_golden(spark):
+    """api/v2/api-v2_test.go:46-164 TestDoRequest golden: the full v2
+    response document, byte-identical — RFC3339 AnnotatorDate, sorted
+    map keys, omitempty fields, zero-value ASData as {}."""
+    from annotation_service_spark.plans.api import go_v2_response_document
+
+    geo = {
+        "continent_code": "NA", "country_code": "US", "country_code3": "",
+        "country_name": "United States", "region": "",
+        "subdivision1_iso_code": "", "subdivision1_name": "",
+        "subdivision2_iso_code": "", "subdivision2_name": "",
+        "metro_code": 0, "city": "", "area_code": 0, "postal_code": "",
+        "latitude": 37.751, "longitude": -97.822, "radius": 0,
+        "missing": False,
+    }
+    net = {
+        "ip_prefix": "", "cidr": "", "as_number": None, "as_name": "",
+        "missing": False, "systems": None,
+    }
+    geo_t = (
+        "struct<continent_code:string,country_code:string,country_code3:string,"
+        "country_name:string,region:string,subdivision1_iso_code:string,"
+        "subdivision1_name:string,subdivision2_iso_code:string,"
+        "subdivision2_name:string,metro_code:bigint,city:string,"
+        "area_code:bigint,postal_code:string,latitude:double,longitude:double,"
+        "radius:bigint,missing:boolean>"
+    )
+    net_t = (
+        "struct<ip_prefix:string,cidr:string,as_number:bigint,as_name:string,"
+        "missing:boolean,systems:array<struct<asns:array<bigint>>>>"
+    )
+    # note: map insertion deliberately unsorted — sort_array must fix it
+    df = spark.createDataFrame(
+        [("8.8.8.8", geo, net), ("147.1.2.3", geo, net)],
+        f"ip string, geo {geo_t}, network {net_t}",
+    )
+    doc = go_v2_response_document(
+        df, F.lit("2018-12-05 00:00:00").cast("timestamp")
+    ).collect()[0].response_json
+    assert doc == GOLDEN_V2_DOC

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from annotation_service_spark.functions import ip as ipf
 from annotation_service_spark.functions import text as txt
 from annotation_service_spark.operators import asof as ao
+from annotation_service_spark.operators import curation as cu
 from annotation_service_spark.operators import dedup as dd
 from annotation_service_spark.operators import interval as iv
 from annotation_service_spark.operators import similarity as sim
@@ -598,6 +599,43 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens) with the engine's standard word
+    tokenization (same rule the text metrics / dedup family uses)."""
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    return docs.select("doc_id", "source", n_tok.cast("int").alias("n_tokens"))
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sample packing map: documents laid end-to-end per
+    source shard, cut into 512-token blocks; each doc → its block
+    span. Window cumsum, no UDF — the packing layout a pretraining
+    writer consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    return cu.concat_chunk_map(
+        _doc_tokens(docs), block_size=512, partition_by=["source"]
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling (training-mix
+    weighting): per-source keep rates, md5 coin — reproducible across
+    engines/runs."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = cu.stratified_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        salt="mix1",
+    )
+    return kept.select("doc_id", "source")
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing end-to-end: documents wrapped as
     opaque binary media + typed metadata, Arrow-batched mapInPandas
@@ -671,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_multisnapshot": q_annotate_multisnapshot,
         "legacy_annotate": q_legacy_annotate,
         "corpus_curation": q_corpus_curation,
+        "pack_chunks": q_pack_chunks,
+        "stratified_sample": q_stratified_sample,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
 
@@ -1150,6 +1190,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "legacy_annotate": _legacy_oracle(),
+        "pack_chunks": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                            x -> x <> '')) AS INTEGER) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS e
+                FROM t
+            )
+            SELECT source, doc_id, n_tokens,
+                   CAST(e - n_tokens AS BIGINT) AS start_off,
+                   CAST((e - n_tokens) // 512 AS BIGINT) AS first_block,
+                   CAST(CASE WHEN n_tokens > 0 THEN (e - 1) // 512
+                             ELSE (e - n_tokens) // 512 END AS BIGINT) AS last_block
+            FROM c
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+                  < CASE source WHEN 'src0' THEN 10000
+                                WHEN 'src1' THEN 5000
+                                WHEN 'src2' THEN 2500
+                                ELSE 1000 END
+        """,
         "dedup_minhash_lsh": _minhash_oracle(16, 8, 0.5),
         "dedup_simhash": _simhash_oracle(16, 4, 2),
         "dedup_ngram_jaccard": f"""

@@ -1,0 +1,145 @@
+"""Training-data curation operators: sample packing + stratified
+sampling (beyond-reference LLM-pipeline surface, SURVEY §2 extension).
+
+Three ops a pretraining data pipeline runs after dedup/quality
+filtering:
+
+- ``concat_chunk_map``: GPT-style packing — conceptually concatenate
+  the corpus (in a deterministic order) and cut fixed ``block_size``
+  token blocks; each document maps to the block span it lands in.
+  Pure window cumsum: one shuffle by partition key, no UDF, and the
+  map is what a downstream tokenizer/writer needs to emit packed
+  blocks. Fully oracle-checkable.
+- ``greedy_pack``: classic greedy fixed-capacity bin packing (no
+  document splitting — each doc goes whole into the current bin or
+  opens a new one). Inherently sequential PER GROUP, so it runs as
+  one Arrow batch per partition group (applyInPandas) and scales by
+  packing many groups/shards concurrently — which is how packing is
+  sharded in practice.
+- ``stratified_sample``: deterministic hash-threshold sampling with
+  per-stratum rates (data mixing). ``md5(id)``-based so it is
+  reproducible across engines and runs — no RNG state, no
+  sample()-nondeterminism; exactly the content-hash trick the dedup
+  family uses (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def concat_chunk_map(
+    docs: DataFrame,
+    block_size: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Map each document to its packed-block span: documents are laid
+    end-to-end in ``id_col`` order within each partition group and cut
+    into ``block_size``-token blocks. Returns the input keys plus
+    ``start_off`` (token offset of the doc), ``first_block`` /
+    ``last_block`` (0-based block ids the doc spans).
+
+    Scale: one window per partition group (the shuffle is by the
+    group key; groups are independent corpus shards). Empty docs
+    (0 tokens) occupy no span and map to the block of their offset.
+    """
+    part = list(partition_by)
+    w = Window.partitionBy(*part or [F.lit(1)]).orderBy(id_col)
+    end = F.sum(token_col).over(w)
+    start = (end - F.col(token_col)).alias("start_off")
+    first = F.floor((end - F.col(token_col)) / block_size)
+    last = F.when(
+        F.col(token_col) > 0, F.floor((end - 1) / block_size)
+    ).otherwise(first)
+    return docs.select(
+        *part,
+        id_col,
+        token_col,
+        (end - F.col(token_col)).alias("start_off"),
+        first.cast("long").alias("first_block"),
+        last.cast("long").alias("last_block"),
+    )
+
+
+def greedy_pack(
+    docs: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Greedy whole-document bin packing: walk documents in
+    ``id_col`` order; a doc that would overflow the open bin closes
+    it and opens the next (an oversize doc > capacity gets a bin of
+    its own). Returns input keys + ``bin_id`` (0-based per group).
+
+    The walk is sequential per group (the decision depends on the
+    running remainder, which no fixed window can express), so each
+    group packs as one vectorized-ish Arrow batch and groups pack in
+    parallel — shard your corpus into groups sized for one task."""
+    part = list(partition_by)
+    out_fields = [docs.schema[c] for c in part] + [
+        docs.schema[id_col],
+        docs.schema[token_col],
+        T.StructField("bin_id", T.LongType()),
+    ]
+    out_schema = T.StructType(out_fields)
+    cols = part + [id_col, token_col]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        cur = 0
+        bin_id = 0
+        for t in pdf[token_col].astype("int64"):
+            if cur > 0 and cur + t > capacity:
+                bin_id += 1
+                cur = 0
+            cur += int(t)
+            bins.append(bin_id)
+        pdf = pdf[cols].copy()
+        pdf["bin_id"] = bins
+        return pdf
+
+    src = docs.select(*cols)
+    if part:
+        return src.groupBy(*part).applyInPandas(pack, out_schema)
+    return src.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: pack(pdf.drop(columns="__g")), out_schema
+    )
+
+
+def sample_hash(id_col: F.Column, salt: str = "") -> F.Column:
+    """Deterministic [0, 10000) bucket from md5(salt|id) — the
+    engine-portable sampling coin (first 8 hex chars as an int)."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by the
+    deterministic hash coin — reproducible mixing weights for
+    training-data recipes. ``rates`` maps stratum value → keep rate
+    in [0, 1]; unlisted strata use ``default_rate``."""
+    thr = F.lit(int(default_rate * 10000))
+    expr = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(stratum_col) == k
+        t = F.lit(int(v * 10000))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return docs.where(sample_hash(F.col(id_col), salt) < thr)

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "topk_per_group",
     "annotate_multisnapshot",
     "legacy_annotate",
+    "pack_chunks",
+    "stratified_sample",
     "corpus_curation",
     "multimodal_pipeline",
 ]

@@ -1,0 +1,86 @@
+"""Training-data curation operators (packing + stratified sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from annotation_service_spark.operators import curation as cu
+
+
+def _docs(spark, tokens_by_id, source="s"):
+    return spark.createDataFrame(
+        [(i, source, t) for i, t in tokens_by_id.items()],
+        "doc_id long, source string, n_tokens int",
+    )
+
+
+def test_greedy_pack_invariants(spark):
+    toks = {1: 100, 2: 400, 3: 20, 4: 600, 5: 10, 6: 501, 7: 250, 8: 249}
+    out = cu.greedy_pack(_docs(spark, toks), capacity=500, partition_by=["source"])
+    rows = sorted((r.doc_id, r.bin_id) for r in out.collect())
+    # greedy walk in doc_id order (capacity 500):
+    # 100+400 fill bin0 exactly; 20 opens bin1; oversize 600 gets bin2
+    # alone; 10 opens bin3; 501 overflows it -> bin4 alone; 250+249
+    # share bin5.
+    assert rows == [
+        (1, 0), (2, 0), (3, 1), (4, 2), (5, 3), (6, 4), (7, 5), (8, 5)
+    ]
+    # structural invariants: no multi-doc bin over capacity; contiguous ids
+    bins: dict[int, list[int]] = {}
+    got = {r.doc_id: r for r in out.collect()}
+    for i, t in toks.items():
+        bins.setdefault(got[i].bin_id, []).append(t)
+    for b, ts in bins.items():
+        assert sum(ts) <= 500 or len(ts) == 1, (b, ts)
+    assert sorted(bins) == list(range(len(bins)))
+
+
+def test_greedy_pack_oversize_and_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 700), (2, "a", 100), (3, "b", 100), (4, "b", 400)],
+        "doc_id long, source string, n_tokens int",
+    )
+    out = {(r.source, r.doc_id): r.bin_id for r in
+           cu.greedy_pack(df, capacity=500, partition_by=["source"]).collect()}
+    assert out[("a", 1)] == 0          # oversize doc in its own bin
+    assert out[("a", 2)] == 1          # next doc opens a fresh bin
+    assert out[("b", 3)] == 0 and out[("b", 4)] == 0  # fits together
+    # groups pack independently (bin ids restart per group)
+
+
+def test_concat_chunk_map_brute_force(spark):
+    toks = {i: (i * 37) % 90 for i in range(1, 30)}
+    out = cu.concat_chunk_map(
+        _docs(spark, toks), block_size=64, partition_by=["source"]
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    off = 0
+    for i in sorted(toks):
+        t = toks[i]
+        r = rows[i]
+        assert r.start_off == off
+        assert r.first_block == off // 64
+        expect_last = (off + t - 1) // 64 if t > 0 else off // 64
+        assert r.last_block == expect_last
+        off += t
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    docs = spark.createDataFrame(
+        [(i, "heavy" if i % 2 else "light", "x") for i in range(2000)],
+        "doc_id long, source string, text string",
+    )
+    kept = cu.stratified_sample(
+        docs, rates={"heavy": 0.9, "light": 0.1}, salt="s1"
+    )
+    counts = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 800 < counts["heavy"] <= 1000   # ~0.9 of 1000
+    assert 50 < counts["light"] < 200      # ~0.1 of 1000
+    # same salt → identical sample; different salt → different sample
+    again = {r.doc_id for r in cu.stratified_sample(
+        docs, rates={"heavy": 0.9, "light": 0.1}, salt="s1").collect()}
+    assert again == {r.doc_id for r in kept.collect()}
+    other = {r.doc_id for r in cu.stratified_sample(
+        docs, rates={"heavy": 0.9, "light": 0.1}, salt="s2").collect()}
+    assert other != again

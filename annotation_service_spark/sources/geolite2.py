@@ -203,6 +203,13 @@ def build_geo_ranges(
     query time) exactly like the reference's LocationIndex
     indirection; at 100 TB probe scale this keeps the broadcast table
     small.
+
+    Family note: real GeoLite2 v4/v6 blocks are disjoint in the
+    canonical 16-byte space, so a unioned ``blocks`` input flattens
+    correctly as one table. For UNTRUSTED v6 sources that might cover
+    the v4-mapped /96, route through
+    ``plans.annotate.family_union`` first (reference family-routing
+    parity — see test_golden_json.py).
     """
     part = list(partition_by)
     loc_ids = locations.select("geoname_id").distinct()

@@ -462,11 +462,20 @@ def range_join_broadcast(
 
     pruned = _pruned_ranges(probes, ranges, keys, prune_keys, probe_keys_df)
 
-    # size gate: rough per-row bytes (bounds + payload cells + keys).
-    # count() on the build side is one tiny job; the build table is
-    # dimension-scale by contract here.
-    n_ranges = pruned.count()
-    est_bytes = n_ranges * (2 * width + 64 * len(payload) + 16 * len(keys))
+    # size gate, two tiers: Catalyst's sizeInBytes estimate is FREE
+    # (no job, no double execution of the build subplan); only when
+    # that (over)estimate crosses the threshold do we pay one count()
+    # job for a precise per-row-bytes estimate before falling back —
+    # so the common small-build path stays zero-extra-jobs.
+    try:
+        est_bytes = int(
+            str(pruned._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        est_bytes = max_broadcast_bytes + 1  # unknown → verify by count
+    if est_bytes > max_broadcast_bytes:
+        n_ranges = pruned.count()
+        est_bytes = n_ranges * (2 * width + 64 * len(payload) + 16 * len(keys))
     if est_bytes > max_broadcast_bytes:
         if is_long and not parse_ips:
             return range_join_bucketed(

@@ -106,3 +106,28 @@ def stateful_sessionize(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    docs_stream: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for an unbounded document feed (the
+    training-pipeline twin of ``operators.dedup.dedup_exact``): rows
+    whose content hash was already seen within the watermark horizon
+    are dropped; state expires with the watermark so it stays bounded.
+
+    Built on ``dropDuplicatesWithinWatermark`` keyed by the md5
+    content hash — the state store holds one row per DISTINCT
+    in-horizon document, keyed uniformly by hash (skew-free at any
+    scale); late duplicates beyond ``delay`` are the documented
+    trade-off of bounding state on an unbounded stream.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = docs_stream.withColumn(
+        "content_hash", F.md5(F.col(content_col))
+    ).withWatermark(ts_col, delay)
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])

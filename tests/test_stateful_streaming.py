@@ -119,3 +119,49 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_streaming_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicate content within the watermark
+    horizon is dropped across micro-batches; state keyed by content
+    hash."""
+    import json
+
+    from annotation_service_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows1 = [
+        {"doc_id": 1, "text": "alpha beta", "ts": "2024-01-01T10:00:00"},
+        {"doc_id": 2, "text": "gamma", "ts": "2024-01-01T10:01:00"},
+        {"doc_id": 3, "text": "alpha beta", "ts": "2024-01-01T10:02:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    rows2 = [
+        {"doc_id": 4, "text": "gamma", "ts": "2024-01-01T10:10:00"},
+        {"doc_id": 5, "text": "delta", "ts": "2024-01-01T10:11:00"},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .load(str(src))
+    )
+    out = streaming_dedup(stream, delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("select * from dedup_out").collect()}
+    # one survivor per distinct content: 'alpha beta' once, 'gamma'
+    # once, 'delta' once
+    texts = {r.text for r in spark.sql("select * from dedup_out").collect()}
+    assert texts == {"alpha beta", "gamma", "delta"}
+    assert len(got) == 3

@@ -636,6 +636,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py): every event
+    lands on one of FIVE hot region keys — the worst-case shuffle
+    skew — and the dim joins without a broadcast hint: the
+    deterministic salt spreads each hot key over 8 reducers."""
+    from annotation_service_spark.operators import skew as sk
+
+    ev = _t(spark, sf_dir, "events")
+    big = ev.select("event_id", (F.col("user_id") % 5).alias("rkey"))
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rkey"), "r_name"
+    )
+    return sk.salted_join(big, region, ["rkey"], n_salts=8)
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing end-to-end: documents wrapped as
     opaque binary media + typed metadata, Arrow-batched mapInPandas
@@ -711,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
+        "skew_join": q_skew_join,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
 
@@ -1217,6 +1233,10 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 5000
                                 WHEN 'src2' THEN 2500
                                 ELSE 1000 END
+        """,
+        "skew_join": """
+            SELECT e.event_id, e.user_id % 5 AS rkey, r.r_name
+            FROM events e JOIN region r ON r.r_regionkey = e.user_id % 5
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 8, 0.5),
         "dedup_simhash": _simhash_oracle(16, 4, 2),

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "legacy_annotate",
     "pack_chunks",
     "stratified_sample",
+    "skew_join",
     "corpus_curation",
     "multimodal_pipeline",
 ]

@@ -1,0 +1,64 @@
+"""Skew-mitigation operators: salted join, two-phase aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from annotation_service_spark.operators import skew as sk
+
+
+def _skewed(spark):
+    # 5 hot keys over 3000 rows; small side NOT broadcastable in spirit
+    big = spark.range(3000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 5).alias("k")
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], "k long, name string"
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_join(spark):
+    big, small = _skewed(spark)
+    for how in ("inner", "left"):
+        a = sorted(
+            (r.row_id, r.name)
+            for r in sk.salted_join(big, small, ["k"], n_salts=4, how=how).collect()
+        )
+        b = sorted(
+            (r.row_id, r.name)
+            for r in big.join(small, "k", how).select("row_id", "name").collect()
+        )
+        assert a == b, how
+
+
+def test_salted_join_is_deterministic_and_salted(spark):
+    big, small = _skewed(spark)
+    out = sk.salted_join(big, small, ["k"], n_salts=4)
+    r1 = sorted((r.row_id, r.name) for r in out.collect())
+    r2 = sorted((r.row_id, r.name) for r in out.collect())
+    assert r1 == r2  # xxhash64 salt: stable across executions/retries
+    # the join actually runs on (k, __salt)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_two_phase_agg_matches_direct(spark):
+    big, _ = _skewed(spark)
+    df = big.withColumn("v", (F.col("row_id") * 7 % 113).cast("long"))
+    out = sk.two_phase_agg(
+        df,
+        ["k"],
+        {
+            "n": (F.count, F.sum, "v"),
+            "total": (F.sum, F.sum, "v"),
+            "mx": (F.max, F.max, "v"),
+        },
+        n_salts=4,
+    )
+    direct = df.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx")
+    )
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b

@@ -150,3 +150,19 @@ def test_v2_response_document(spark, tables):
     assert set(body["Annotations"].keys()) == {"1.0.0.5", "9.9.9.9"}
     assert body["Annotations"]["1.0.0.5"]["geo"]["country_code"] == "AU"
     assert body["Annotations"]["9.9.9.9"]["geo"]["missing"] is True
+
+
+def test_annotate_plan_has_no_probe_shuffle(spark, tables):
+    """Scale contract of the flagship path: the probe stream flows
+    scan → mapInPandas (broadcast range join) → broadcast dim joins →
+    project with NO shuffle Exchange anywhere — dims ride
+    BroadcastExchange only. This is the property that makes the plan
+    hold at 100 TB of probes."""
+    geo_ranges, locations, asn_ranges, asnames = tables
+    requests = spark.createDataFrame(
+        [("1.0.0.5",), ("8.8.8.8",)], "ip string"
+    )
+    out = plan.annotate(requests, geo_ranges, locations, asn_ranges, asnames)
+    ptxt = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in ptxt
+    assert "Exchange rangepartitioning" not in ptxt

@@ -636,6 +636,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministic PLANTED PII
+    (synthetic docs carry none): each doc gains an email, a phone,
+    and an IPv4 literal derived from doc_id; the redactor must find
+    and replace all of them plus anything already present."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+        F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    out = docs.select("doc_id", txt.redact_pii(planted).alias("r"))
+    return out.select(
+        "doc_id",
+        F.col("r.n_emails").alias("n_emails"),
+        F.col("r.n_phones").alias("n_phones"),
+        F.col("r.n_ips").alias("n_ips"),
+        F.md5(F.col("r.redacted")).alias("redacted_md5"),
+    )
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/skew.py): every event
     lands on one of FIVE hot region keys — the worst-case shuffle
@@ -727,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
         "skew_join": q_skew_join,
+        "pii_redact": q_pii_redact,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
 
@@ -1237,6 +1263,26 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": """
             SELECT e.event_id, e.user_id % 5 AS rkey, r.r_name
             FROM events e JOIN region r ON r.r_regionkey = e.user_id % 5
+        """,
+        "pii_redact": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com tel 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-1234 host 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS INTEGER) AS n_phones,
+                   CAST(len(regexp_extract_all(t, '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b')) AS INTEGER) AS n_ips,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                        '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b', '<IP>', 'g')) AS redacted_md5
+            FROM planted
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 8, 0.5),
         "dedup_simhash": _simhash_oracle(16, 4, 2),

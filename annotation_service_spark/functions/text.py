@@ -228,3 +228,35 @@ def doc_fingerprint(text: Column, ngram: int = 5) -> Column:
         F.array_min(F.transform(shingles, lambda s: F.md5(s))),
         F.md5(normalized),
     )
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, \b word boundaries —
+# no lookarounds, so one pattern text serves both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / phone numbers / IPv4 literals from a document,
+    returning struct(redacted, n_emails, n_phones, n_ips). All
+    replacement happens JVM-side (regexp_replace replaces every
+    match); counts come from regexp_extract_all BEFORE redaction so
+    overlapping kinds count independently."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0)))
+    red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    return F.struct(
+        red.alias("redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+    )

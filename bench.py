@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pack_chunks",
     "stratified_sample",
     "skew_join",
+    "pii_redact",
     "corpus_curation",
     "multimodal_pipeline",
 ]

@@ -84,3 +84,21 @@ def test_stratified_sample_deterministic_and_rated(spark):
     other = {r.doc_id for r in cu.stratified_sample(
         docs, rates={"heavy": 0.9, "light": 0.1}, salt="s2").collect()}
     assert other != again
+
+
+def test_redact_pii_unit(spark):
+    from annotation_service_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("write a@b.co or c.d+x@e-f.org, call 555-123-4567, ping 10.0.0.1",),
+            ("no pii here, 999.999.999.999 is not an ip, 12-34-56 not a phone",),
+        ],
+        "text string",
+    )
+    out = [r.r for r in df.select(redact_pii(F.col("text")).alias("r")).collect()]
+    assert out[0].n_emails == 2 and out[0].n_phones == 1 and out[0].n_ips == 1
+    assert "<EMAIL>" in out[0].redacted and "<PHONE>" in out[0].redacted
+    assert "a@b.co" not in out[0].redacted and "10.0.0.1" not in out[0].redacted
+    assert out[1].n_emails == 0 and out[1].n_phones == 0 and out[1].n_ips == 0
+    assert out[1].redacted.startswith("no pii here")

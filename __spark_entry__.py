@@ -636,6 +636,28 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation under worst-case key skew: all
+    events collapse onto 5 keys; the partial phase runs on
+    (key, salt) so no single reducer owns a hot key's full state."""
+    from annotation_service_spark.operators import skew as sk
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("k"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    return sk.two_phase_agg(
+        ev,
+        ["k"],
+        {
+            "n": (F.count, F.sum, "v"),
+            "total": (F.sum, F.sum, "v"),
+            "mx": (F.max, F.max, "v"),
+        },
+        n_salts=8,
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministic PLANTED PII
     (synthetic docs carry none): each doc gains an email, a phone,
@@ -752,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
         "skew_join": q_skew_join,
+        "skew_agg": q_skew_agg,
         "pii_redact": q_pii_redact,
         "multimodal_pipeline": q_multimodal_pipeline,
     }
@@ -1263,6 +1286,13 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": """
             SELECT e.event_id, e.user_id % 5 AS rkey, r.r_name
             FROM events e JOIN region r ON r.r_regionkey = e.user_id % 5
+        """,
+        "skew_agg": """
+            SELECT user_id % 5 AS k,
+                   COUNT(*) AS n,
+                   SUM(CAST(floor(value * 1000) AS BIGINT)) AS total,
+                   MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
+            FROM events GROUP BY 1
         """,
         "pii_redact": """
             WITH planted AS (

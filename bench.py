@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "skew_join",
     "pii_redact",
+    "skew_agg",
     "corpus_curation",
     "multimodal_pipeline",
 ]

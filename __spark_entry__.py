@@ -650,7 +650,7 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["k"],
         {
-            "n": (F.count, F.sum, "v"),
+            "n": (F.count, F.sum, None),  # COUNT(*) row-count parity
             "total": (F.sum, F.sum, "v"),
             "mx": (F.max, F.max, "v"),
         },
@@ -988,7 +988,16 @@ def _ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 3) -> str:
     centroids the gate query uses (shared helper reads the oracle
     parquet): distance cc − 2·v·c with cc as a literal, assignment =
     first-min by (dist, cid), probes = n_probe smallest by the same
-    order, candidates via inverted-list equi-join, exact re-rank."""
+    order, candidates via inverted-list equi-join, exact re-rank.
+
+    GATE ASSUMPTION: the Spark side assigns centroids via BLAS matmul
+    while DuckDB reduces ``list_sum`` sequentially; the two differ
+    only in summation ORDER, so an exact/ulp-level near-tie in
+    centroid distance could flip an assignment and change candidate
+    lists. The synthetic gate embeddings have no such near-ties
+    (k-means centroid distances are well separated); on adversarial
+    data, assign in the oracle with the same sequential expression
+    used for re-ranking."""
     import numpy as np
 
     from annotation_service_spark.operators.similarity import (
@@ -1290,7 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_agg": """
             SELECT user_id % 5 AS k,
                    COUNT(*) AS n,
-                   SUM(CAST(floor(value * 1000) AS BIGINT)) AS total,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total,
                    MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
             FROM events GROUP BY 1
         """,

@@ -20,6 +20,16 @@ the standard trade.
 map-side partial aggregation, so this matters only for aggregates
 with large per-key state (e.g. collect_set on a hot key) — provided
 the combine is algebraic.
+
+Salt derivation: xxhash64 of the row content PLUS a per-row
+``monotonically_increasing_id()``, so fully identical duplicate rows
+(repeated log lines — a common real skew shape) still spread across
+salts instead of collapsing onto one. The id term is nondeterministic
+across retries, but the OUTPUT is salt-invariant by construction (the
+join replicates the small side for every salt value; the aggregation
+combine is algebraic), so task retries / speculative execution cannot
+change results — Spark recomputes nondeterministic map stages whole
+on fetch failure.
 """
 
 from __future__ import annotations
@@ -28,6 +38,15 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _row_salt(cols: Sequence[str], n_salts: int) -> Column:
+    """Per-row salt in [0, n_salts): content hash + a per-row unique
+    id, so identical duplicate rows don't all land on one salt."""
+    src: list[Column] = [F.col(c) for c in cols]
+    return F.pmod(
+        F.xxhash64(*src) + F.monotonically_increasing_id(), F.lit(n_salts)
+    )
 
 
 def salted_join(
@@ -43,8 +62,7 @@ def salted_join(
     Output columns = big's columns + small's non-key columns (the
     usual equi-join projection)."""
     on = list(on)
-    salt_src: list[Column] = [F.col(c) for c in big.columns]
-    b = big.withColumn("__salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)))
+    b = big.withColumn("__salt", _row_salt(big.columns, n_salts))
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("long"))
@@ -63,13 +81,19 @@ def two_phase_agg(
     heavy per-key state. ``aggs`` maps output name → (partial_fn,
     final_fn, col), e.g. {"n": (F.count, F.sum, "x")} or
     {"mx": (F.max, F.max, "x")}; partial runs on (keys, salt), final
-    on keys."""
+    on keys.
+
+    ``col=None`` means "count rows" (SQL ``COUNT(*)``): the partial
+    runs on a literal, so NULLs in data columns are counted. With a
+    named column, ``F.count`` keeps SQL ``COUNT(col)`` non-null
+    semantics — choose per aggregate."""
     keys = list(keys)
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    )
+    salted = df.withColumn("__salt", _row_salt(df.columns, n_salts))
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[pf(c).alias(f"__p_{name}") for name, (pf, _ff, c) in aggs.items()]
+        *[
+            pf(F.lit(1) if c is None else c).alias(f"__p_{name}")
+            for name, (pf, _ff, c) in aggs.items()
+        ]
     )
     return partial.groupBy(*keys).agg(
         *[ff(f"__p_{name}").alias(name) for name, (_pf, ff, _c) in aggs.items()]

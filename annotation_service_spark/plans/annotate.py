@@ -39,7 +39,7 @@ GEO_PAYLOAD = ["gid", "postal_code", "latitude", "longitude"]
 _V4_SPAN_LOW = b"\x00" * 10 + b"\xff\xff" + b"\x00" * 4
 _V4_SPAN_HIGH = b"\x00" * 10 + b"\xff\xff" + b"\xff" * 4
 _V4_SPAN_BELOW = b"\x00" * 10 + b"\xff\xfe" + b"\xff" * 4  # _V4_SPAN_LOW − 1
-_V4_SPAN_ABOVE = b"\x00" * 11 + b"\x01" + b"\x00" * 4  # _V4_SPAN_HIGH + 1
+_V4_SPAN_ABOVE = b"\x00" * 9 + b"\x01" + b"\x00" * 6  # _V4_SPAN_HIGH + 1 (= 2^48)
 
 
 def family_union(

@@ -134,6 +134,62 @@ def test_family_union_noop_on_disjoint_data(spark):
     assert v6_row.ip_high == ipf.py_ip_to_bytes16("2001:db8::ffff")
 
 
+def test_family_union_straddling_v6_clip(spark):
+    """A v6 row straddling the v4-mapped /96 (the full-range node of
+    handler/handler_test.go:49-126) must clip into pieces that are
+    DISJOINT from the /96 — the above-piece low is exactly
+    _V4_SPAN_HIGH+1 = 2^48 — and v6 probes on either side of the /96
+    must still hit the clipped row while v4 probes hit only v4 rows.
+
+    Regression: _V4_SPAN_ABOVE was 2^32, so the above piece still
+    covered the whole /96, violated sorted-disjointness, and shadowed
+    every v6 probe above the /96."""
+    from annotation_service_spark.operators.interval import range_join_broadcast
+
+    v4 = spark.createDataFrame(
+        [(ipf.py_ip_to_bytes16("0.0.0.0"), ipf.py_ip_to_bytes16("255.255.255.255"), "v4")],
+        "ip_low binary, ip_high binary, p string",
+    )
+    v6 = spark.createDataFrame(
+        [(bytes(16), b"\xff" * 16, "wide")],
+        "ip_low binary, ip_high binary, p string",
+    )
+    ranges = an.family_union(v4, v6)
+    pieces = sorted(
+        [(r.ip_low, r.ip_high) for r in ranges.filter("p = 'wide'").collect()]
+    )
+    assert pieces == [
+        (bytes(16), an._V4_SPAN_BELOW),
+        (an._V4_SPAN_ABOVE, b"\xff" * 16),
+    ]
+    assert an._V4_SPAN_ABOVE == b"\x00" * 9 + b"\x01" + b"\x00" * 6  # 2^48
+    # disjoint + sorted: no piece may intersect [_V4_SPAN_LOW, _V4_SPAN_HIGH]
+    for lo, hi in pieces:
+        assert hi < an._V4_SPAN_LOW or lo > an._V4_SPAN_HIGH
+
+    probes = an.prepare_probes(
+        spark.createDataFrame(
+            [("::1:0:0",),          # 2^32: below the /96, above old buggy bound
+             ("::1:0:0:0",),        # 2^48: first address above the /96
+             ("2001:db8::1",),      # ordinary v6 far above the /96
+             ("8.8.8.8",)],         # v4: must hit the v4 row, not "wide"
+            "ip string",
+        )
+    )
+    got = {
+        r.ip: r.p
+        for r in range_join_broadcast(
+            probes, ranges, probe_col="__eff", payload=["p"], how="left"
+        ).collect()
+    }
+    assert got == {
+        "::1:0:0": "wide",
+        "::1:0:0:0": "wide",
+        "2001:db8::1": "wide",
+        "8.8.8.8": "v4",
+    }
+
+
 GOLDEN_V2_DOC = (
     '{"AnnotatorDate":"2018-12-05T00:00:00Z","Annotations":'
     '{"147.1.2.3":{"Geo":{"continent_code":"NA","country_code":"US",'

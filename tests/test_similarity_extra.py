@@ -58,6 +58,38 @@ def test_ivf_topk_recall(spark, vec_df):
     assert full == bf
 
 
+def test_gemm_local_slack_margin_on_gate_data():
+    """Verifies the ``local_slack=8`` gate assumption empirically on
+    the gate dataset: how far can matmul-vs-sequential summation-order
+    rounding displace a true global top-k row in the ranking? The
+    margin must be comfortably below the slack for the local prune in
+    ``ann_bruteforce_topk_gemm`` to be provably lossless there."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    qmask = ids % 50 == 0
+    q = v[qmask]
+    s_gemm = v @ q.T
+    # sequential left-to-right dot, mirroring the dim-unrolled codegen
+    s_seq = np.zeros_like(s_gemm)
+    for j in range(v.shape[1]):
+        s_seq += np.outer(v[:, j], q[:, j])
+    s_gemm[ids[:, None] == ids[qmask][None, :]] = -np.inf
+    s_seq[ids[:, None] == ids[qmask][None, :]] = -np.inf
+    k, max_disp = 3, 0
+    for c in range(q.shape[0]):
+        order_seq = np.argsort(-s_seq[:, c], kind="stable")
+        rank_gemm = np.empty(len(ids), dtype=np.int64)
+        rank_gemm[np.argsort(-s_gemm[:, c], kind="stable")] = np.arange(len(ids))
+        for true_rank, row in enumerate(order_seq[:k]):
+            max_disp = max(max_disp, int(rank_gemm[row]) - true_rank)
+    assert max_disp <= 2, f"rank displacement {max_disp} too close to slack=8"
+
+
 def test_gemm_topk_matches_expression_form(spark, vec_df):
     """The per-partition GEMM formulation returns the same neighbor
     set as the crossJoin expression form (exact method, different

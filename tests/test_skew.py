@@ -62,3 +62,42 @@ def test_two_phase_agg_matches_direct(spark):
     a = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in direct.collect())
     assert a == b
+
+
+def test_two_phase_agg_null_semantics(spark):
+    """COUNT(*) vs COUNT(col) parity with NULL-bearing data: col=None
+    counts rows (DuckDB COUNT(*)); a named column keeps non-null
+    semantics (DuckDB COUNT(v))."""
+    df = spark.createDataFrame(
+        [(0, 10), (0, None), (0, 3), (1, None), (1, None)], "k long, v long"
+    )
+    out = sk.two_phase_agg(
+        df,
+        ["k"],
+        {
+            "n_rows": (F.count, F.sum, None),
+            "n_v": (F.count, F.sum, "v"),
+            "total": (F.sum, F.sum, "v"),
+        },
+        n_salts=4,
+    )
+    got = {r.k: (r.n_rows, r.n_v, r.total) for r in out.collect()}
+    assert got == {0: (3, 2, 13), 1: (2, 0, None)}
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """Fully identical rows (repeated log lines — the worst-case skew
+    shape) must still spread across salts, not collapse onto one."""
+    df = spark.createDataFrame([("hot", 1)] * 4000, "k string, v long")
+    n = (
+        df.withColumn("__salt", sk._row_salt(df.columns, 8))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n == 8
+    # and the salted aggregation still combines to the right answer
+    out = sk.two_phase_agg(
+        df, ["k"], {"n": (F.count, F.sum, None), "s": (F.sum, F.sum, "v")}
+    ).collect()
+    assert [(r.k, r.n, r.s) for r in out] == [("hot", 4000, 4000)]

@@ -199,9 +199,14 @@ LEGACY_DAT_SCHEMA = (
 def legacy_dat_table(spark, path):
     """S10 batch surface: ``binaryFile`` scan of .dat snapshots →
     (path, range, record) rows. One Arrow batch per file; files parse
-    in parallel across executors. Feed the result to
+    in parallel across executors. Gzipped snapshots (``.dat.gz``, how
+    the real legacy corpus is stored — loader/loader.go:79-110 gunzips
+    before opening) are detected by magic bytes and decompressed
+    in-task. Feed the result to
     ``plans.legacy.legacy_geo_projection`` for the FIPS remap and
     GeolocationIP shaping."""
+    import gzip
+
     import pandas as pd
 
     cols = [f.split()[0] for f in LEGACY_DAT_SCHEMA.split(",")]
@@ -209,7 +214,10 @@ def legacy_dat_table(spark, path):
     def parse(it):
         for pdf in it:
             for path_str, content in zip(pdf["path"], pdf["content"]):
-                rows = list(enumerate_dat(bytes(content)))
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":  # gzip magic
+                    raw = gzip.decompress(raw)
+                rows = list(enumerate_dat(raw))
                 out = pd.DataFrame(rows, columns=[c for c in cols if c != "path"])
                 out.insert(0, "path", path_str)
                 yield out[cols]

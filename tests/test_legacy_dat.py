@@ -116,3 +116,24 @@ def test_spark_binaryfile_path_and_projection(spark, tmp_path):
     assert out["El Segundo"].latitude == pytest.approx(33.916)
     assert out["Munich"].subdivision1_name == "Bavaria"
     assert out["Paris"].subdivision1_iso_code == ""  # unmapped FIPS → empty
+
+
+def test_dat_gz_round_trip(spark, tmp_path):
+    """The real legacy corpus stores ``.dat.gz`` (loader/loader.go:
+    79-110 gunzips before opening): the gzipped fixture must yield the
+    exact same ranges as the raw one, detected by magic bytes."""
+    import gzip
+
+    dat = tmp_path / "20170408T080000Z-GeoLiteCity.dat"
+    ld.ensure_demo_fixture(str(dat))
+    gz = tmp_path / "20170408T080000Z-GeoLiteCity.dat.gz"
+    gz.write_bytes(gzip.compress(dat.read_bytes()))
+
+    raw_rows = sorted(
+        tuple(r)[1:] for r in ld.legacy_dat_table(spark, str(dat)).collect()
+    )
+    gz_rows = sorted(
+        tuple(r)[1:] for r in ld.legacy_dat_table(spark, str(gz)).collect()
+    )
+    assert gz_rows == raw_rows
+    assert len(gz_rows) == len(list(ld.enumerate_dat(dat.read_bytes())))

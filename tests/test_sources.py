@@ -176,6 +176,60 @@ def test_zip_member_extraction(spark, fixture_dir):
     assert "1.0.0.0/24" in nets
 
 
+def test_corrupt_zip_skip_and_count(spark, tmp_path):
+    """S8 corrupt-archive semantics (geolite2v2/g2_test.go
+    TestCorruptData, loader/csv-reader.go:17-19): an unreadable
+    archive is skipped-and-counted while good archives still load;
+    a record with too few columns is dropped-and-counted in skip
+    mode."""
+    with zipfile.ZipFile(tmp_path / "good.zip", "w") as zf:
+        zf.writestr("x/GeoLite2-City-Blocks-IPv4.csv", BLOCKS_CSV)
+    (tmp_path / "corrupt.zip").write_bytes(b"PK\x03\x04 this is not a zip")
+
+    df = zipcsv.zip_member_csv(
+        spark, str(tmp_path / "*.zip"), "Blocks-IPv4.csv", geolite2.BLOCKS_COLUMNS
+    )
+    rows = df.collect()
+    assert len(rows) == 4  # good archive fully read
+    assert df.corrupt_archive_acc.value == 1
+    assert df.bad_record_acc.value == 0
+
+    # wrong number of columns → dropped + counted (skip mode)
+    with zipfile.ZipFile(tmp_path / "short.zip", "w") as zf:
+        zf.writestr(
+            "y/GeoLite2-City-Locations-en.csv",
+            "a,b,c\n1,2,3\nonly-one-column\n4,5,6\n",
+        )
+    df2 = zipcsv.zip_member_csv(
+        spark, str(tmp_path / "short.zip"), "Locations-en.csv", ["a", "b", "c"]
+    )
+    rows2 = df2.collect()
+    assert [(r.a, r.b, r.c) for r in rows2] == [("1", "2", "3"), ("4", "5", "6")]
+    assert df2.bad_record_acc.value == 1
+
+
+def test_corrupt_zip_abort_mode(spark, tmp_path):
+    """on_corrupt="abort" reproduces the reference's fatal behavior
+    and exact message: maxBadRecordsPerFile = 0 means one short
+    record kills the load with "Corrupted Data: wrong number of
+    columns"."""
+    import pytest as _pytest
+
+    with zipfile.ZipFile(tmp_path / "corruptdata.zip", "w") as zf:
+        zf.writestr(
+            "y/GeoLite2-City-Locations-en.csv", "a,b,c\n1,2,3\nshort,row\n"
+        )
+    df = zipcsv.zip_member_csv(
+        spark,
+        str(tmp_path / "corruptdata.zip"),
+        "Locations-en.csv",
+        ["a", "b", "c"],
+        on_corrupt="abort",
+    )
+    with _pytest.raises(Exception, match="Corrupted Data: wrong number of columns"):
+        df.collect()
+
+
 def test_registry_dates_and_cutoff(spark):
     paths = spark.createDataFrame(
         [

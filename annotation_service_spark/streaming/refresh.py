@@ -26,6 +26,8 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import os
+import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,16 +104,28 @@ def start_event_refresh(
     handler/pubsub.go:20-42): the stream carries file-arrival
     MESSAGES — rows naming dataset files — not file contents. Per
     micro-batch, paths not yet loaded are built via
-    ``build_paths_batch(list[str]) -> DataFrame`` and appended as new
-    ``dataset_date`` partitions, then the store swaps (ST4).
+    ``build_paths_batch(list[str]) -> DataFrame`` and published as a
+    new ``batch=<epoch>`` partition, then the store swaps (ST4).
 
-    ST3 cache-awareness: the checkpoint dedupes message BATCHES
-    (exactly-once), and a driver-side loaded-set dedupes re-announced
-    PATHS within the run (the reference's loader cache map,
-    geoloader/geoloader.go:122-152); on restart the set rebuilds from
-    the already-written output partitions' source paths.
+    Delivery contract: ``foreachBatch`` is AT-LEAST-ONCE; end-to-end
+    the sink is effectively exactly-once at the file level because
+    the publish is IDEMPOTENT — each micro-batch overwrites its own
+    ``batch=<epoch_id>`` directory (epoch ids are stable across
+    retries of the same batch), so a crash mid-write is cleaned up by
+    the retry instead of leaving stray rows behind.
+
+    ST3 cache-awareness: the checkpoint dedupes message BATCHES, and
+    a driver-side loaded-set dedupes re-announced PATHS (the
+    reference's loader cache map, geoloader/geoloader.go:122-152).
+    On restart the set rebuilds from a tiny per-batch MANIFEST
+    (``<output_dir>/_manifest/``, one text file per committed batch,
+    written atomically via rename AFTER the data commit) — never from
+    the data files, so a partially-written batch is re-loaded rather
+    than silently skipped, and recovery cost is O(batches), not
+    O(rows).
     """
     spark = event_stream.sparkSession
+    manifest_dir = os.path.join(output_dir, "_manifest")
 
     def norm(p: str) -> str:
         # input_file_name() yields URIs (file:///…); messages may carry
@@ -119,15 +133,10 @@ def start_event_refresh(
         return p.split("://", 1)[-1] if "://" in p else p
 
     loaded: set[str] = set()
-    try:  # restart: recover the cache map from what's already built
-        existing = spark.read.parquet(output_dir)
-        if "_src_path" in existing.columns:
-            loaded.update(
-                norm(r[0])
-                for r in existing.select("_src_path").distinct().collect()
-            )
-    except Exception:
-        pass
+    if os.path.isdir(manifest_dir):  # restart: recover the cache map
+        for name in os.listdir(manifest_dir):
+            with open(os.path.join(manifest_dir, name)) as fh:
+                loaded.update(line.strip() for line in fh if line.strip())
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         paths = [r[0] for r in batch_df.select(path_col).distinct().collect()]
@@ -136,12 +145,18 @@ def start_event_refresh(
             return
         built = build_paths_batch(new)
         (
-            built.write.mode("append")
+            built.write.mode("overwrite")
             .partitionBy("dataset_date")
-            .parquet(output_dir)
+            .parquet(os.path.join(output_dir, f"batch={int(epoch_id)}"))
         )
+        # publish the manifest only after the data commit; atomic rename
+        os.makedirs(manifest_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(norm(p) for p in new) + "\n")
+        os.replace(tmp, os.path.join(manifest_dir, f"batch-{int(epoch_id)}.txt"))
         loaded.update(norm(p) for p in new)
-        store.swap(table_name, spark.read.parquet(output_dir))
+        store.swap(table_name, spark.read.parquet(output_dir).drop("batch"))
 
     writer = (
         event_stream.writeStream.foreachBatch(process)
@@ -165,8 +180,14 @@ def start_refresh(
 ):
     """Run the refresh loop: per micro-batch of newly-arrived rows,
     ``build_batch(batch_df) -> DataFrame`` produces new snapshot
-    partitions, which append to the partitioned parquet table; the
+    partitions, published into the partitioned parquet table; the
     store then re-publishes the whole table (ST4 swap).
+
+    Same idempotent-publish contract as ``start_event_refresh``:
+    each micro-batch overwrites its own ``batch=<epoch_id>``
+    directory, so an at-least-once ``foreachBatch`` retry after a
+    crash mid-write replaces the partial output instead of appending
+    duplicates.
 
     ``available_now=True`` drains pending files and stops — the
     scheduled-batch analog of the reference's randomized timer; pass
@@ -179,11 +200,11 @@ def start_refresh(
             return
         built = build_batch(batch_df)
         (
-            built.write.mode("append")
+            built.write.mode("overwrite")
             .partitionBy("dataset_date")
-            .parquet(output_dir)
+            .parquet(os.path.join(output_dir, f"batch={int(epoch_id)}"))
         )
-        store.swap(table_name, spark.read.parquet(output_dir))
+        store.swap(table_name, spark.read.parquet(output_dir).drop("batch"))
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

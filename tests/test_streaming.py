@@ -198,6 +198,61 @@ def test_event_stream_refresh_pubsub_analog(spark, tmp_path):
     assert dates == {"2020-01-01", "2020-06-01"}
 
 
+def test_event_refresh_partial_write_recovery(spark, tmp_path):
+    """Crash-mid-write safety: a partially-written batch directory
+    with NO manifest entry must not mark its path 'loaded' — the
+    retry overwrites the partial output (batch=<epoch> idempotent
+    publish) and the file loads exactly once, instead of the old
+    silent skip + stray rows."""
+    import json
+
+    data_dir = tmp_path / "datasets"
+    data_dir.mkdir()
+    events = tmp_path / "events"
+    events.mkdir()
+    out = tmp_path / "table"
+    ckpt = tmp_path / "ckpt"
+    store = rf.SnapshotStore()
+
+    f1 = data_dir / "20200101T000000Z-data.csv"
+    f1.write_text("k,v\na,1\nb,2\n")
+    f2 = data_dir / "20200601T000000Z-data.csv"
+    f2.write_text("k,v\nc,3\nd,4\n")
+
+    def build(paths):
+        df = spark.read.csv(paths, header=True)
+        return df.withColumn("_src_path", F.input_file_name()).withColumn(
+            "dataset_date",
+            F.to_date(
+                F.regexp_extract(F.input_file_name(), r"(\d{8})T", 1), "yyyyMMdd"
+            ),
+        )
+
+    msg_schema = T.StructType([T.StructField("path", T.StringType())])
+    (events / "m1.json").write_text(json.dumps({"path": str(f1)}))
+    stream = spark.readStream.format("json").schema(msg_schema).load(str(events))
+    q = rf.start_event_refresh(stream, build, store, "geo", str(ckpt), str(out))
+    q.awaitTermination(120)
+    assert store.get("geo").count() == 2
+
+    # simulate a crash mid-write of the NEXT batch: partial parquet for
+    # f2 exists on disk (epoch 1's directory), but no manifest entry
+    build([str(f2)]).limit(1).write.mode("overwrite").partitionBy(
+        "dataset_date"
+    ).parquet(str(out / "batch=1"))
+
+    # restart with the same checkpoint: f2's announcement arrives; the
+    # manifest says f2 is NOT loaded, so it builds, and the epoch-keyed
+    # overwrite replaces the partial directory — no dup, no loss
+    (events / "m2.json").write_text(json.dumps({"path": str(f2)}))
+    stream2 = spark.readStream.format("json").schema(msg_schema).load(str(events))
+    q2 = rf.start_event_refresh(stream2, build, store, "geo", str(ckpt), str(out))
+    q2.awaitTermination(120)
+    t = store.get("geo")
+    assert t.count() == 4  # 2 from f1 + 2 from f2; partial row replaced
+    assert t.where(F.col("dataset_date") == "2020-06-01").count() == 2
+
+
 def test_dataset_count_gauge(spark):
     """A5: per-source + total loaded-snapshot gauge."""
     from annotation_service_spark.sources.registry import dataset_count_gauge

@@ -2,13 +2,15 @@
 
 Media travel as opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extraction / resize / frame-sampling are
-Arrow-batched ``mapInPandas`` stages. The image/audio codec libraries
-are NOT in this environment, so the byte→pixels step is STUBBED: with
+Arrow-batched ``mapInPandas`` stages. Two REAL pure-Python codecs are
+built in — binary PPM (P6) images and PCM WAV audio — dispatched by
+magic bytes; formats needing external codec libraries (JPEG, MP3, …
+not in this environment) fall back to a STUBBED decode: with
 ``deterministic_fake=True`` it derives stable pseudo-features from
 the bytes (md5-seeded), otherwise it raises NotImplementedError. The
 Spark-side plumbing — schemas, batch iteration, partitioning, UDF
-signatures — is real and tested; swapping the stub for PIL/ffmpeg is
-a one-function change.
+signatures — is identical for real and stubbed formats; plugging in
+PIL/ffmpeg is one more ``_decode_*`` entry.
 
 Scale design: media rows are big (MBs); the decode stage is
 ``mapInPandas`` so each task streams batches instead of materializing
@@ -57,11 +59,95 @@ def documents_as_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFram
 
 
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:
-    """Deterministic stand-in for a real codec: md5-seeded uniform
-    floats. REPLACE with PIL/torchaudio/ffmpeg when available."""
+    """Deterministic stand-in for codecs not available here: md5-seeded
+    uniform floats. Real formats (PPM/WAV) never reach this."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
     rng = np.random.RandomState(seed)
     return rng.rand(n).astype(np.float32)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL codec: binary PPM (P6, 8-bit maxval) → uint8 array of
+    shape (height, width, 3). Pure Python/numpy, deterministic."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace/comment
+    # separated, then exactly one whitespace byte before pixel data
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = width * height * 3
+    img = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return img.reshape(height, width, 3)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL codec: PCM WAV → (float64 samples in [-1, 1] averaged
+    across channels, sample_rate). Stdlib ``wave`` + numpy."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def _segment_means(x: np.ndarray, n: int) -> np.ndarray:
+    """Mean over n equal segments (deterministic fixed-dim featurize);
+    short inputs repeat-pad so every feature is defined."""
+    if len(x) == 0:
+        return np.zeros(n, dtype=np.float32)
+    if len(x) < n:
+        x = np.repeat(x, -(-n // len(x)))
+    edges = np.linspace(0, len(x), n + 1, dtype=np.int64)
+    return np.array(
+        [x[a:b].mean() for a, b in zip(edges[:-1], edges[1:])], dtype=np.float32
+    )
+
+
+def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndarray:
+    """Magic-byte dispatch: PPM → grayscale segment means (scaled to
+    [0,1]); WAV → waveform segment means; anything else → the
+    documented stub (or NotImplementedError)."""
+    if payload[:2] == b"P6":
+        img = decode_ppm(payload)
+        gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
+        return _segment_means(gray, n)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        x, _rate = decode_wav(payload)
+        return _segment_means(x, n)
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "no built-in codec for this format and real media codec "
+            "libraries are not available in this environment; pass "
+            "deterministic_fake=True or plug a decoder into "
+            "decode_features"
+        )
+    return _fake_decode(payload, n)
 
 
 def extract_features(
@@ -72,8 +158,8 @@ def extract_features(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Decode + featurize each media blob → (id, features
-    array<float>, n_bytes). Real Arrow batch plumbing; stubbed codec.
-    """
+    array<float>, n_bytes). Real Arrow batch plumbing; real codecs
+    for PPM/WAV, stub for everything else (see module docstring)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -84,13 +170,8 @@ def extract_features(
 
     def run(batches):
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real media codecs are not available in this environment; "
-                    "pass deterministic_fake=True or plug in a decoder here"
-                )
             feats = [
-                _fake_decode(bytes(b), feature_dim).tolist()
+                decode_features(bytes(b), feature_dim, deterministic_fake).tolist()
                 for b in pdf[media_col]
             ]
             yield pd.DataFrame(

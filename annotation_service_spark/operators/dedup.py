@@ -111,7 +111,7 @@ def cw_constants(i: int) -> tuple[int, int]:
 
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 16
+    shingles: DataFrame, num_hashes: int = 16, include_size: bool = False
 ) -> DataFrame:
     """Per-doc MinHash signature via multiplicative hashing: ONE md5
     per shingle supplies a 40-bit value h; family
@@ -128,7 +128,11 @@ def minhash_signatures(
     again a shared argmin). Both collapse LSH recall to ~zero."""
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 10), 16, 10).cast("long")
     base = shingles.select("id", h.alias("h"))
-    aggs = []
+    # with include_size, the per-doc shingle count rides the SAME
+    # groupBy — one shuffle supplies both the signature and the |A|
+    # term of the Jaccard denominator (saves a whole aggregation pass
+    # plus two re-join exchanges downstream).
+    aggs = [F.count(F.lit(1)).alias("n")] if include_size else []
     for i in range(num_hashes):
         a, b = cw_constants(i)
         aggs.append(
@@ -157,7 +161,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingle_table(df, id_col, text_col, ngram).cache()
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(sh, num_hashes, include_size=True)
 
     band_cols = []
     for b in range(bands):
@@ -170,33 +174,35 @@ def minhash_lsh_pairs(
                 F.md5(F.concat_ws("|", *parts)).alias("bucket"),
             )
         )
+    # the per-doc shingle count n rides the band rows (2 extra longs
+    # per row), so the Jaccard denominator needs NO extra aggregation
+    # or re-join later — the sizes come out of the candidate join.
     banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+        "id", "n", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "n", "bb.band", "bb.bucket")
 
     left = banded.select(
-        F.col("id").alias("id_a"), "band", "bucket"
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "band", "bucket"
     )
-    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), "band", "bucket"
+    )
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "na", "nb")
         .distinct()
     )
 
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         cand.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("s").alias("s2")), "id_b")
         .where(F.col("s") == F.col("s2"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .select(
+        common.select(
             "id_a",
             "id_b",
             (

@@ -71,7 +71,31 @@ def get_session(
         # ContextCleaner only reclaims dead broadcasts/shuffles after a
         # driver GC; long sessions (bench, streaming) otherwise
         # accumulate them until ad-hoc full GCs stall queries.
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.cleaner.periodicGC.interval", "10min")
+        # ...but System.gc() on G1 defaults to a stop-the-world full
+        # compaction — on a large heap that pause lands mid-query
+        # (measured: 3-30s stalls every ~2min at bench time). This
+        # flag turns the periodic explicit GC into a *concurrent* G1
+        # cycle: broadcasts/shuffles still get reclaimed, queries keep
+        # running. Same flag on executors for cluster deployments
+        # (local mode shares the driver JVM).
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
+        # status-store retention: each retained SQL execution keeps
+        # its full (AQE-replanned) plan graph + metrics on the driver
+        # heap; the defaults (1000 executions) make a long bench or
+        # serving session age — later queries inherit GC pressure
+        # earlier ones created. Bounded retention keeps the session's
+        # 100th query as fast as its 1st.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -132,14 +132,28 @@ def _segment_means(x: np.ndarray, n: int) -> np.ndarray:
 def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndarray:
     """Magic-byte dispatch: PPM → grayscale segment means (scaled to
     [0,1]); WAV → waveform segment means; anything else → the
-    documented stub (or NotImplementedError)."""
+    documented stub (or NotImplementedError).
+
+    Magic bytes are a sniff, not a proof: arbitrary binary payloads
+    (2 in 65536) start with ``P6`` by accident. A payload whose
+    header parse then fails is treated as NOT that format and falls
+    through to the unknown-format branch — same skip-don't-kill
+    semantics as the corrupt-archive error budget in
+    ``sources/zipcsv.py`` (a truncated real file lands in the stub
+    rather than failing the whole task)."""
     if payload[:2] == b"P6":
-        img = decode_ppm(payload)
-        gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
-        return _segment_means(gray, n)
+        try:
+            img = decode_ppm(payload)
+            gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
+            return _segment_means(gray, n)
+        except (ValueError, IndexError):
+            pass  # magic collision or corrupt PPM → unknown format
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        x, _rate = decode_wav(payload)
-        return _segment_means(x, n)
+        try:
+            x, _rate = decode_wav(payload)
+            return _segment_means(x, n)
+        except Exception:  # wave.Error subclasses Exception directly
+            pass  # magic collision or corrupt WAV → unknown format
     if not deterministic_fake:
         raise NotImplementedError(
             "no built-in codec for this format and real media codec "

@@ -250,3 +250,19 @@ def test_real_codecs_in_spark_pipeline(spark):
     real_only = media.where("media_id < 3")
     ok = mm.extract_features(real_only, deterministic_fake=False).collect()
     assert len(ok) == 2
+
+
+def test_magic_collision_falls_back_to_stub():
+    """Arbitrary binary that happens to start with a codec magic must
+    NOT kill the task (observed: random payloads at sf0.1 begin with
+    'P6'); a failed header parse means 'not that format'."""
+    import numpy as np
+
+    fake_ppm = b"P6" + bytes(range(3, 40))  # garbage after magic
+    fake_wav = b"RIFF\x00\x00\x00\x00WAVEgarbage"
+    for payload in (fake_ppm, fake_wav):
+        got = mm.decode_features(payload, 4, deterministic_fake=True)
+        assert np.array_equal(got, mm._fake_decode(payload, 4))
+    # and with the stub disabled, it surfaces as unsupported-format
+    with pytest.raises(NotImplementedError):
+        mm.decode_features(fake_ppm, 4, deterministic_fake=False)

@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from annotation_service_spark.functions import ip as ipf
 from annotation_service_spark.functions import text as txt
 from annotation_service_spark.operators import asof as ao
+from annotation_service_spark.operators import clustering as cl
 from annotation_service_spark.operators import curation as cu
+from annotation_service_spark.operators import decontam as dc
 from annotation_service_spark.operators import dedup as dd
 from annotation_service_spark.operators import interval as iv
 from annotation_service_spark.operators import similarity as sim
@@ -313,6 +315,57 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), ngram=3, threshold=0.5
     )
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (p50/p95/p99 of document length by
+    language) via Spark's sort-based ``percentile`` — the
+    ground-truth twin of ``approx_percentile``. Exactness costs a
+    per-group sort of all values; at 100 TB prefer approx_percentile
+    (t-digest, map-side combinable) and keep this for oracle checks
+    and small dims. Both engines define quantiles by linear
+    interpolation; results are fixed-rounded to 1e-6 to absorb
+    summation-order ulps."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = F.expr("percentile(n_chars, array(0.5D, 0.95D, 0.99D))")
+    out = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), qs.alias("qs")
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        txt.round_fixed(F.col("qs")[0], 6).alias("p50"),
+        txt.round_fixed(F.col("qs")[1], 6).alias("p95"),
+        txt.round_fixed(F.col("qs")[2], 6).alias("p99"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact 3-gram Jaccard >= 0.5) resolved to
+    connected components: (id, cluster_id=min of component). The
+    transitive-closure step the pair-emitting dedup ops stop short
+    of — A~B, B~C groups A,B,C even when A~C never met a band."""
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.5
+    )
+    return cl.connected_components(pairs)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id%100==0 act as the
+    held-out benchmark; every other doc reports how many of its
+    3-gram shingles collide with ANY benchmark shingle."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 100 != 0)
+    benchmark = docs.where(F.col("doc_id") % 100 == 0)
+    return dc.contamination_check(
+        corpus, benchmark, ngram=3, threshold=0.1
+    )
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics + keep flag per document."""
+    return txt.repetition_metrics_table(_t(spark, sf_dir, "documents"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "repetition_filter": q_repetition_filter,
+        "group_quantiles": q_group_quantiles,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_gemm_topk": q_ann_gemm_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1339,6 +1396,126 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+        """,
+        "group_quantiles": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   floor(quantile_cont(n_chars, 0.5)*1000000 + 0.5)/1000000 AS p50,
+                   floor(quantile_cont(n_chars, 0.95)*1000000 + 0.5)/1000000 AS p95,
+                   floor(quantile_cont(n_chars, 0.99)*1000000 + 0.5)/1000000 AS p99
+            FROM documents GROUP BY lang
+        """,
+        # transitive closure over the EXACT jaccard pair list: comp =
+        # min id reachable (graph made symmetric, so min-reachable ==
+        # min-of-component). Gate graphs are small; the Spark side is
+        # the scalable label-propagation implementation.
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_shingle_cte(3)},
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT id_a, id_b FROM prs
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(MIN(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "decontaminate": """
+            WITH cw AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents WHERE doc_id % 100 <> 0
+            ),
+            csh AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+                FROM cw WHERE len(ws) >= 3
+            ),
+            bw AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            bsh AS (
+                SELECT DISTINCT
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+                FROM bw WHERE len(ws) >= 3
+            )
+            SELECT c.id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(b.s) AS BIGINT) AS n_hits,
+                   CAST(count(b.s) AS DOUBLE)/count(*) AS hit_frac,
+                   CAST(count(b.s) AS DOUBLE)/count(*) >= 0.1 AS contaminated
+            FROM csh c LEFT JOIN bsh b ON c.s = b.s
+            GROUP BY c.id
+        """,
+        "repetition_filter": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i]||' '||ws[i+1])) AS g
+                FROM w WHERE len(ws) >= 2
+            ),
+            g3 AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g
+                FROM w WHERE len(ws) >= 3
+            ),
+            c2 AS (SELECT id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            c3 AS (SELECT id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+            a2 AS (
+                SELECT id, CAST(sum(c) AS BIGINT) AS t2,
+                       CAST(count(*) AS BIGINT) AS d2,
+                       CAST(max(c) AS BIGINT) AS m2
+                FROM c2 GROUP BY id
+            ),
+            a3 AS (
+                SELECT id, CAST(sum(c) AS BIGINT) AS t3,
+                       CAST(count(*) AS BIGINT) AS d3
+                FROM c3 GROUP BY id
+            )
+            SELECT a2.id AS id,
+                   t2 AS total_2grams, d2 AS distinct_2grams,
+                   floor((t2-d2)/CAST(t2 AS DOUBLE)*1000000 + 0.5)/1000000
+                       AS dup_2gram_frac,
+                   floor(m2/CAST(t2 AS DOUBLE)*1000000 + 0.5)/1000000
+                       AS top_2gram_frac,
+                   t3 AS total_3grams, d3 AS distinct_3grams,
+                   floor((t3-d3)/CAST(t3 AS DOUBLE)*1000000 + 0.5)/1000000
+                       AS dup_3gram_frac,
+                   ((t2-d2)/CAST(t2 AS DOUBLE) <= 0.20
+                    AND (t3-d3)/CAST(t3 AS DOUBLE) <= 0.18
+                    AND m2/CAST(t2 AS DOUBLE) <= 0.20) AS keep
+            FROM a2 JOIN a3 ON a2.id = a3.id
         """,
         "dedup_embedding_cosine": """
             WITH v AS (

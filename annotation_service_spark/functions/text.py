@@ -260,3 +260,81 @@ def redact_pii(text: Column) -> Column:
         n_phones.cast("int").alias("n_phones"),
         n_ips.cast("int").alias("n_ips"),
     )
+
+
+# --- Repetition filters (Gopher-style quality rules) -----------------------
+
+
+def repetition_metrics_table(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup2_max: float = 0.20,
+    dup3_max: float = 0.18,
+    top2_max: float = 0.20,
+):
+    """Per-document n-gram repetition metrics with a Gopher-style keep
+    flag (Rae et al. 2021 §A1.1: documents whose duplicate-n-gram or
+    most-frequent-n-gram mass is too high are boilerplate/spam).
+
+    Returns (id, total_2grams, distinct_2grams, dup_2gram_frac,
+    top_2gram_frac, total_3grams, distinct_3grams, dup_3gram_frac,
+    keep) for every doc with >= 3 tokens.
+
+    Shape at scale: ONE token explode feeds both gram sizes (window
+    leads over the same (id, pos) ordering — one shuffle keyed on doc
+    id), then each gram size is a two-level aggregation
+    (groupBy(id, gram) -> groupBy(id)), all map-side combinable and
+    keyed by doc id / content — skew-free. The final join is
+    id-to-id, one row per doc per side.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    l1 = F.lead("tok", 1).over(w)
+    l2 = F.lead("tok", 2).over(w)
+    grams = tok.select(
+        "id",
+        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("tok"), l1)).alias("g2"),
+        F.when(l2.isNotNull(), F.concat_ws(" ", F.col("tok"), l1, l2)).alias(
+            "g3"
+        ),
+    ).localCheckpoint(eager=False)
+
+    def level(col: str):
+        c = (
+            grams.where(F.col(col).isNotNull())
+            .groupBy("id", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return c.groupBy("id").agg(
+            F.sum("c").alias(f"total_{col}"),
+            F.count(F.lit(1)).alias(f"distinct_{col}"),
+            F.max("c").alias(f"top_{col}"),
+        )
+
+    a2, a3 = level("g2"), level("g3")
+    j = a2.join(a3, "id")
+    dup2 = (F.col("total_g2") - F.col("distinct_g2")) / F.col("total_g2")
+    dup3 = (F.col("total_g3") - F.col("distinct_g3")) / F.col("total_g3")
+    top2 = F.col("top_g2") / F.col("total_g2")
+    return j.select(
+        "id",
+        F.col("total_g2").alias("total_2grams"),
+        F.col("distinct_g2").alias("distinct_2grams"),
+        round_fixed(dup2, 6).alias("dup_2gram_frac"),
+        round_fixed(top2, 6).alias("top_2gram_frac"),
+        F.col("total_g3").alias("total_3grams"),
+        F.col("distinct_g3").alias("distinct_3grams"),
+        round_fixed(dup3, 6).alias("dup_3gram_frac"),
+        (
+            (dup2 <= F.lit(dup2_max))
+            & (dup3 <= F.lit(dup3_max))
+            & (top2 <= F.lit(top2_max))
+        ).alias("keep"),
+    )

@@ -20,7 +20,8 @@ QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "annotate", "range_lookup",
     "asof_select", "dedup_minhash_lsh", "annotate_multisnapshot",
     "legacy_annotate", "corpus_curation", "ann_ivf_topk",
-    "ann_cosine_topk", "ann_gemm_topk",
+    "ann_cosine_topk", "ann_gemm_topk", "decontaminate",
+    "repetition_filter", "group_quantiles",
 ]
 
 

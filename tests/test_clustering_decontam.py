@@ -1,0 +1,117 @@
+"""Cluster resolution, decontamination, and repetition-filter tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from annotation_service_spark.functions import text as txt
+from annotation_service_spark.operators import clustering as cl
+from annotation_service_spark.operators import decontam as dc
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    # components: {1,2,3} via chain 1-2, 2-3 (1-3 never emitted),
+    # {10,11}, {20,21,22,23} via star around 20
+    rows = [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)]
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_connected_components_chain_and_star(spark, pairs_df):
+    got = {
+        (r.id, r.cluster_id)
+        for r in cl.connected_components(pairs_df).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_connected_components_long_chain(spark):
+    """A 16-hop path exercises >1 propagation round (pointer jumping
+    must still converge inside the iteration cap)."""
+    rows = [(i, i + 1) for i in range(16)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {(r.id, r.cluster_id) for r in cl.connected_components(df).collect()}
+    assert got == {(i, 0) for i in range(17)}
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert cl.connected_components(df).count() == 0
+
+
+def test_dedup_keep_decision(spark, pairs_df):
+    keep = {r.id: r.keep for r in cl.dedup_keep_decision(pairs_df).collect()}
+    assert keep[1] and keep[10] and keep[20]
+    assert not any(keep[i] for i in (2, 3, 11, 21, 22, 23))
+
+
+def test_contamination_check(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench 3-grams
+            (2, "one two three four five six seven"),      # clean
+            (3, "alpha beta gamma unrelated words here"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dc.contamination_check(
+        corpus, bench, ngram=3, threshold=0.25
+    ).collect()}
+    # bench shingles: {alpha beta gamma, beta gamma delta}
+    assert out[1].n_hits == 2 and out[1].contaminated
+    assert out[2].n_hits == 0 and not out[2].contaminated
+    assert out[3].n_hits == 1  # 'alpha beta gamma' only
+    assert out[3].n_shingles == 4
+    assert out[3].hit_frac == 0.25 and out[3].contaminated
+
+
+def test_repetition_metrics(spark):
+    clean = "one two three four five six seven eight nine ten"
+    spam = " ".join(["buy now"] * 10)  # 'buy now buy now ...'
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in txt.repetition_metrics_table(df).collect()}
+    assert out[1].keep
+    assert out[1].dup_2gram_frac == 0.0
+    # spam: 20 tokens alternating -> 19 bigrams, only 2 distinct
+    assert out[2].total_2grams == 19
+    assert out[2].distinct_2grams == 2
+    assert not out[2].keep
+    assert out[2].top_2gram_frac > 0.5
+
+
+def test_repetition_short_doc_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "three little words")],
+        "doc_id long, text string",
+    )
+    ids = {r.id for r in txt.repetition_metrics_table(df).collect()}
+    assert ids == {2}  # doc 1 has no 3-gram -> excluded by contract
+
+
+def test_exact_percentile_matches_numpy(spark):
+    """Spark's sort-based percentile is the exact linear-interpolation
+    quantile (numpy 'linear'); approx_percentile is the documented
+    scale twin and must land within its accuracy bound."""
+    import numpy as np
+
+    vals = [float(v) for v in (1, 2, 3, 4, 10, 20, 30, 100, 200, 1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = df.select(
+        F.expr("percentile(x, array(0.5D, 0.95D))").alias("exact"),
+        F.expr("approx_percentile(x, array(0.5D, 0.95D), 10000)").alias("approx"),
+    ).collect()[0]
+    want = np.percentile(np.array(vals), [50, 95], method="linear")
+    assert row.exact[0] == pytest.approx(want[0])
+    assert row.exact[1] == pytest.approx(want[1])
+    # high-accuracy approx on tiny data is exact up to rank resolution
+    assert abs(row.approx[0] - want[0]) <= 10.0

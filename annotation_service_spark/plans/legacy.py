@@ -21,7 +21,7 @@ of the parse, which is where the semantics live:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LEGACY_RECORD_COLUMNS = [
@@ -93,7 +93,12 @@ def v1_batch_date(requests: DataFrame, ts_col: str = "ts") -> DataFrame:
     else the earliest timestamp (deterministic superset of the
     reference's wire order)."""
     order_col = "__row" if "__row" in requests.columns else ts_col
-    w = Window.orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # distributed top-1 (TakeOrdered) + 1-row broadcast — NOT a
+    # global window, which would shuffle the whole batch into a
+    # single partition just to read its first row.
+    first_row = F.broadcast(
+        requests.orderBy(order_col)
+        .limit(1)
+        .select(F.col(ts_col).alias("batch_date"))
     )
-    return requests.withColumn("batch_date", F.first(ts_col).over(w))
+    return requests.crossJoin(first_row)

@@ -66,3 +66,32 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered write: range-partition on ``by`` then sort
+    within partitions, so file k's max key <= file k+1's min key and
+    rows inside each file are sorted.
+
+    This is the layout for append-mostly event/hypertable data at
+    100 TB: parquet min/max stats on the leading key become a
+    coarse-grained index (a time- or key-range query prunes to the
+    few files whose range overlaps), and downstream merge-style
+    consumers (as-of joins, windowed scans) read presorted input.
+    repartitionByRange samples the key distribution (reservoir per
+    partition) to build BALANCED ranges — unlike hash partitioning
+    it keeps hot key-ranges together without overloading one file,
+    and unlike a global orderBy().coalesce(1) it stays parallel.
+    """
+    out = (
+        df.repartitionByRange(num_files, *by)
+        if num_files
+        else df.repartitionByRange(*by)
+    )
+    out.sortWithinPartitions(*by).write.mode(mode).parquet(path)

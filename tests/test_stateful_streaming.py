@@ -165,3 +165,31 @@ def test_streaming_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     texts = {r.text for r in spark.sql("select * from dedup_out").collect()}
     assert texts == {"alpha beta", "gamma", "delta"}
     assert len(got) == 3
+
+
+def test_range_sorted_write_total_order(spark, tmp_path):
+    """write_range_sorted yields a TOTAL order across files: every
+    file is internally sorted and file ranges do not overlap — the
+    min/max-stat pruning layout for hypertable-style data."""
+    import glob
+
+    from annotation_service_spark.sources import storage
+
+    df = spark.range(0, 10000).selectExpr(
+        "pmod(id * 2654435761, 10007) AS k", "id AS v"
+    )
+    storage.write_range_sorted(df, str(tmp_path / "rs"), by=["k"], num_files=8)
+    files = sorted(glob.glob(str(tmp_path / "rs" / "*.parquet")))
+    assert len(files) > 1
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks)  # sorted inside the file
+        spans.append((min(ks), max(ks)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # file ranges are disjoint (total order)
+    back = spark.read.parquet(str(tmp_path / "rs"))
+    assert back.count() == 10000

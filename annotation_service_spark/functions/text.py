@@ -298,13 +298,17 @@ def repetition_metrics_table(
     w = Window.partitionBy("id").orderBy("pos")
     l1 = F.lead("tok", 1).over(w)
     l2 = F.lead("tok", 2).over(w)
+    # no cache/checkpoint: both gram branches sit on the same window
+    # shuffle, which AQE reuses at runtime; pinning the frame in
+    # storage (localCheckpoint) measured slower AND leaks executor
+    # storage that catalog.clearCache() cannot reclaim.
     grams = tok.select(
         "id",
         F.when(l1.isNotNull(), F.concat_ws(" ", F.col("tok"), l1)).alias("g2"),
         F.when(l2.isNotNull(), F.concat_ws(" ", F.col("tok"), l1, l2)).alias(
             "g3"
         ),
-    ).localCheckpoint(eager=False)
+    )
 
     def level(col: str):
         c = (

@@ -368,6 +368,45 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.repetition_metrics_table(_t(spark, sf_dir, "documents"))
 
 
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline in one plan:
+    benchmark held out (doc_id%100==0) → Gopher repetition filter →
+    n-gram decontamination against the benchmark → near-dup removal
+    via exact-Jaccard pairs resolved to connected components (keep
+    the smallest id per cluster) → per (lang, source) corpus stats.
+    Composition is the point: each stage is an independently
+    oracle-checked operator; this gate checks they agree end-to-end.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 100 != 0)
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    rep_keep = (
+        txt.repetition_metrics_table(corpus)
+        .where(F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    not_contaminated = (
+        dc.contamination_check(corpus, bench, ngram=3, threshold=0.1)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    pairs = dd.ngram_jaccard_pairs(corpus, ngram=3, threshold=0.5)
+    dupes = (
+        cl.connected_components(pairs)
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = (
+        corpus.join(rep_keep, "doc_id")
+        .join(not_contaminated, "doc_id")
+        .join(dupes, "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for the vec_id%50==0 query subset."""
     return sim.ann_bruteforce_topk(_t(spark, sf_dir, "embeddings"), k=3)
@@ -815,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
         "group_quantiles": q_group_quantiles,
+        "pipeline_full": q_pipeline_full,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_gemm_topk": q_ann_gemm_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1396,6 +1436,101 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+        """,
+        # full-pipeline composite: every stage's SQL is the SAME text
+        # as its standalone oracle, restricted to the corpus split —
+        # the gate proves the Spark composition agrees end-to-end.
+        "pipeline_full": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents WHERE doc_id % 100 <> 0
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+                FROM w WHERE len(ws) >= 3
+            ),
+            g2 AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i]||' '||ws[i+1])) AS g
+                FROM w WHERE len(ws) >= 2
+            ),
+            g3 AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g
+                FROM w WHERE len(ws) >= 3
+            ),
+            c2 AS (SELECT id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            c3 AS (SELECT id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+            a2 AS (
+                SELECT id, sum(c) AS t2, count(*) AS d2, max(c) AS m2
+                FROM c2 GROUP BY id
+            ),
+            a3 AS (
+                SELECT id, sum(c) AS t3, count(*) AS d3 FROM c3 GROUP BY id
+            ),
+            rep_keep AS (
+                SELECT a2.id FROM a2 JOIN a3 ON a2.id = a3.id
+                WHERE (t2-d2)/CAST(t2 AS DOUBLE) <= 0.20
+                  AND (t3-d3)/CAST(t3 AS DOUBLE) <= 0.18
+                  AND m2/CAST(t2 AS DOUBLE) <= 0.20
+            ),
+            bw AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            bsh AS (
+                SELECT DISTINCT
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+                FROM bw WHERE len(ws) >= 3
+            ),
+            clean AS (
+                SELECT c.id FROM sh c LEFT JOIN bsh b ON c.s = b.s
+                GROUP BY c.id
+                HAVING CAST(count(b.s) AS DOUBLE)/count(*) < 0.1
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT id_a, id_b FROM prs
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            dupes AS (SELECT id FROM comp WHERE id <> cluster_id)
+            SELECT d.lang, d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+            FROM documents d
+            JOIN rep_keep k ON k.id = d.doc_id
+            JOIN clean c ON c.id = d.doc_id
+            LEFT JOIN dupes x ON x.id = d.doc_id
+            WHERE d.doc_id % 100 <> 0 AND x.id IS NULL
+            GROUP BY d.lang, d.source
         """,
         "group_quantiles": """
             SELECT lang,

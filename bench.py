@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition_filter",
     "group_quantiles",
+    "pipeline_full",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -115,3 +115,34 @@ def test_exact_percentile_matches_numpy(spark):
     assert row.exact[1] == pytest.approx(want[1])
     # high-accuracy approx on tiny data is exact up to rank resolution
     assert abs(row.approx[0] - want[0]) <= 10.0
+
+
+def test_connected_components_random_differential(spark):
+    """Randomized differential vs a driver-side union-find: 300 edges
+    over 120 vertices (fixed seed), labels must match exactly."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(121))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    want = {v: find(v) for v in verts}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in cl.connected_components(df).collect()}
+    assert got == want

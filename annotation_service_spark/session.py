@@ -65,7 +65,12 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, not "all the RAM": G1 young regions and concurrent
+        # cycles scale with heap capacity, so an oversized heap ages
+        # into multi-second stalls (measured: same bench 39s at 48g,
+        # 31s at 16g with lower variance). Raise via
+        # SPARK_GRAFT_DRIVER_MEM for genuinely large broadcasts.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ContextCleaner only reclaims dead broadcasts/shuffles after a

@@ -380,17 +380,24 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 100 != 0)
     bench = docs.where(F.col("doc_id") % 100 == 0)
+    # tokenize+shingle the corpus ONCE; decontam and the jaccard
+    # pair stage both consume the shared cached table
+    csh = dd.shingle_table(corpus, "doc_id", "text", 3).cache()
     rep_keep = (
         txt.repetition_metrics_table(corpus)
         .where(F.col("keep"))
         .select(F.col("id").alias("doc_id"))
     )
     not_contaminated = (
-        dc.contamination_check(corpus, bench, ngram=3, threshold=0.1)
+        dc.contamination_check(
+            corpus, bench, ngram=3, threshold=0.1, corpus_shingles=csh
+        )
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    pairs = dd.ngram_jaccard_pairs(corpus, ngram=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, ngram=3, threshold=0.5, shingles=csh
+    )
     dupes = (
         cl.connected_components(pairs)
         .where(F.col("id") != F.col("cluster_id"))
@@ -1087,14 +1094,11 @@ def _ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 3) -> str:
     first-min by (dist, cid), probes = n_probe smallest by the same
     order, candidates via inverted-list equi-join, exact re-rank.
 
-    GATE ASSUMPTION: the Spark side assigns centroids via BLAS matmul
-    while DuckDB reduces ``list_sum`` sequentially; the two differ
-    only in summation ORDER, so an exact/ulp-level near-tie in
-    centroid distance could flip an assignment and change candidate
-    lists. The synthetic gate embeddings have no such near-ties
-    (k-means centroid distances are well separated); on adversarial
-    data, assign in the oracle with the same sequential expression
-    used for re-ranking."""
+    Distances are fixed-rounded to 1e-6 on BOTH sides before the
+    argmin/argsort (matching ``_nearest_centroid``), so the BLAS-vs-
+    sequential summation-order ulps cannot flip an assignment and
+    residual true ties break toward the lower centroid id on both
+    engines (closes the near-tie flakiness seen at sf0.1)."""
     import numpy as np
 
     from annotation_service_spark.operators.similarity import (
@@ -1118,7 +1122,7 @@ def _ivf_oracle(n_centroids: int = 8, n_probe: int = 3, k: int = 3) -> str:
         cents(cid, cc, c) AS (VALUES {cent_rows}),
         d AS (
             SELECT v.vec_id, ct.cid,
-                   ct.cc - 2 * list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * ct.c[i])) AS dist
+                   floor((ct.cc - 2 * list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * ct.c[i]))) * 1000000 + 0.5) AS dist
             FROM v CROSS JOIN cents ct
         ),
         ranked AS (

@@ -39,6 +39,7 @@ def contamination_check(
     ngram: int = 3,
     threshold: float = 0.1,
     broadcast_benchmark: bool = True,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per corpus document: distinct-shingle total, how many of those
     shingles appear anywhere in the benchmark set, the contaminated
@@ -46,6 +47,8 @@ def contamination_check(
 
     Returns (doc_id, n_shingles, n_hits, hit_frac, contaminated),
     one row per corpus doc with at least one shingle.
+    ``corpus_shingles`` accepts a shared (id, s) table so composite
+    pipelines tokenize the corpus once.
     """
     bsh = (
         shingle_table(benchmark, id_col, text_col, ngram)
@@ -55,7 +58,11 @@ def contamination_check(
     )
     if broadcast_benchmark:
         bsh = F.broadcast(bsh)
-    csh = shingle_table(corpus, id_col, text_col, ngram)
+    csh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_table(corpus, id_col, text_col, ngram)
+    )
     return (
         csh.join(bsh, "s", "left")
         .groupBy(F.col("id").alias(id_col))

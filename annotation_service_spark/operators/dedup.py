@@ -337,13 +337,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle equi-join (the
     non-approximate baseline; the shingle join IS the blocking — only
     docs sharing a shingle ever meet). Returns (id_a, id_b, jaccard).
     At 100 TB prefer minhash_lsh_pairs; this is the ground-truth
-    operator for differential testing and small corpora."""
-    sh = shingle_table(df, id_col, text_col, ngram).cache()
+    operator for differential testing and small corpora.
+
+    ``shingles`` lets a composite pipeline pass a shared (id, s)
+    table (see decontam / pipeline_full) so the tokenize+explode runs
+    once corpus-wide; the caller then owns its persistence."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, ngram).cache()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")

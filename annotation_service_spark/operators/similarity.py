@@ -373,7 +373,12 @@ def _nearest_centroid(centroids: list[list[float]]):
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
         v = np.vstack(vecs.to_numpy()).astype(np.float64)
-        d = v @ neg2ct + cc
+        # fixed 1e-6 rounding before argmin: BLAS matmul and a
+        # sequential sum (the DuckDB oracle) differ by summation
+        # ORDER only (ulps); rounding collapses that, and residual
+        # true ties break toward the lower centroid id on both
+        # engines (np.argmin = first index; SQL ORDER BY dist, cid).
+        d = np.floor((v @ neg2ct + cc) * 1e6 + 0.5)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return assign
@@ -392,7 +397,9 @@ def _probe_centroids(centroids: list[list[float]], n_probe: int):
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
         v = np.vstack(vecs.to_numpy()).astype(np.float64)
-        d = v @ neg2ct + cc
+        # same 1e-6 rounding as the assignment argmin (see
+        # _nearest_centroid) so probe order is engine-portable
+        d = np.floor((v @ neg2ct + cc) * 1e6 + 0.5)
         idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(idx.astype("int32")))
 

@@ -34,6 +34,12 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracle literals (IVF centroids, embedding dim)
+    # must come from the SAME sf dir the Spark side reads, or the
+    # comparison is between two different queries
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     spark = get_session("oracle_check")
     con = duckdb.connect()
     for t in entrymod.TABLES:

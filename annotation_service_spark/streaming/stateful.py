@@ -131,3 +131,55 @@ def streaming_dedup(
         "content_hash", F.md5(F.col(content_col))
     ).withWatermark(ts_col, delay)
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+def streaming_curation(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_quality: float = 0.55,
+    dedup_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch curation pipeline: per-document
+    quality gate + PII redaction + exact in-horizon dedup, applied to
+    an unbounded document feed.
+
+    The per-doc stages (quality score, PII scrub) are stateless
+    column expressions — they compose with Structured Streaming with
+    no state at all; only the dedup stage holds state (one row per
+    distinct in-horizon content hash, watermark-bounded, see
+    ``streaming_dedup``). Corpus-level stages that need ALL pairs
+    (near-dup clustering, decontamination vs a benchmark) stay in the
+    batch layer by design — their state is unbounded on a stream; the
+    standard deployment runs this stream filter as the ingest gate
+    and the batch pipeline as the periodic compaction pass.
+
+    Returns (id, ts, redacted text, quality, n_emails+n_phones+n_ips
+    as n_pii) for documents that pass the quality bar, deduped.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quality_score, redact_pii
+
+    scrubbed = docs_stream.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        redact_pii(F.col(text_col)).alias("p"),
+        quality_score(F.col(text_col)).alias("quality"),
+    ).select(
+        "id",
+        "ts",
+        F.col("p.redacted").alias("text"),
+        "quality",
+        (
+            F.col("p.n_emails") + F.col("p.n_phones") + F.col("p.n_ips")
+        ).alias("n_pii"),
+    )
+    kept = scrubbed.where(F.col("quality") >= F.lit(min_quality))
+    hashed = kept.withColumn("content_hash", F.md5(F.col("text"))).withWatermark(
+        "ts", dedup_delay
+    )
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"]).drop(
+        "content_hash"
+    )

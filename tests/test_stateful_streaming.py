@@ -193,3 +193,56 @@ def test_range_sorted_write_total_order(spark, tmp_path):
         assert hi1 <= lo2  # file ranges are disjoint (total order)
     back = spark.read.parquet(str(tmp_path / "rs"))
     assert back.count() == 10000
+
+
+def test_streaming_curation_filters_and_redacts(spark, tmp_path):
+    """Streaming curation gate: quality filter + PII redaction +
+    in-horizon dedup compose on an unbounded feed; corpus-level
+    stages stay batch-side by design."""
+    import json
+
+    from annotation_service_spark.streaming.stateful import streaming_curation
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps near the warm fire while the fox runs into the green "
+        "forest to find some food for the long cold winter season ahead"
+    )
+    src = tmp_path / "cdocs"
+    src.mkdir()
+    rows1 = [
+        {"doc_id": 1, "text": good + " contact me at bob@example.com",
+         "ts": "2024-01-01T10:00:00"},
+        {"doc_id": 2, "text": "x", "ts": "2024-01-01T10:01:00"},  # low quality
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    rows2 = [
+        # exact duplicate of doc 1 AFTER redaction (same email) -> dropped
+        {"doc_id": 3, "text": good + " contact me at bob@example.com",
+         "ts": "2024-01-01T10:05:00"},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming_curation(stream, min_quality=0.4, dedup_delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curation_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from curation_out").collect()
+    assert len(rows) == 1  # doc 2 below bar; doc 3 is an in-horizon dup
+    r = rows[0]
+    assert r.id == 1
+    assert "<EMAIL>" in r.text and "bob@example.com" not in r.text
+    assert r.n_pii == 1
+    assert r.quality >= 0.4

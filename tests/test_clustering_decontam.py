@@ -146,3 +146,45 @@ def test_connected_components_random_differential(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in cl.connected_components(df).collect()}
     assert got == want
+
+
+def test_repetition_metrics_random_differential(spark):
+    """60 random docs vs a pure-Python counter reference: totals,
+    distincts, and rounded fractions must agree exactly."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    vocab = ["a", "bb", "ccc", "dog", "cat", "run"]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(0, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def pyref(text):
+        toks = [t for t in text.split() if t]
+        g2 = [" ".join(toks[i:i+2]) for i in range(len(toks)-1)]
+        g3 = [" ".join(toks[i:i+3]) for i in range(len(toks)-2)]
+        if not g3:
+            return None
+        c2, c3 = Counter(g2), Counter(g3)
+        t2, d2, m2 = len(g2), len(c2), max(c2.values())
+        t3, d3 = len(g3), len(c3)
+
+        def r6(x):
+            import math
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        return (t2, d2, r6((t2-d2)/t2), r6(m2/t2), t3, d3, r6((t3-d3)/t3))
+
+    want = {i: pyref(t) for i, t in docs if pyref(t) is not None}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: (
+            r.total_2grams, r.distinct_2grams, r.dup_2gram_frac,
+            r.top_2gram_frac, r.total_3grams, r.distinct_3grams,
+            r.dup_3gram_frac,
+        )
+        for r in txt.repetition_metrics_table(df).collect()
+    }
+    assert got == want

@@ -21,7 +21,8 @@ QUERIES = [
     "asof_select", "dedup_minhash_lsh", "annotate_multisnapshot",
     "legacy_annotate", "corpus_curation", "ann_ivf_topk",
     "ann_cosine_topk", "ann_gemm_topk", "decontaminate",
-    "repetition_filter", "group_quantiles",
+    "repetition_filter", "group_quantiles", "dedup_clusters",
+    "pipeline_full",
 ]
 
 

@@ -67,10 +67,12 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
 
+    # initial labels fold the first propagation round into the vertex
+    # derivation: label0(u) = min(u, min neighbor) in ONE groupBy
+    # (instead of distinct-vertices + a full propagate round)
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
         .localCheckpoint(eager=False)
     )
 

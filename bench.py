@@ -85,6 +85,7 @@ SF1_QUERIES = [
     "pii_redact",
     "decontaminate",
     "repetition_filter",
+    "pipeline_full",
 ]
 
 SF1_REPLICAS = 10

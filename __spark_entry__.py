@@ -830,6 +830,55 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup signal (Lee et al. 2022): per doc,
+    the fraction of tokens covered by an 8-token span occurring at
+    least twice anywhere in the corpus — catches repeated boilerplate
+    inside otherwise-unique documents that doc-level dedup misses."""
+    return dd.duplicate_span_coverage(
+        _t(spark, sf_dir, "documents"), k=8
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source rebalancing: per-stratum keep
+    rate sqrt(n_min/n_s) with the deterministic md5 coin — the
+    smallest stratum keeps all rows, larger strata thin toward the
+    p^0.5 mix. Rates derive from the data in one tiny groupBy. The
+    testdata sources are deliberately uniform, so the gate derives a
+    60/30/10 skewed stratum from doc_id to exercise the rates."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 10 < 6, "big")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("small"),
+    )
+    return cu.temperature_mix(
+        docs, alpha=0.5, stratum_col="stratum", salt="temp1"
+    ).select("doc_id", "stratum")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-100 tokens by total count
+    with document frequency (the IDF/stopword-discovery table). Total
+    deterministic order (cnt desc, token asc) makes top-k unique."""
+    return txt.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup of the event stream per event_type —
+    the batch twin of the streaming windowed aggregation. Value sums
+    are fixed-point BIGINT so the distributed reduction is
+    associative-exact."""
+    from annotation_service_spark.operators import rollup as ru
+
+    return ru.tumbling_rollup(
+        _t(spark, sf_dir, "events"),
+        window_width="1 hour",
+        dims=("event_type",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -881,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_agg": q_skew_agg,
         "pii_redact": q_pii_redact,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "span_dedup": q_span_dedup,
+        "temperature_mix": q_temperature_mix,
+        "vocab_topk": q_vocab_topk,
+        "event_rollup": q_event_rollup,
     }
 
 
@@ -1881,5 +1934,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(w * least(1.0, 32.0/greatest(w, h))) AS BIGINT) AS resize_w,
                    CAST(ceil(h * least(1.0, 32.0/greatest(w, h))) AS BIGINT) AS resize_h
             FROM geom
+        """,
+        # span_dedup: k=8 token spans; a gram occurrence is duplicated
+        # if its 8-gram occurs >= twice corpus-wide (incl. same doc);
+        # covered tokens = union of equal-length intervals = sum of
+        # min(k, next_pos - pos) over sorted marked positions per doc.
+        "span_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-6),
+                              i -> {'pos': i,
+                                    'g': array_to_string(ws[i:i+7], ' ')}),
+                              recursive := true)
+                FROM w WHERE len(ws) >= 8
+            ),
+            dup AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+            ),
+            marked AS (
+                SELECT id, pos FROM grams JOIN dup USING (g)
+            ),
+            cov AS (
+                SELECT id,
+                       CAST(sum(least(8, coalesce(nxt - pos, 8))) AS BIGINT)
+                           AS dup_tokens
+                FROM (
+                    SELECT id, pos,
+                           lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
+                    FROM marked
+                )
+                GROUP BY id
+            )
+            SELECT w.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CASE WHEN len(ws) > 0
+                        THEN CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+                             / len(ws)
+                        ELSE 0.0 END AS dup_frac
+            FROM w LEFT JOIN cov ON w.doc_id = cov.id
+        """,
+        # temperature_mix: alpha=0.5 -> keep rate sqrt(n_min/n_s);
+        # division and sqrt are IEEE correctly-rounded, so the floored
+        # threshold matches Spark bit-for-bit (pow would not).
+        "temperature_mix": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 6 THEN 'big'
+                            WHEN doc_id % 10 < 9 THEN 'mid'
+                            ELSE 'small' END AS stratum
+                FROM documents
+            ),
+            c AS (
+                SELECT stratum, count(*) AS n FROM s GROUP BY stratum
+            ),
+            r AS (
+                SELECT stratum,
+                       CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE)
+                                       / n) * 10000) AS BIGINT) AS thr
+                FROM c
+            )
+            SELECT d.doc_id, d.stratum
+            FROM s d JOIN r USING (stratum)
+            WHERE CAST('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 < thr
+        """,
+        "vocab_topk": """
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT token, id, count(*) AS c FROM tok GROUP BY 1, 2
+            )
+            SELECT token,
+                   CAST(sum(c) AS BIGINT) AS cnt,
+                   CAST(count(*) AS BIGINT) AS df_docs
+            FROM per_doc
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 100
+        """,
+        "event_rollup": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_v_milli
+            FROM events
+            GROUP BY 1, 2
         """,
     }

@@ -342,3 +342,39 @@ def repetition_metrics_table(
             & (top2 <= F.lit(top2_max))
         ).alias("keep"),
     )
+
+
+def vocab_topk(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+):
+    """Corpus vocabulary heavy hitters: the k most frequent tokens
+    with their total count and document frequency — the IDF table /
+    stopword-discovery primitive a curation pipeline derives before
+    tuning quality heuristics.
+
+    Returns (token, cnt, df_docs) with a total deterministic order
+    (cnt desc, token asc) so the top-k set is unique.
+
+    Scale: term counting is THE canonical map-side-combinable
+    aggregation — the shuffle carries one partial row per (partition,
+    token), not one per occurrence. Document frequency rides the same
+    explode via a two-level agg (groupBy(token, id) then
+    groupBy(token)), keeping both keys content-hashed and skew-free.
+    The global top-k is a TakeOrdered (per-partition heap + driver
+    merge of k·n_partitions rows), never a full sort.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = tok.groupBy("token", "id").agg(F.count(F.lit(1)).alias("c"))
+    counts = per_doc.groupBy("token").agg(
+        F.sum("c").cast("long").alias("cnt"),
+        F.count(F.lit(1)).cast("long").alias("df_docs"),
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)

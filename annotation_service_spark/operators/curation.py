@@ -116,6 +116,49 @@ def greedy_pack(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing: keep rows so the sampled
+    mix follows p_s^alpha (alpha<1 flattens toward uniform — the
+    multilingual/multi-source reweighting of mT5/XLM-R and most
+    pretraining recipes). Downsample-only: per-stratum keep rate
+    r_s = (n_s/n_min)^(alpha-1), so the SMALLEST source keeps
+    everything and larger sources are thinned toward the target
+    exponent. Rates come from the data itself (one tiny groupBy);
+    the coin is the deterministic md5 hash (``sample_hash``), so the
+    sample is reproducible across engines and runs.
+
+    Cross-engine float note: for alpha=0.5 the rate is computed as
+    sqrt(n_min/n_s) — division and sqrt are IEEE correctly-rounded,
+    so the floored threshold is bit-identical in any engine (pow()
+    carries no such guarantee; it is used only for other alphas).
+
+    Scale: the rate table is one row per stratum (broadcast); the
+    corpus is filtered in place — zero corpus shuffles.
+    """
+    w = Window.partitionBy()
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    if abs(alpha - 0.5) < 1e-12:
+        rate = F.sqrt(F.min("_n").over(w).cast("double") / F.col("_n"))
+    else:
+        rate = F.pow(
+            F.col("_n").cast("double") / F.min("_n").over(w), F.lit(alpha - 1.0)
+        )
+    rates = counts.select(
+        stratum_col, F.floor(rate * 10000).cast("long").alias("_thr")
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .where(sample_hash(F.col(id_col), salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def sample_hash(id_col: F.Column, salt: str = "") -> F.Column:
     """Deterministic [0, 10000) bucket from md5(salt|id) — the
     engine-portable sampling coin (first 8 hex chars as an int)."""

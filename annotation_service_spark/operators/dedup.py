@@ -215,6 +215,89 @@ def minhash_lsh_pairs(
     return out
 
 
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup signal: per document, how many of
+    its tokens sit inside a k-token span that occurs at least twice
+    anywhere in the corpus (including elsewhere in the same document).
+
+    This is the span-level duplication measure from Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    document-level dedup misses boilerplate — headers, license
+    blocks, templated paragraphs — repeated inside otherwise-unique
+    documents; the removal/weighting signal is the fraction of tokens
+    covered by duplicated spans. Returns
+    (id, n_tokens, dup_tokens, dup_frac).
+
+    Spark shape, designed for 100 TB:
+    - token positions come from ONE posexplode; k-grams assemble via
+      window ``lead`` per doc (the shingle_table trick — never a
+      per-row O(n²) generator);
+    - "duplicated" is one groupBy on the gram hash (map-side
+      combinable, uniform key) + one equi-join back on the same key —
+      both shuffles are keyed by content hash, skew-free;
+    - covered-token counting is the classic interval-union-of-
+      equal-length-spans window: sorted marked positions p with
+      successor p', each occurrence covers min(k, p'-p) new tokens —
+      one window per doc id, no interval explode.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = (
+        tok.select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gh")
+    )
+    marked = grams.join(dup, "gh").select("id", "pos")
+    w2 = Window.partitionBy("id").orderBy("pos")
+    cov = (
+        marked.select(
+            "id",
+            F.least(
+                F.lit(k),
+                F.coalesce(F.lead("pos").over(w2) - F.col("pos"), F.lit(k)),
+            ).alias("c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("dup_tokens"))
+    )
+    ntok = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return ntok.join(cov, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+               / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
 HEX_DIGITS = "0123456789abcdef"
 
 

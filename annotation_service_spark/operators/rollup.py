@@ -1,0 +1,51 @@
+"""Time-window rollups over event streams/tables.
+
+The reference's only aggregations are operational metrics
+(metrics/metrics.go:11-88, latency histograms bucketed per request);
+an analytics engine over 100 TB of events needs the general form: a
+tumbling-window rollup keyed by arbitrary dimensions — the batch
+twin of the Structured Streaming windowed aggregation (the streaming
+side lives in streaming/annotate_stream.py; both share Spark's
+``window()`` semantics, so a query moves between them verbatim).
+
+Scale notes:
+- ``window()`` is a pure projection (bucket start computed from the
+  timestamp) — the only shuffle is the groupBy, map-side combinable,
+  keyed by (bucket, dims). Cardinality = n_buckets × n_dim_values,
+  orders of magnitude below the input.
+- value sums are carried as ``floor(value·1000)`` BIGINT fixed-point
+  so the reduction is associative-exact: a double sum's value depends
+  on reduction order, which would make distributed results
+  run-to-run unstable (and unverifiable against any oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_rollup(
+    events: DataFrame,
+    window_width: str = "1 hour",
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window count + fixed-point value sum per dimension.
+
+    Returns (window_start, *dims, n_events, sum_v_milli) where
+    ``sum_v_milli`` is the exact BIGINT sum of floor(value·1000).
+    """
+    w = F.window(F.col(ts_col), window_width)
+    return (
+        events.groupBy(w.alias("w"), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col(value_col) * 1000).cast("long"))
+            .cast("long")
+            .alias("sum_v_milli"),
+        )
+        .select(F.col("w.start").alias("window_start"), *dims,
+                "n_events", "sum_v_milli")
+    )

@@ -1,0 +1,126 @@
+"""Tests for span-level dedup coverage, temperature mixing, vocab
+heavy hitters, and tumbling event rollups (round-3 operators)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from annotation_service_spark.functions.text import vocab_topk
+from annotation_service_spark.operators.curation import temperature_mix
+from annotation_service_spark.operators.dedup import duplicate_span_coverage
+from annotation_service_spark.operators.rollup import tumbling_rollup
+
+
+def test_span_coverage_hand_case(spark):
+    # doc 1 and doc 2 share the exact 4-token span "a b c d";
+    # doc 3 is unique. k=4.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z w"),
+            (2, "q r a b c d s t"),
+            (3, "unique words only here nothing repeats at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in duplicate_span_coverage(docs, k=4).collect()
+    }
+    # doc1: span at pos 0 covers tokens 0-3 -> 4 of 8
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["dup_tokens"] == 4
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-12
+    # doc2: span at pos 2 covers tokens 2-5 -> 4 of 8
+    assert out[2]["dup_tokens"] == 4
+    assert out[3]["dup_tokens"] == 0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_span_coverage_overlapping_spans_union(spark):
+    # "a b c a b c a b c": with k=3 the gram "a b c" repeats (pos 0,3,6)
+    # but also "b c a" (pos 1,4) and "c a b" (pos 2,5) — every position
+    # 0..6 is marked; union covers all 9 tokens, NOT 7*3=21.
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in duplicate_span_coverage(docs, k=3).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["dup_tokens"] == 9
+    assert out[2]["dup_tokens"] == 0
+
+
+def test_span_coverage_within_single_doc(spark):
+    # duplication entirely inside ONE doc still counts (boilerplate
+    # repeated in the same document)
+    docs = spark.createDataFrame(
+        [(7, "one two three END one two three")], ["doc_id", "text"]
+    )
+    (row,) = duplicate_span_coverage(docs, k=3).collect()
+    # "one two three" at pos 0 and pos 4 -> covers 0-2 and 4-6 -> 6
+    assert row["n_tokens"] == 7
+    assert row["dup_tokens"] == 6
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    rows = [(i, "big" if i % 10 < 8 else "small") for i in range(5000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_mix(docs, alpha=0.5, salt="t").cache()
+    by = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # small stratum (n_min = 1000 of 5000) keeps everything
+    assert by["small"] == 1000
+    # big keeps ~ sqrt(1000/4000) = 50% of 4000
+    assert 1850 < by["big"] < 2150
+    # deterministic: rerun identical
+    kept2 = temperature_mix(docs, alpha=0.5, salt="t")
+    assert kept2.exceptAll(kept).count() == 0
+    assert kept.exceptAll(kept2).count() == 0
+    # alpha=1 keeps everything (rates all 1)
+    assert temperature_mix(docs, alpha=1.0, salt="t").count() == 5000
+    kept.unpersist()
+
+
+def test_vocab_topk_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana apple banana"),
+            (3, "cherry apple"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r["token"], r["cnt"], r["df_docs"]) for r in rows] == [
+        ("apple", 4, 3),
+        ("banana", 3, 2),
+    ]
+
+
+def test_tumbling_rollup_hand_case(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    ev = spark.createDataFrame(
+        [
+            Row(ts=ts(5), event_type="a", value=1.25),
+            Row(ts=ts(59), event_type="a", value=2.0),
+            Row(ts=ts(61), event_type="a", value=4.5),
+            Row(ts=ts(10), event_type="b", value=0.4),
+        ]
+    )
+    out = {
+        (r["window_start"], r["event_type"]): r
+        for r in tumbling_rollup(ev, "1 hour").collect()
+    }
+    r = out[(t0, "a")]
+    assert r["n_events"] == 2 and r["sum_v_milli"] == 1250 + 2000
+    r = out[(t0 + datetime.timedelta(hours=1), "a")]
+    assert r["n_events"] == 1 and r["sum_v_milli"] == 4500
+    assert out[(t0, "b")]["sum_v_milli"] == 400

@@ -865,6 +865,20 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type — the ground-truth
+    twin of ``approx_count_distinct`` (HLL++). Exact distinct is a
+    two-level shuffle (dedup on (type, user), then count); the HLL
+    sketch path is single-shuffle map-side-combinable and is
+    error-bound-tested against this in tests/test_sketches.py — at
+    100 TB prefer the sketch, keep this as the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour rollup of the event stream per event_type —
     the batch twin of the streaming windowed aggregation. Value sums
@@ -934,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "vocab_topk": q_vocab_topk,
         "event_rollup": q_event_rollup,
+        "distinct_users": q_distinct_users,
     }
 
 
@@ -2023,6 +2038,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token ASC
             LIMIT 100
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
         """,
         "event_rollup": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

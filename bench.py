@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "repetition_filter",
     "group_quantiles",
     "pipeline_full",
+    "span_dedup",
+    "temperature_mix",
+    "vocab_topk",
+    "event_rollup",
 ]
 
 # documents-only operators re-run at the 10x scale point

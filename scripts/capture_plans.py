@@ -22,7 +22,8 @@ QUERIES = [
     "legacy_annotate", "corpus_curation", "ann_ivf_topk",
     "ann_cosine_topk", "ann_gemm_topk", "decontaminate",
     "repetition_filter", "group_quantiles", "dedup_clusters",
-    "pipeline_full",
+    "pipeline_full", "span_dedup", "temperature_mix", "vocab_topk",
+    "event_rollup",
 ]
 
 

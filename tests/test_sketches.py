@@ -1,0 +1,57 @@
+"""Sketch scale-twins vs their exact ground-truth forms.
+
+At 100 TB the exact forms (count(DISTINCT ...), sort-based
+percentile) pay a full shuffle of distinct values / a per-group sort;
+the sketch forms (HLL++ approx_count_distinct, t-digest
+approx_percentile) are single-shuffle map-side-combinable. These
+tests pin the error envelope so the scale path is evidence, not
+faith: rsd/accuracy parameters are honored within their documented
+bounds on adversarially-sized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hll_vs_exact_distinct(spark):
+    # 200k rows, 50k distinct per group — far beyond sparse-mode HLL
+    df = spark.range(200_000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 50_000).alias("v")
+    )
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    approx = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.approx_count_distinct("v", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        # 3 standard deviations of the configured 2% rsd
+        assert abs(approx[g] - n) <= 0.06 * n, (g, approx[g], n)
+
+
+def test_tdigest_vs_exact_percentile(spark):
+    # skewed (quadratic) distribution; accuracy=10000 -> rank error
+    # <= 1/10000 of n, i.e. value drift bounded by the local density
+    df = spark.range(100_000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") * F.col("id")).alias("v")
+    )
+    rows = (
+        df.groupBy("g")
+        .agg(
+            F.expr(
+                "percentile(v, array(0.5D, 0.99D))"
+            ).alias("exact"),
+            F.expr(
+                "approx_percentile(v, array(0.5D, 0.99D), 10000)"
+            ).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        for e, a in zip(r["exact"], r["approx"]):
+            assert abs(a - e) <= 0.01 * e + 1e-9, (r["g"], e, a)

@@ -31,12 +31,22 @@ def tumbling_rollup(
     ts_col: str = "ts",
     dims: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Tumbling-window count + fixed-point value sum per dimension.
 
     Returns (window_start, *dims, n_events, sum_v_milli) where
     ``sum_v_milli`` is the exact BIGINT sum of floor(value·1000).
+
+    Works unchanged on a streaming DataFrame: pass ``watermark``
+    (e.g. "10 minutes") and the same plan runs under Structured
+    Streaming with append-mode finalized windows — rows later than
+    the watermark are dropped, closed windows emit exactly once.
+    One query text, two execution modes (batch backfill + live
+    rollup), which is the point of building on the DataFrame API.
     """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
     w = F.window(F.col(ts_col), window_width)
     return (
         events.groupBy(w.alias("w"), *dims)

@@ -124,3 +124,51 @@ def test_tumbling_rollup_hand_case(spark):
     r = out[(t0 + datetime.timedelta(hours=1), "a")]
     assert r["n_events"] == 1 and r["sum_v_milli"] == 4500
     assert out[(t0, "b")]["sum_v_milli"] == 400
+
+
+def test_tumbling_rollup_streaming_twin(spark, tmp_path):
+    """The SAME tumbling_rollup call runs as a Structured Streaming
+    query: watermarked append mode emits each closed window once,
+    and batch-vs-stream results agree row-for-row."""
+    import datetime as dt
+
+    from annotation_service_spark.operators.rollup import tumbling_rollup
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=7 * i), "t%d" % (i % 2), 1.5 * i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    d = tmp_path / "events"
+    df.write.parquet(str(d))
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_v_milli"])
+        for r in tumbling_rollup(df, "1 hour").collect()
+    }
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(str(d))
+    q = (
+        tumbling_rollup(stream, "1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("rollup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_roll"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_v_milli"])
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    # append mode only emits windows CLOSED by the final watermark;
+    # every emitted window must match the batch result exactly, and
+    # all but the last open hour must have been emitted
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    assert len(got) >= len(batch) - 2

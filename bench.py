@@ -90,6 +90,8 @@ SF1_QUERIES = [
     "decontaminate",
     "repetition_filter",
     "pipeline_full",
+    "span_dedup",
+    "vocab_topk",
 ]
 
 SF1_REPLICAS = 10

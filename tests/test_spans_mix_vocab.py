@@ -172,3 +172,49 @@ def test_tumbling_rollup_streaming_twin(spark, tmp_path):
     for k, v in got.items():
         assert batch[k] == v, (k, v, batch[k])
     assert len(got) >= len(batch) - 2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_temperature_mix_plan_is_broadcast_only(spark):
+    """Scale contract: the corpus never shuffles — the rate table
+    joins via BroadcastExchange; the only hashpartitioning Exchange
+    allowed is the tiny per-stratum groupBy that derives the rates."""
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+    )
+    out = temperature_mix(docs, alpha=0.5, salt="p")
+    ptxt = _plan(out)
+    assert "BroadcastHashJoin" in ptxt or "BroadcastNestedLoop" in ptxt
+    # corpus side: no SortMergeJoin / ShuffledHashJoin of the big table
+    assert "SortMergeJoin" not in ptxt
+    assert "ShuffledHashJoin" not in ptxt
+
+
+def test_vocab_topk_plan_partial_agg_and_topk(spark):
+    """Scale contract: term counting must show a partial (map-side)
+    aggregate before the shuffle, and the global top-k must be a
+    TakeOrdered, never a full Sort + CollectLimit."""
+    docs = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 50).cast("string")).alias("text"),
+    )
+    ptxt = _plan(vocab_topk(docs, k=10))
+    assert "TakeOrderedAndProject" in ptxt
+    assert "partial_count" in ptxt or "partial" in ptxt.lower()
+
+
+def test_span_coverage_shuffles_are_keyed_by_content_or_id(spark):
+    """Scale contract: no broadcast of the gram table (it is
+    corpus-sized) and no cartesian anywhere — dup-marking is an
+    equi-join on the gram hash."""
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z a b c d e f" % (i % 3)) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    ptxt = _plan(duplicate_span_coverage(docs, k=3))
+    assert "CartesianProduct" not in ptxt
+    assert "BroadcastNestedLoop" not in ptxt

@@ -865,6 +865,18 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix of the embedding corpus in exact
+    int64 fixed point: per-partition numpy GEMM partials, only d×d
+    sufficient statistics shuffle (the normal-equations trick). The
+    fixed-point quantization makes the distributed sum associative-
+    exact, hence bit-checkable against the DuckDB oracle."""
+    from annotation_service_spark.operators import linalg as la
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return la.gram_fixed(emb)
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user counts per event type — the ground-truth
     twin of ``approx_count_distinct`` (HLL++). Exact distinct is a
@@ -949,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "event_rollup": q_event_rollup,
         "distinct_users": q_distinct_users,
+        "embedding_gram": q_embedding_gram,
     }
 
 
@@ -2038,6 +2051,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token ASC
             LIMIT 100
+        """,
+        # embedding_gram: the float32→double cast then floor(x·1e6)
+        # quantization is bit-identical in both engines; int64 sums
+        # are order-independent, so equality is exact.
+        "embedding_gram": """
+            WITH q AS (
+                SELECT list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS qv
+                FROM embeddings
+            )
+            SELECT CAST(i.i AS INTEGER) AS i,
+                   CAST(j.j AS INTEGER) AS j,
+                   CAST(sum(qv[i.i] * qv[j.j]) AS BIGINT) AS g
+            FROM q, range(1, 65) i(i), range(1, 65) j(j)
+            WHERE j.j >= i.i
+            GROUP BY 1, 2
         """,
         "distinct_users": """
             SELECT event_type,

@@ -865,6 +865,20 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_event_rollup_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1h windows sliding every 30min): each
+    event expands into exactly 2 overlapping windows. Same
+    fixed-point exact sums as the tumbling gate."""
+    from annotation_service_spark.operators import rollup as ru
+
+    return ru.hopping_rollup(
+        _t(spark, sf_dir, "events"),
+        window_width="1 hour",
+        slide="30 minutes",
+        dims=("event_type",),
+    )
+
+
 def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix of the embedding corpus in exact
     int64 fixed point: per-partition numpy GEMM partials, only d×d
@@ -962,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "distinct_users": q_distinct_users,
         "embedding_gram": q_embedding_gram,
+        "event_rollup_hopping": q_event_rollup_hopping,
     }
 
 
@@ -2051,6 +2066,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token ASC
             LIMIT 100
+        """,
+        # hopping windows: an event at t belongs to the 30-min-aligned
+        # bucket containing t and the one 30 min earlier (width 1h,
+        # slide 30m, epoch-aligned — Spark's window() convention).
+        "event_rollup_hopping": """
+            WITH x AS (
+                SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                               time_bucket(INTERVAL '30 minutes', ts)
+                                   - INTERVAL '30 minutes']) AS window_start,
+                       event_type,
+                       value
+                FROM events
+            )
+            SELECT window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_v_milli
+            FROM x GROUP BY 1, 2
         """,
         # embedding_gram: the float32→double cast then floor(x·1e6)
         # quantization is bit-identical in both engines; int64 sums

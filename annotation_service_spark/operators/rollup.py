@@ -45,9 +45,41 @@ def tumbling_rollup(
     One query text, two execution modes (batch backfill + live
     rollup), which is the point of building on the DataFrame API.
     """
+    return _rollup(events, window_width, None, ts_col, dims, value_col, watermark)
+
+
+def hopping_rollup(
+    events: DataFrame,
+    window_width: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping (sliding) windows: each event lands in width/slide
+    overlapping windows — Spark's ``window(ts, width, slide)``
+    expands them as a generator, so the shuffle grows by that factor
+    but stays map-side combinable and uniformly keyed. Same schema
+    and streaming behavior as ``tumbling_rollup``."""
+    return _rollup(events, window_width, slide, ts_col, dims, value_col, watermark)
+
+
+def _rollup(
+    events: DataFrame,
+    window_width: str,
+    slide: str | None,
+    ts_col: str,
+    dims: tuple[str, ...],
+    value_col: str,
+    watermark: str | None,
+) -> DataFrame:
     if watermark is not None:
         events = events.withWatermark(ts_col, watermark)
-    w = F.window(F.col(ts_col), window_width)
+    if slide is None:
+        w = F.window(F.col(ts_col), window_width)
+    else:
+        w = F.window(F.col(ts_col), window_width, slide)
     return (
         events.groupBy(w.alias("w"), *dims)
         .agg(

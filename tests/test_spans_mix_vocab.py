@@ -218,3 +218,21 @@ def test_span_coverage_shuffles_are_keyed_by_content_or_id(spark):
     ptxt = _plan(duplicate_span_coverage(docs, k=3))
     assert "CartesianProduct" not in ptxt
     assert "BroadcastNestedLoop" not in ptxt
+
+
+def test_hopping_rollup_membership(spark):
+    """An event appears in exactly width/slide windows and tumbling
+    totals equal hopping totals divided by that factor."""
+    import datetime as dt
+
+    from annotation_service_spark.operators.rollup import hopping_rollup
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=45), "a", 2.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    rows = hopping_rollup(ev, "1 hour", "30 minutes").collect()
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts == [base, base + dt.timedelta(minutes=30)]
+    assert all(r["n_events"] == 1 and r["sum_v_milli"] == 2000 for r in rows)

@@ -840,6 +840,44 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of span dedup: cut every duplicated 8-token
+    span out of the normalized corpus text (Lee et al. 2022 remove
+    spans, not documents). Emits the cleaned text itself so the
+    oracle compares reconstruction byte-for-byte."""
+    return dd.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: docs with doc_id%3==0 are the
+    already-seen corpus (their hashes the state table); the incoming
+    batch is every other doc PLUS re-submissions of seen docs (id
+    offset +2000000) and an in-batch duplicate pair (+1000000).
+    Survivors = fresh content, smallest id per batch-dup group."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("text")).alias("content_hash")
+    )
+    incoming = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    )
+    return dd.incremental_dedup(incoming, seen)
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) source rebalancing: per-stratum keep
     rate sqrt(n_min/n_s) with the deterministic md5 coin — the
@@ -971,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "multimodal_pipeline": q_multimodal_pipeline,
         "span_dedup": q_span_dedup,
+        "span_dedup_apply": q_span_dedup_apply,
+        "dedup_incremental": q_dedup_incremental,
         "temperature_mix": q_temperature_mix,
         "vocab_topk": q_vocab_topk,
         "event_rollup": q_event_rollup,
@@ -2022,6 +2062,75 @@ def oracle_sql() -> dict[str, str]:
                              / len(ws)
                         ELSE 0.0 END AS dup_frac
             FROM w LEFT JOIN cov ON w.doc_id = cov.id
+        """,
+        # span_dedup_apply: same marked-span derivation as span_dedup,
+        # then covered positions expand via range(), kept tokens
+        # reassemble with string_agg ORDER BY pos.
+        "span_dedup_apply": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-6),
+                              i -> {'pos': i,
+                                    'g': array_to_string(ws[i:i+7], ' ')}),
+                              recursive := true)
+                FROM w WHERE len(ws) >= 8
+            ),
+            dup AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+            ),
+            covered AS (
+                SELECT DISTINCT id,
+                       unnest(range(pos, pos + 8)) AS pos
+                FROM grams JOIN dup USING (g)
+            ),
+            tok AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)+1),
+                              i -> {'pos': i, 'tok': ws[i]}),
+                              recursive := true)
+                FROM w
+            ),
+            kept AS (
+                SELECT t.id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+                FROM tok t ANTI JOIN covered c
+                     ON t.id = c.id AND t.pos = c.pos
+                GROUP BY t.id
+            )
+            SELECT w.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(kept.clean_text, '') AS clean_text
+            FROM w LEFT JOIN kept ON w.doc_id = kept.id
+        """,
+        "dedup_incremental": """
+            WITH seen AS (
+                SELECT DISTINCT md5(text) AS content_hash
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            incoming AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 1
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents
+                WHERE doc_id % 3 = 0
+            ),
+            fresh AS (
+                SELECT i.doc_id, md5(i.text) AS content_hash
+                FROM incoming i ANTI JOIN seen s
+                     ON md5(i.text) = s.content_hash
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_hash
+            FROM fresh GROUP BY content_hash
         """,
         # temperature_mix: alpha=0.5 -> keep rate sqrt(n_min/n_s);
         # division and sqrt are IEEE correctly-rounded, so the floored

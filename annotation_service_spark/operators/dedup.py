@@ -215,6 +215,96 @@ def minhash_lsh_pairs(
     return out
 
 
+def _span_tokens_and_marks(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span machinery: (token positions, marked span starts).
+
+    ``tok`` is (id, pos, tok) from one posexplode; ``marked`` is the
+    (id, pos) of every k-gram occurrence whose gram appears >= twice
+    corpus-wide (window-assembled grams, hash groupBy + equi-join —
+    both shuffles keyed by content hash)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = (
+        tok.select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gh")
+    )
+    marked = grams.join(dup, "gh").select("id", "pos")
+    return tok, marked
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The APPLY step of span-level dedup (Lee et al. 2022 cut the
+    duplicated spans out of the corpus rather than dropping whole
+    documents): emit each document's NORMALIZED text (lowercased
+    alphanumeric tokens, single-space joined) with every token that
+    falls inside a duplicated k-token span removed.
+
+    Returns (id, n_tokens, n_kept, clean_text); a fully-duplicated
+    document comes back with n_kept=0 and empty clean_text.
+
+    All built-in expressions: covered positions are
+    explode(sequence(pos, pos+k-1)) -> distinct, removal is a
+    left-anti join on (id, pos), reconstruction is
+    concat_ws over array_sort(collect_list(struct(pos, tok))) — the
+    struct sort orders by pos, so no per-group sort shuffle beyond
+    the groupBy itself. Every shuffle is keyed by doc id or content
+    hash, skew-free; nothing leaves the executors.
+    """
+    tok, marked = _span_tokens_and_marks(df, id_col, text_col, k)
+    covered = marked.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def duplicate_span_coverage(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -247,29 +337,7 @@ def duplicate_span_coverage(
     """
     from pyspark.sql import Window
 
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    grams = (
-        tok.select(
-            "id",
-            "pos",
-            F.md5(F.concat_ws(" ", *parts)).alias("gh"),
-            parts[-1].alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .drop("_last")
-    )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .select("gh")
-    )
-    marked = grams.join(dup, "gh").select("id", "pos")
+    tok, marked = _span_tokens_and_marks(df, id_col, text_col, k)
     w2 = Window.partitionBy("id").orderBy("pos")
     cov = (
         marked.select(
@@ -458,3 +526,31 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: from an incoming batch, drop
+    every row whose content hash already exists in the accumulated
+    ``seen_hashes`` table (one column ``content_hash``), then dedup
+    within the batch keeping the smallest id. The survivors (with
+    their hashes) are what the caller appends back to the seen set —
+    the batch twin of streaming_dedup's watermarked state, for the
+    unbounded-horizon case where state lives in a table.
+
+    Scale: the seen-set probe is a left-anti equi-join on the hash —
+    uniform key, and Spark turns it into a broadcast anti-join while
+    the seen set is small, degrading to shuffle cleanly. Within-batch
+    dedup is one groupBy on the same key. The corpus text never
+    shuffles twice: only (hash, id) pairs move.
+    """
+    h = new_docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    fresh = h.join(
+        seen_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
+    keep = fresh.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "content_hash")

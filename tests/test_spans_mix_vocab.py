@@ -236,3 +236,46 @@ def test_hopping_rollup_membership(spark):
     starts = sorted(r["window_start"] for r in rows)
     assert starts == [base, base + dt.timedelta(minutes=30)]
     assert all(r["n_events"] == 1 and r["sum_v_milli"] == 2000 for r in rows)
+
+
+def test_remove_duplicate_spans_hand_case(spark):
+    from annotation_service_spark.operators.dedup import (
+        incremental_dedup,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Header: a b c. Body one is unique here."),
+            (2, "Header: a b c. Body two differs entirely now."),
+            (3, "totally different text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in remove_duplicate_spans(docs, k=4).collect()}
+    # normalized doc1 = "header a b c body one is unique here" (9 toks);
+    # shared 4-grams are "header a b c" AND "a b c body" (both docs
+    # continue with "body"), so positions 0-4 are cut from both
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["n_kept"] == 4
+    assert out[1]["clean_text"] == "one is unique here"
+    assert out[2]["clean_text"] == "two differs entirely now"
+    assert out[3]["clean_text"] == "totally different text"
+
+    # a fully-duplicated document comes back empty
+    dup = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in remove_duplicate_spans(dup, k=4).collect()}
+    assert rows[1]["n_kept"] == 0 and rows[1]["clean_text"] == ""
+
+    # incremental dedup: seen hash kills resubmission; in-batch dup
+    # keeps min id
+    seen = spark.createDataFrame([("A",)], ["t"]).select(
+        F.md5(F.col("t")).alias("content_hash")
+    )
+    batch = spark.createDataFrame(
+        [(10, "A"), (11, "B"), (12, "B"), (13, "C")], ["doc_id", "text"]
+    )
+    surv = {r["doc_id"] for r in incremental_dedup(batch, seen).collect()}
+    assert surv == {11, 13}

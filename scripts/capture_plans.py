@@ -23,7 +23,8 @@ QUERIES = [
     "ann_cosine_topk", "ann_gemm_topk", "decontaminate",
     "repetition_filter", "group_quantiles", "dedup_clusters",
     "pipeline_full", "span_dedup", "temperature_mix", "vocab_topk",
-    "event_rollup",
+    "event_rollup", "span_dedup_apply", "dedup_incremental",
+    "embedding_gram", "event_rollup_hopping", "distinct_users",
 ]
 
 

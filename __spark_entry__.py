@@ -896,6 +896,15 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "stratum")
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucket signal: per-doc mean -log2
+    p(token) under the corpus's own unigram distribution (vocab agg +
+    token equi-join + per-doc mean; 1e-6 rounding absorbs log2 ulps)."""
+    return txt.unigram_nll_table(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: top-100 tokens by total count
     with document frequency (the IDF/stopword-discovery table). Total
@@ -1013,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "temperature_mix": q_temperature_mix,
         "vocab_topk": q_vocab_topk,
+        "unigram_nll": q_unigram_nll,
         "event_rollup": q_event_rollup,
         "distinct_users": q_distinct_users,
         "embedding_gram": q_embedding_gram,
@@ -2156,6 +2166,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s d JOIN r USING (stratum)
             WHERE CAST('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) % 10000 < thr
+        """,
+        "unigram_nll": """
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            ),
+            v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            p AS (
+                SELECT token,
+                       cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM v) AS p
+                FROM v
+            )
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   floor(-avg(log2(p.p)) * 1000000 + 0.5)/1000000 AS nll_bits
+            FROM tok JOIN p USING (token)
+            GROUP BY id
         """,
         "vocab_topk": """
             WITH tok AS (

@@ -378,3 +378,48 @@ def vocab_topk(
         F.count(F.lit(1)).cast("long").alias("df_docs"),
     )
     return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+
+
+def unigram_nll_table(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document unigram negative log-likelihood under the
+    corpus's own unigram distribution — the CCNet-style "perplexity
+    bucket" signal (Wenzek et al. 2020): documents whose tokens are
+    collectively improbable are noise; improbably-probable ones are
+    boilerplate. Returns (id, n_tokens, nll_bits) where nll_bits is
+    the mean -log2 p(token), rounded to 1e-6.
+
+    Scale shape: the vocabulary (token, cnt) aggregation is the
+    map-side-combinable term count; the probability lookup is an
+    equi-join on the token (uniform key — and Spark broadcasts it
+    while the vocab is small); the per-doc mean is one groupBy by
+    doc id. The corpus streams through exactly twice, nothing
+    collects to the driver.
+
+    Rounding note: log2 is the one non-correctly-rounded primitive
+    here (ulp-level engine differences); the 1e-6 rounding of a
+    per-doc MEAN absorbs them (diff ~1e-15 relative), matching the
+    convention of group_quantiles/repetition metrics.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("t"))
+    p = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("t")).alias("p")
+    )
+    return (
+        tok.join(p, "token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            round_fixed(-F.avg(F.log2("p")), 6).alias("nll_bits"),
+        )
+    )

@@ -279,3 +279,24 @@ def test_remove_duplicate_spans_hand_case(spark):
     )
     surv = {r["doc_id"] for r in incremental_dedup(batch, seen).collect()}
     assert surv == {11, 13}
+
+
+def test_unigram_nll_hand_case(spark):
+    """Uniform 4-token vocab: every doc's mean -log2 p is exactly 2
+    bits; a doc of only the most-common token scores lower than one
+    of rare tokens."""
+    from annotation_service_spark.functions.text import unigram_nll_table
+
+    uniform = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in unigram_nll_table(uniform).collect()}
+    assert rows[1]["nll_bits"] == 2.0 and rows[2]["nll_bits"] == 2.0
+
+    skewed = spark.createDataFrame(
+        [(1, "the the the the the the the"), (2, "zyx the")],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in unigram_nll_table(skewed).collect()}
+    assert rows[1]["nll_bits"] < rows[2]["nll_bits"]
+    assert rows[1]["n_tokens"] == 7

@@ -896,6 +896,22 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "stratum")
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs exact term counts: build a 4x1024 md5-
+    seeded sketch over the corpus tokens, estimate every distinct
+    token, and emit (token, cnt, est). The sketch is deterministic
+    (seeded md5), so est is exactly reproducible — the oracle
+    recomputes identical cells, and est >= cnt by construction."""
+    from annotation_service_spark.operators import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(dd.tokens(F.col("text"))).alias("token"))
+    sketch = sk.count_min_build(tok, "token", depth=4, width=1024)
+    est = sk.count_min_estimate(sketch, tok, "token", depth=4, width=1024)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return exact.join(est, "token")
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-bucket signal: per-doc mean -log2
     p(token) under the corpus's own unigram distribution (vocab agg +
@@ -1023,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "vocab_topk": q_vocab_topk,
         "unigram_nll": q_unigram_nll,
+        "cms_counts": q_cms_counts,
         "event_rollup": q_event_rollup,
         "distinct_users": q_distinct_users,
         "embedding_gram": q_embedding_gram,
@@ -2166,6 +2183,39 @@ def oracle_sql() -> dict[str, str]:
             FROM s d JOIN r USING (stratum)
             WHERE CAST('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) % 10000 < thr
+        """,
+        "cms_counts": """
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            ),
+            cells AS (
+                SELECT i.i AS row,
+                       CAST('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR)
+                            || '|' || token), 1, 8) AS BIGINT) % 1024 AS bucket,
+                       count(*) AS c
+                FROM tok, range(0, 4) i(i)
+                GROUP BY 1, 2
+            ),
+            probes AS (SELECT DISTINCT token FROM tok),
+            pc AS (
+                SELECT token, i.i AS row,
+                       CAST('0x' || substr(md5('cms' || CAST(i.i AS VARCHAR)
+                            || '|' || token), 1, 8) AS BIGINT) % 1024 AS bucket
+                FROM probes, range(0, 4) i(i)
+            ),
+            est AS (
+                SELECT token, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+                FROM pc LEFT JOIN cells USING (row, bucket)
+                GROUP BY token
+            ),
+            exact AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY token
+            )
+            SELECT exact.token, cnt, est FROM exact JOIN est USING (token)
         """,
         "unigram_nll": """
             WITH tok AS (

@@ -55,3 +55,42 @@ def test_tdigest_vs_exact_percentile(spark):
     for r in rows:
         for e, a in zip(r["exact"], r["approx"]):
             assert abs(a - e) <= 0.01 * e + 1e-9, (r["g"], e, a)
+
+
+def test_count_min_bounds(spark):
+    """est >= true always; with 5000 keys in 256 buckets the average
+    overestimate stays within the CMS bound (~N/width per row, min
+    over depth rows)."""
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    # zipf-ish: key k appears ~ 5000/k times for the head
+    rows = []
+    for k in range(1, 5001):
+        reps = max(1, 2000 // k)
+        rows.extend([(f"key{k}",)] * reps)
+    df = spark.createDataFrame(rows, ["token"])
+    n = len(rows)
+    sk = count_min_build(df, "token", depth=4, width=256)
+    est = {
+        r["token"]: r["est"]
+        for r in count_min_estimate(sk, df, "token", depth=4, width=256).collect()
+    }
+    true = {
+        r["token"]: r["c"]
+        for r in df.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(est) == set(true)
+    overs = []
+    for k, t in true.items():
+        assert est[k] >= t, k
+        overs.append(est[k] - t)
+    # expected overestimate per row ~ N/width; min over 4 rows is
+    # well under that — allow 3x headroom on the mean
+    assert sum(overs) / len(overs) <= 3 * n / 256
+    # the sketch state is bounded: at most depth*width cells
+    assert sk.count() <= 4 * 256

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "vocab_topk",
     "unigram_nll",
+    "cms_counts",
     "event_rollup",
     "event_rollup_hopping",
     "distinct_users",

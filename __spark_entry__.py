@@ -896,6 +896,34 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "stratum")
 
 
+def q_event_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window heavy hitters: top-3 event types per 6-hour
+    tumbling window by count (ties broken by type asc) — the
+    rollup × rank composition a monitoring pipeline runs. The rank
+    window partitions by the time bucket, so parallelism follows
+    the buckets, not a global sort."""
+    from annotation_service_spark.operators import rollup as ru
+
+    counts = ru.tumbling_rollup(
+        _t(spark, sf_dir, "events"),
+        window_width="6 hours",
+        dims=("event_type",),
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch vs exact term counts: build a 4x1024 md5-
     seeded sketch over the corpus tokens, estimate every distinct
@@ -1040,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "unigram_nll": q_unigram_nll,
         "cms_counts": q_cms_counts,
+        "event_topk_windowed": q_event_topk_windowed,
         "event_rollup": q_event_rollup,
         "distinct_users": q_distinct_users,
         "embedding_gram": q_embedding_gram,
@@ -2183,6 +2212,25 @@ def oracle_sql() -> dict[str, str]:
             FROM s d JOIN r USING (stratum)
             WHERE CAST('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) % 10000 < thr
+        """,
+        "event_topk_windowed": """
+            WITH c AS (
+                SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                       event_type,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                           AS sum_v_milli
+                FROM events GROUP BY 1, 2
+            )
+            SELECT window_start, event_type, n_events,
+                   CAST(rk AS INTEGER) AS rk
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY window_start
+                           ORDER BY n_events DESC, event_type ASC) AS rk
+                FROM c
+            )
+            WHERE rk <= 3
         """,
         "cms_counts": """
             WITH tok AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "unigram_nll",
     "cms_counts",
     "event_rollup",
+    "event_topk_windowed",
     "event_rollup_hopping",
     "distinct_users",
     "embedding_gram",

@@ -300,3 +300,51 @@ def test_unigram_nll_hand_case(spark):
     rows = {r["id"]: r for r in unigram_nll_table(skewed).collect()}
     assert rows[1]["nll_bits"] < rows[2]["nll_bits"]
     assert rows[1]["n_tokens"] == 7
+
+
+def test_native_session_window_matches_cumsum_sessionize(spark):
+    """Spark's native session_window (the streaming-capable session
+    operator) and the oracle-checked lag/cumsum sessionizer (gate
+    `sessionize`) must agree on session boundaries for gap-based
+    sessions — evidence the batch formulation is the same operator
+    the streaming engine runs."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # user 1: three bursts separated by > 30 min (no exact-boundary
+    # gaps: session_window's closure at exactly t_last+gap differs
+    # from the >1800 split and is not semantics we rely on)
+    for burst, start in enumerate((0, 46, 200)):
+        for j in range(4):
+            rows.append((1, base + dt.timedelta(minutes=start + j * 5)))
+    # user 2: one long session of 10-min steps (< gap, never splits)
+    for j in range(7):
+        rows.append((2, base + dt.timedelta(minutes=10 * j)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    native = {
+        (r["user_id"], r["start"], r["n"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+        .collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cumsum = {
+        (r["user_id"], r["start"], r["n"])
+        for r in ev.withColumn("g", grp)
+        .groupBy("user_id", "g")
+        .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "start", "n")
+        .collect()
+    }
+    assert native == cumsum

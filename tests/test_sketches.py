@@ -94,3 +94,38 @@ def test_count_min_bounds(spark):
     assert sum(overs) / len(overs) <= 3 * n / 256
     # the sketch state is bounded: at most depth*width cells
     assert sk.count() <= 4 * 256
+
+
+def test_count_min_streaming_update(spark, tmp_path):
+    """count_min_build runs unchanged as a streaming aggregation:
+    complete-mode cells after consuming the stream equal the batch
+    sketch cell-for-cell (bounded state: <= depth*width rows)."""
+    from annotation_service_spark.operators.sketch import count_min_build
+
+    rows = [(f"key{i % 40}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["token"])
+    d = tmp_path / "toks"
+    df.write.parquet(str(d))
+
+    batch = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in count_min_build(df, "token", depth=3, width=64).collect()
+    }
+
+    stream = spark.readStream.schema("token string").parquet(str(d))
+    q = (
+        count_min_build(stream, "token", depth=3, width=64)
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    assert got == batch
+    assert len(got) <= 3 * 64

@@ -93,9 +93,30 @@ def _pca_components(
                 {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
             )
 
+    def combine(it):
+        s = np.zeros(dim)
+        ss = np.zeros(dim * dim)
+        n = 0
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                n += r["n"]
+                s += np.array(r["s"])
+                ss += np.array(r["ss"])
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]}
+            )
+
+    schema = "n long, s array<double>, ss array<double>"
+    # tree combine: without it the driver collects one d²-sized row
+    # PER INPUT PARTITION (10k partitions × d=1024 would be ~80 GB);
+    # one 16-way combine level caps the collect at 16 rows for any
+    # corpus, and the repartition moves only 16·d² doubles.
     rows = (
         embeddings.select(vec_col)
-        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .mapInPandas(partials, schema)
+        .repartition(16)
+        .mapInPandas(combine, schema)
         .collect()
     )
     n = sum(r["n"] for r in rows)

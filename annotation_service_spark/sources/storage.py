@@ -95,3 +95,64 @@ def write_range_sorted(
         else df.repartitionByRange(*by)
     )
     out.sortWithinPartitions(*by).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files maintenance: rewrite a parquet dataset into
+    ~``target_file_bytes`` files and atomically swap it in. Returns
+    the new file count.
+
+    Why it exists: incremental loads and streaming appends (e.g.
+    ``start_event_refresh``'s one-partition-per-epoch publish)
+    accumulate files over months; at 100 TB scan cost becomes
+    file-open/metadata bound long before it is byte bound. Compaction
+    is the standing maintenance job every long-lived table needs
+    (Delta/Iceberg OPTIMIZE — here as plain parquet + directory
+    rename, which is atomic on POSIX; on an object store, publish to
+    a versioned prefix and flip a pointer instead).
+
+    Single-writer job: run it from the maintenance schedule, not
+    concurrently with a writer. Readers holding already-resolved
+    DataFrames keep their snapshot (files are replaced via rename,
+    not truncation); new reads see the compacted layout.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if partition_cols:
+        out = df.repartition(n_files, *partition_cols)
+    else:
+        out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    w = out.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

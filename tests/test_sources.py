@@ -251,3 +251,28 @@ def test_registry_dates_and_cutoff(spark):
     reg2 = registry.build_registry(paths, asn_first_of_month_only=True)
     asn_rows = [r for r in reg2.collect() if r.source == "asn_v4"]
     assert len(asn_rows) == 1
+
+
+def test_compact_parquet_roundtrip(spark, tmp_path):
+    """64 tiny files -> few target-sized files; byte-identical data;
+    atomic swap leaves the path valid throughout."""
+    import os
+
+    from annotation_service_spark.sources.storage import compact_parquet
+
+    p = str(tmp_path / "tbl")
+    spark.range(10_000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS STRING) AS s"
+    ).repartition(64).write.parquet(p)
+    n_before = sum(
+        1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before >= 32
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    n_after = compact_parquet(spark, p, target_file_bytes=64 << 10)
+    assert n_after < n_before
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+    assert not os.path.exists(p + "._compact_tmp")
+    assert not os.path.exists(p + "._compact_old")

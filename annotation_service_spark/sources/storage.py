@@ -149,6 +149,13 @@ def compact_parquet(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
+    # carry over sidecar metadata dirs (e.g. the refresh sink's
+    # _manifest/) — they are the recovery state of incremental
+    # loaders and must survive compaction
+    for entry in os.listdir(path):
+        src = os.path.join(path, entry)
+        if entry.startswith("_") and os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, entry), dirs_exist_ok=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

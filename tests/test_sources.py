@@ -276,3 +276,18 @@ def test_compact_parquet_roundtrip(spark, tmp_path):
     assert after == before
     assert not os.path.exists(p + "._compact_tmp")
     assert not os.path.exists(p + "._compact_old")
+
+
+def test_compact_parquet_preserves_manifest_sidecar(spark, tmp_path):
+    import os
+
+    from annotation_service_spark.sources.storage import compact_parquet
+
+    p = str(tmp_path / "tbl2")
+    spark.range(100).write.parquet(p)
+    os.makedirs(os.path.join(p, "_manifest"))
+    with open(os.path.join(p, "_manifest", "b0"), "w") as fh:
+        fh.write("path0\n")
+    compact_parquet(spark, p, target_file_bytes=1 << 20)
+    with open(os.path.join(p, "_manifest", "b0")) as fh:
+        assert fh.read() == "path0\n"

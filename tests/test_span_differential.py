@@ -95,3 +95,40 @@ def test_span_ops_match_bruteforce(spark):
         for i, (n_tok, n_cov, clean) in exp.items():
             assert cov[i] == (n_tok, n_cov), (i, cov[i], (n_tok, n_cov))
             assert rem[i] == (n_tok - n_cov, clean), (i, rem[i])
+
+
+def test_span_ops_cross_invariants(spark):
+    """For random corpora: dup_tokens + n_kept == n_tokens doc-by-doc
+    (coverage and removal agree on the covered set), and coverage is
+    monotonically non-increasing in k (a duplicated k+1-span implies
+    duplicated k-spans covering at least the same positions)."""
+    rng = random.Random(777)
+    rows = []
+    for c in range(10):
+        for d in range(8):
+            n = rng.randint(0, 15)
+            rows.append(
+                (
+                    c * 1000 + d,
+                    " ".join(
+                        f"{rng.choice(VOCAB)}x{c}" for _ in range(n)
+                    ),
+                )
+            )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cov_by_k = {}
+    for k in (2, 3, 4):
+        cov_by_k[k] = {
+            r["id"]: (r["n_tokens"], r["dup_tokens"])
+            for r in duplicate_span_coverage(df, k=k).collect()
+        }
+    rem3 = {
+        r["id"]: r["n_kept"] for r in remove_duplicate_spans(df, k=3).collect()
+    }
+    for i, (n_tok, dup) in cov_by_k[3].items():
+        assert dup + rem3[i] == n_tok, i
+    for i in cov_by_k[2]:
+        assert (
+            cov_by_k[2][i][1] >= cov_by_k[3][i][1] >= cov_by_k[4][i][1]
+        ), i

@@ -1,0 +1,76 @@
+"""Degenerate-corpus safety net: every document-family operator must
+handle empty text, whitespace-only, single-token, and unicode-only
+documents without crashing, and produce sane values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from annotation_service_spark.functions.text import (
+    text_metrics_table,
+    unigram_nll_table,
+    vocab_topk,
+)
+from annotation_service_spark.operators.curation import temperature_mix
+from annotation_service_spark.operators.dedup import (
+    dedup_exact,
+    duplicate_span_coverage,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    remove_duplicate_spans,
+    simhash_pairs,
+)
+
+
+def _weird_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   \t\n  "),
+            (3, "one"),
+            (4, "…—“”£¥§"),          # no [a-z0-9] tokens at all
+            (5, "a b c d e f g h i j"),
+            (6, "a b c d e f g h i j"),  # exact dup of 5
+        ],
+        ["doc_id", "text"],
+    ).withColumn("source", F.lit("s")).withColumn("lang", F.lit("en"))
+
+
+def test_span_ops_degenerate(spark):
+    docs = _weird_docs(spark)
+    cov = {r["id"]: r for r in duplicate_span_coverage(docs, k=3).collect()}
+    assert len(cov) == 6
+    for i in (1, 2, 3, 4):
+        assert cov[i]["n_tokens"] <= 1 and cov[i]["dup_tokens"] == 0
+        assert cov[i]["dup_frac"] == 0.0
+    assert cov[5]["dup_tokens"] == 10 and cov[6]["dup_tokens"] == 10
+    rem = {r["id"]: r for r in remove_duplicate_spans(docs, k=3).collect()}
+    assert rem[1]["clean_text"] == "" and rem[5]["clean_text"] == ""
+    assert rem[3]["clean_text"] == "one"
+
+
+def test_pair_ops_degenerate(spark):
+    docs = _weird_docs(spark)
+    jac = ngram_jaccard_pairs(docs, ngram=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jac} == {(5, 6)}
+    mh = minhash_lsh_pairs(docs, ngram=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(5, 6)}
+    sh = simhash_pairs(docs, ngram=3, max_hamming=2).collect()
+    # featureless docs must NOT pair with each other (null fingerprint)
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(5, 6)}
+
+
+def test_scalar_tables_degenerate(spark):
+    docs = _weird_docs(spark)
+    assert dedup_exact(docs).count() == 5  # 5/6 share a hash
+    tm = text_metrics_table(docs)
+    assert tm.count() == 6
+    nll = {r["id"]: r for r in unigram_nll_table(docs).collect()}
+    # docs with zero tokens are absent (no likelihood to report);
+    # token docs present with finite positive nll
+    assert set(nll) == {3, 5, 6}
+    assert all(r["nll_bits"] >= 0 for r in nll.values())
+    top = vocab_topk(docs, k=3).collect()
+    assert top[0]["cnt"] >= top[-1]["cnt"]
+    kept = temperature_mix(docs, alpha=0.5, salt="x")
+    assert kept.count() == 6  # single stratum -> rate 1

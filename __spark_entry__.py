@@ -996,6 +996,39 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 as-of attachment at dimension scale: a per-user DAILY
+    version table (first event of each day opens a version whose tier
+    derives from user and day) is attached to every event via the
+    union+window as-of join — no broadcast, one shuffle keyed by
+    user_id. Oracle: DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    versions = (
+        ev.groupBy(F.col("user_id"), day.alias("d"))
+        .agg(F.min("ts").alias("vts"))
+        .select(
+            "user_id",
+            "vts",
+            (
+                (F.col("user_id") + F.floor(F.unix_timestamp("d") / 86400))
+                % 4
+            ).cast("long").alias("tier"),
+        )
+    )
+    probes = ev.select("event_id", "user_id", "ts")
+    out = ao.asof_join_union(
+        probes,
+        versions,
+        probe_ts="ts",
+        version_ts="vts",
+        payload=["tier"],
+        partition_by=["user_id"],
+        inclusive=True,
+    )
+    return out.select("event_id", "user_id", "tier")
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour rollup of the event stream per event_type —
     the batch twin of the streaming windowed aggregation. Value sums
@@ -1069,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "cms_counts": q_cms_counts,
         "event_topk_windowed": q_event_topk_windowed,
+        "scd_asof": q_scd_asof,
         "event_rollup": q_event_rollup,
         "distinct_users": q_distinct_users,
         "embedding_gram": q_embedding_gram,
@@ -2212,6 +2246,23 @@ def oracle_sql() -> dict[str, str]:
             FROM s d JOIN r USING (stratum)
             WHERE CAST('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) % 10000 < thr
+        """,
+        # scd_asof: DuckDB's native ASOF JOIN (greatest vts <= ts per
+        # user) against the same daily version derivation.
+        "scd_asof": """
+            WITH v AS (
+                SELECT user_id,
+                       min(ts) AS vts,
+                       CAST((user_id + CAST(floor(epoch(date_trunc('day', ts))
+                                                  / 86400) AS BIGINT)) % 4
+                            AS BIGINT) AS tier
+                FROM events
+                GROUP BY user_id, date_trunc('day', ts)
+            )
+            SELECT e.event_id, e.user_id, v.tier
+            FROM events e
+            ASOF LEFT JOIN v
+              ON e.user_id = v.user_id AND e.ts >= v.vts
         """,
         "event_topk_windowed": """
             WITH c AS (

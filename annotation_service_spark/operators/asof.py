@@ -153,3 +153,78 @@ def merge_sources(
             F.col(f"__pl_{name}.{c}").alias(f"{name}_{c}") for c in payload
         )
     return out.select(*sel)
+
+
+def asof_join_union(
+    probes: DataFrame,
+    versions: DataFrame,
+    probe_ts: str,
+    version_ts: str,
+    payload: Sequence[str],
+    partition_by: Sequence[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Big-dimension as-of join (SCD2 attachment) via union + window:
+    each probe row picks up the payload of the latest version with
+    ``version_ts <= probe_ts`` (or ``<`` when ``inclusive=False``)
+    within its partition keys. Probes with no earlier version keep
+    NULL payload.
+
+    This is the scale path complementing ``asof_join``: that form
+    broadcasts the (small) snapshot registry; here the dimension can
+    be arbitrarily large (e.g. one version per user per day). Union
+    both sides, ONE shuffle keyed by the partition columns, sort by
+    time within, and ``last(payload, ignorenulls)`` carries the
+    current version forward — the classic merge-join formulation of
+    as-of, no broadcast, no range join, skew bounded by the busiest
+    partition key.
+    """
+    part = list(partition_by)
+    pay = list(payload)
+    # tag order at equal timestamps decides inclusivity: versions
+    # first (0) -> a probe AT the version's ts sees it; probes first
+    # -> strictly-earlier semantics
+    v_tag, p_tag = (0, 1) if inclusive else (1, 0)
+    probe_cols = [f.name for f in probes.schema.fields]
+    p_side = probes.select(
+        *part,
+        F.col(probe_ts).alias("__ts"),
+        F.lit(p_tag).alias("__tag"),
+        F.lit(True).alias("__is_probe"),
+        *[c for c in probe_cols if c not in part and c != probe_ts],
+        *[
+            F.lit(None).cast(versions.schema[c].dataType).alias(f"__v_{c}")
+            for c in pay
+        ],
+    )
+    v_side = versions.select(
+        *part,
+        F.col(version_ts).alias("__ts"),
+        F.lit(v_tag).alias("__tag"),
+        F.lit(False).alias("__is_probe"),
+        *[
+            F.lit(None).cast(probes.schema[c].dataType).alias(c)
+            for c in probe_cols
+            if c not in part and c != probe_ts
+        ],
+        *[F.col(c).alias(f"__v_{c}") for c in pay],
+    )
+    u = p_side.unionByName(v_side)
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in pay
+        ],
+    )
+    return filled.where(F.col("__is_probe")).select(
+        *part,
+        F.col("__ts").alias(probe_ts),
+        *[c for c in probe_cols if c not in part and c != probe_ts],
+        *[F.col(f"__f_{c}").alias(c) for c in pay],
+    )

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "cms_counts",
     "event_rollup",
     "event_topk_windowed",
+    "scd_asof",
     "event_rollup_hopping",
     "distinct_users",
     "embedding_gram",

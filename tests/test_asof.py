@@ -65,3 +65,48 @@ def test_merge_sources_alignment(spark):
     assert rows[_d("20100203")] == ("g1", "a1")
     assert rows[_d("20100301")] == ("g2", "a1")
     assert rows[_d("20100401")] == ("g2", "a2")
+
+
+def test_asof_join_union_bruteforce(spark):
+    """Union+window as-of (the no-broadcast SCD path) vs brute force
+    on random data, inclusive and strict modes, incl. ties and
+    probes before any version."""
+    import random
+
+    from annotation_service_spark.operators.asof import asof_join_union
+
+    rng = random.Random(42)
+    versions = []
+    for u in range(6):
+        for _ in range(rng.randint(0, 5)):
+            versions.append((u, rng.randint(0, 50), rng.randint(100, 999)))
+    probes = [
+        (i, rng.randint(0, 5), rng.randint(0, 55)) for i in range(300)
+    ]
+    vdf = spark.createDataFrame(versions, "user_id long, vts long, pay long")
+    pdf = spark.createDataFrame(probes, "pid long, user_id long, ts long")
+
+    for inclusive in (True, False):
+        got = {
+            r["pid"]: r["pay"]
+            for r in asof_join_union(
+                pdf, vdf, "ts", "vts", ["pay"], ["user_id"],
+                inclusive=inclusive,
+            ).collect()
+        }
+        for pid, u, ts in probes:
+            cands = [
+                (vt, pay)
+                for (vu, vt, pay) in versions
+                if vu == u and (vt <= ts if inclusive else vt < ts)
+            ]
+            # brute force mirrors the window tie-break: among equal
+            # vts the LAST version row in sort order wins; our sort is
+            # stable only per (ts, tag), so compare the payload SET at
+            # the winning timestamp
+            if not cands:
+                assert got[pid] is None, pid
+            else:
+                best_ts = max(vt for vt, _ in cands)
+                assert got[pid] in {p for vt, p in cands if vt == best_ts}, pid
+        assert len(got) == len(probes)

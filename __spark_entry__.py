@@ -514,6 +514,34 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: 4-way join (lineitem
+    ⨝ orders ⨝ customer ⨝ nation) with a date-window filter + top-20
+    customers by lost revenue. Same scale stance as q3/q5: no
+    fact-side broadcast hints — only the fixed 25-row nation keeps
+    one; AQE + the bucketed layout carry the fact joins; the date
+    filter pushes to the orders scan (PushedFilters in PLANS.md)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue: 6-way star join keyed
     through region→nation→(customer, supplier)→orders→lineitem.
@@ -1084,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
         "topk_per_group": q_topk_per_group,
         "annotate_multisnapshot": q_annotate_multisnapshot,
         "legacy_annotate": q_legacy_annotate,
@@ -2246,6 +2275,23 @@ def oracle_sql() -> dict[str, str]:
             FROM s d JOIN r USING (stratum)
             WHERE CAST('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) % 10000 < thr
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(4,2))
+                           - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         # scd_asof: DuckDB's native ASOF JOIN (greatest vts <= ts per
         # user) against the same daily version derivation.

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "lang_id",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q10",
     "topk_per_group",
     "annotate_multisnapshot",
     "legacy_annotate",

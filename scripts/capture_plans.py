@@ -17,7 +17,7 @@ import __spark_entry__ as em
 from annotation_service_spark.session import get_session
 
 QUERIES = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "annotate", "range_lookup",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10", "annotate", "range_lookup",
     "asof_select", "dedup_minhash_lsh", "annotate_multisnapshot",
     "legacy_annotate", "corpus_curation", "ann_ivf_topk",
     "ann_cosine_topk", "ann_gemm_topk", "decontaminate",

@@ -858,6 +858,27 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup eviction: clusters from exact 3-gram
+    Jaccard pairs, keep the LONGEST document per cluster (n_chars,
+    ties to smallest id) instead of the smallest id — the eviction
+    policy real curation uses (keep the best representative, drop
+    the rest). One extra broadcast-sized join + per-cluster rank on
+    top of the oracle-checked clustering."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5)
+    comp = cl.connected_components(pairs)
+    j = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    return j.withColumn("rk", F.row_number().over(w)).select(
+        "id", "cluster_id", (F.col("rk") == 1).alias("keep")
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup signal (Lee et al. 2022): per doc,
     the fraction of tokens covered by an 8-token span occurring at
@@ -1123,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_agg": q_skew_agg,
         "pii_redact": q_pii_redact,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "dedup_keep_best": q_dedup_keep_best,
         "span_dedup": q_span_dedup,
         "span_dedup_apply": q_span_dedup_apply,
         "dedup_incremental": q_dedup_incremental,
@@ -1831,6 +1853,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS id,
                    CAST(MIN(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_shingle_cte(3)},
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT id_a, id_b FROM prs
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT CAST(id AS BIGINT) AS id,
+                       CAST(MIN(r) AS BIGINT) AS cluster_id
+                FROM reach GROUP BY id
+            )
+            SELECT c.id, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.id ASC) = 1 AS keep
+            FROM comp c JOIN documents d ON c.id = d.doc_id
         """,
         "decontaminate": """
             WITH cw AS (

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "span_dedup_apply",
     "dedup_incremental",
+    "dedup_keep_best",
     "temperature_mix",
     "vocab_topk",
     "unigram_nll",

@@ -858,6 +858,24 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_quantile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bucketed mixing: docs at or above their language's
+    p25 length keep rate 1.0; the bottom quartile is thinned to 20%
+    by the deterministic md5 coin — the 'downweight the worst bucket'
+    recipe. Thresholds are 1e-6-rounded on BOTH engines so the
+    percentile interpolation's ulp differences cannot flip a
+    boundary comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    thr = docs.groupBy("lang").agg(
+        txt.round_fixed(F.expr("percentile(n_chars, 0.25D)"), 6).alias("thr")
+    )
+    kept = docs.join(F.broadcast(thr), "lang").where(
+        (F.col("n_chars") >= F.col("thr"))
+        | (cu.sample_hash(F.col("doc_id"), "qmix") < 2000)
+    )
+    return kept.select("doc_id", "lang")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup eviction: clusters from exact 3-gram
     Jaccard pairs, keep the LONGEST document per cluster (n_chars,
@@ -1145,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "multimodal_pipeline": q_multimodal_pipeline,
         "dedup_keep_best": q_dedup_keep_best,
+        "quality_quantile_mix": q_quality_quantile_mix,
         "span_dedup": q_span_dedup,
         "span_dedup_apply": q_span_dedup_apply,
         "dedup_incremental": q_dedup_incremental,
@@ -1853,6 +1872,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS id,
                    CAST(MIN(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "quality_quantile_mix": """
+            WITH t AS (
+                SELECT lang,
+                       floor(quantile_cont(n_chars, 0.25) * 1000000 + 0.5)
+                           / 1000000 AS thr
+                FROM documents GROUP BY lang
+            )
+            SELECT doc_id, lang
+            FROM documents JOIN t USING (lang)
+            WHERE n_chars >= thr
+               OR CAST('0x' || substr(md5('qmix' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 < 2000
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE {_shingle_cte(3)},

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "span_dedup_apply",
     "dedup_incremental",
     "dedup_keep_best",
+    "quality_quantile_mix",
     "temperature_mix",
     "vocab_topk",
     "unigram_nll",

@@ -858,6 +858,39 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile rank of every document's length within its
+    language (percent_rank window) — the bucketing signal quantile
+    mixing consumes, exact rank arithmetic so no float drift.
+    Parallelism follows the partition keys (languages)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        txt.round_fixed(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling mean over the last 4 events (ROWS frame,
+    deterministic (ts, event_id) ordering) — the moving-average
+    time-series primitive; 1e-6 rounding absorbs any frame-sum
+    reassociation."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        txt.round_fixed(F.avg("value").over(w), 6).alias("roll_avg"),
+    )
+
+
 def q_quality_quantile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-bucketed mixing: docs at or above their language's
     p25 length keep rate 1.0; the bottom quartile is thinned to 20%
@@ -1164,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "dedup_keep_best": q_dedup_keep_best,
         "quality_quantile_mix": q_quality_quantile_mix,
+        "doc_percentiles": q_doc_percentiles,
+        "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
         "span_dedup_apply": q_span_dedup_apply,
         "dedup_incremental": q_dedup_incremental,
@@ -1872,6 +1907,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS id,
                    CAST(MIN(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "doc_percentiles": """
+            SELECT doc_id, lang, n_chars,
+                   floor(percent_rank() OVER (
+                             PARTITION BY lang ORDER BY n_chars)
+                         * 1000000 + 0.5) / 1000000 AS pr
+            FROM documents
+        """,
+        "rolling_avg": """
+            SELECT event_id, user_id,
+                   floor(avg(value) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                         * 1000000 + 0.5) / 1000000 AS roll_avg
+            FROM events
         """,
         "quality_quantile_mix": """
             WITH t AS (

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_keep_best",
     "quality_quantile_mix",
+    "doc_percentiles",
+    "rolling_avg",
     "temperature_mix",
     "vocab_topk",
     "unigram_nll",

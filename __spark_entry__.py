@@ -858,6 +858,29 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup lattice: counts + fixed-point sums by
+    (event_type, hour-of-day) with ROLLUP subtotals and a grouping id
+    distinguishing aggregation levels — one pass computes all levels
+    via Spark's partial-agg expansion (same at 100 TB: the lattice
+    multiplies partials, not input rows)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+    )
+    return (
+        ev.rollup("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("sum_v_milli"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 def q_doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile rank of every document's length within its
     language (percent_rank window) — the bucketing signal quantile
@@ -1197,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "dedup_keep_best": q_dedup_keep_best,
         "quality_quantile_mix": q_quality_quantile_mix,
+        "event_cube": q_event_cube,
         "doc_percentiles": q_doc_percentiles,
         "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
@@ -1907,6 +1931,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS id,
                    CAST(MIN(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "event_cube": """
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_v_milli,
+                   CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts))
+                        AS BIGINT) AS gid
+            FROM events
+            GROUP BY ROLLUP (event_type, hour(ts))
         """,
         "doc_percentiles": """
             SELECT doc_id, lang, n_chars,

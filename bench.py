@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "quality_quantile_mix",
     "doc_percentiles",
     "rolling_avg",
+    "event_cube",
     "temperature_mix",
     "vocab_topk",
     "unigram_nll",

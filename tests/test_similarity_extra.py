@@ -100,3 +100,40 @@ def test_gemm_topk_matches_expression_form(spark, vec_df):
         for r in sim.ann_bruteforce_topk_gemm(vec_df, k=3).collect()
     }
     assert gemm == bf
+
+
+def test_quantize_embeddings_error_and_recall(spark):
+    """int8 quantization: per-component reconstruction error is
+    <= scale/2, and brute-force top-10 by quantized dot products
+    keeps >= 70% of the exact float top-10 (typical int8 recall)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(400, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = quantize_embeddings(df).collect()
+    q = np.zeros_like(m)
+    for r in rows:
+        qv = np.array(r["qvec"], dtype=np.float64)
+        assert np.abs(qv).max() <= 127
+        q[r["vec_id"]] = qv * r["qscale"]
+        scale = r["qscale"]
+        assert np.all(np.abs(q[r["vec_id"]] - m[r["vec_id"]]) <= scale / 2 + 1e-12)
+
+    # recall of quantized top-10 neighbors for 20 probe vectors
+    probes = range(20)
+    hits = total = 0
+    for p in probes:
+        exact = set(np.argsort(-(m @ m[p]))[1:11])
+        approx = set(np.argsort(-(q @ q[p]))[1:11])
+        hits += len(exact & approx)
+        total += 10
+    assert hits / total >= 0.7, hits / total

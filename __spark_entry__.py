@@ -858,6 +858,26 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: cumulative user counts
+    where step k only counts events strictly after the user's
+    earliest step-k-1 time (the standard product-analytics funnel,
+    per-user earliest qualifying progression)."""
+    from annotation_service_spark.operators import funnel as fu
+
+    return fu.funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users by first-seen week × distinct
+    active week offsets."""
+    from annotation_service_spark.operators import funnel as fu
+
+    return fu.cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup lattice: counts + fixed-point sums by
     (event_type, hour-of-day) with ROLLUP subtotals and a grouping id
@@ -1221,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "quality_quantile_mix": q_quality_quantile_mix,
         "event_cube": q_event_cube,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "doc_percentiles": q_doc_percentiles,
         "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
@@ -1931,6 +1953,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS id,
                    CAST(MIN(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS step1_users,
+                   CAST((SELECT count(*) FROM c) AS BIGINT) AS step2_users,
+                   CAST((SELECT count(*) FROM p) AS BIGINT) AS step3_users
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id AS u,
+                       date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id
+            ),
+            a AS (
+                SELECT DISTINCT e.user_id AS u, f.cohort_week,
+                       CAST((epoch(date_trunc('week', e.ts))
+                             - epoch(f.cohort_week)) / 604800 AS BIGINT)
+                           AS week_offset
+                FROM events e JOIN f ON e.user_id = f.u
+            )
+            SELECT cohort_week, week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY 1, 2
         """,
         "event_cube": """
             SELECT event_type,

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "doc_percentiles",
     "rolling_avg",
     "event_cube",
+    "funnel",
+    "cohort_retention",
     "temperature_mix",
     "vocab_topk",
     "unigram_nll",

@@ -858,6 +858,39 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (the Delta MERGE / merge-on-read
+    analog): a base snapshot plus two change batches collapse to the
+    newest version per key — union + one per-key window, shuffle
+    keyed by the (uniform) primary key. Change batches are derived
+    deterministically from the customer table: batch 1 retags every
+    3rd customer's segment, batch 2 re-retags every 9th (so later
+    versions must win twice)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = cust.select(
+        "c_custkey", "c_mktsegment", F.lit(0).alias("seq")
+    )
+    b1 = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("B1_"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.lit(1).alias("seq"),
+    )
+    b2 = cust.where(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("B2_"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.lit(2).alias("seq"),
+    )
+    all_v = base.unionByName(b1).unionByName(b2)
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("seq"))
+    return (
+        all_v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "c_mktsegment", F.col("seq").cast("long").alias("seq"))
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase: cumulative user counts
     where step k only counts events strictly after the user's
@@ -1243,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cube": q_event_cube,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "upsert_merge": q_upsert_merge,
         "doc_percentiles": q_doc_percentiles,
         "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
@@ -1953,6 +1987,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS id,
                    CAST(MIN(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "upsert_merge": """
+            WITH all_v AS (
+                SELECT c_custkey, c_mktsegment, 0 AS seq FROM customer
+                UNION ALL
+                SELECT c_custkey, 'B1_' || c_mktsegment, 1 FROM customer
+                WHERE c_custkey % 3 = 0
+                UNION ALL
+                SELECT c_custkey, 'B2_' || c_mktsegment, 2 FROM customer
+                WHERE c_custkey % 9 = 0
+            )
+            SELECT c_custkey, c_mktsegment, CAST(seq AS BIGINT) AS seq
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+                FROM all_v
+            )
+            WHERE rn = 1
         """,
         "funnel": """
             WITH v AS (

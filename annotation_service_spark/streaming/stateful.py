@@ -183,3 +183,84 @@ def streaming_curation(
     return hashed.dropDuplicatesWithinWatermark(["content_hash"]).drop(
         "content_hash"
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("completed_at", T.TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("step_i", T.LongType()),
+        T.StructField("t_us", T.LongType()),
+        T.StructField("done", T.LongType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered funnel: per-user GroupState tracks the
+    furthest step reached and its time; a user emits ONE row (append
+    mode) at the event completing the last step. The greedy
+    earliest-advance scan is exactly the batch ``funnel_reach``
+    "earliest qualifying progression", so with in-order arrival the
+    streaming completion set equals the batch one (asserted in
+    tests). Cross-batch out-of-order arrival can only DELAY an
+    advance, never produce a completion batch mode wouldn't —
+    the standard at-least-ordered caveat for streaming funnels.
+
+    State: one tiny row (step index + timestamp) per user — uniform
+    key, bounded by active users, no timeout needed (set one to shed
+    abandoned funnels in production).
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            step_i, t_us, done = state.get
+        else:
+            step_i, t_us, done = 0, -1, 0
+
+        evs: list[tuple[int, str]] = []
+        for pdf in pdf_iter:
+            evs.extend(
+                (_us(t), et) for t, et in zip(pdf[ts_col], pdf[type_col])
+            )
+        evs.sort()
+        completed_at = None
+        if not done:
+            for t, et in evs:
+                if et == steps[step_i] and t > t_us:
+                    step_i += 1
+                    t_us = t
+                    if step_i == len(steps):
+                        completed_at = t
+                        done = 1
+                        break
+        state.update((step_i, t_us, done))
+        if completed_at is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "completed_at": [
+                        dt.datetime.utcfromtimestamp(completed_at / 1e6)
+                    ],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "event_cube",
     "funnel",
     "cohort_retention",
+    "upsert_merge",
     "temperature_mix",
     "vocab_topk",
     "unigram_nll",

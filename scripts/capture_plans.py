@@ -24,7 +24,7 @@ QUERIES = [
     "repetition_filter", "group_quantiles", "dedup_clusters",
     "pipeline_full", "span_dedup", "temperature_mix", "vocab_topk",
     "event_rollup", "span_dedup_apply", "dedup_incremental",
-    "embedding_gram", "event_rollup_hopping", "distinct_users", "cms_counts", "unigram_nll", "event_topk_windowed", "scd_asof", "dedup_keep_best", "quality_quantile_mix", "doc_percentiles", "rolling_avg", "event_cube", "funnel", "cohort_retention",
+    "embedding_gram", "event_rollup_hopping", "distinct_users", "cms_counts", "unigram_nll", "event_topk_windowed", "scd_asof", "dedup_keep_best", "quality_quantile_mix", "doc_percentiles", "rolling_avg", "event_cube", "funnel", "cohort_retention", "upsert_merge",
 ]
 
 

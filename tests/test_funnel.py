@@ -67,3 +67,78 @@ def test_cohort_retention_offsets(spark):
     assert got[(w0, 0)] == 1 and got[(w0, 1)] == 1 and got[(w0, 3)] == 1
     assert got[(w1, 0)] == 1 and got[(w1, 1)] == 1
     assert (w0, 2) not in got
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel's completion set equals the
+    batch funnel_reach completions (same earliest-progression
+    semantics), including completion timestamps — and a second
+    micro-batch completes a funnel whose state carried over."""
+    import random
+
+    from annotation_service_spark.streaming.stateful import streaming_funnel
+
+    rng = random.Random(9)
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (
+                    u,
+                    T0 + dt.timedelta(minutes=rng.randint(0, 500)),
+                    rng.choice(["view", "click", "purchase", "error"]),
+                )
+            )
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    d = tmp_path / "ev"
+    ev.write.parquet(str(d))
+
+    batch_done = {
+        r["user_id"]: r["t3"]
+        for r in funnel_reach(ev, ["view", "click", "purchase"]).collect()
+        if r["t3"] is not None
+    }
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(str(d))
+    out_dir = str(tmp_path / "funnel_out")
+
+    def run_once():
+        q = (
+            streaming_funnel(stream, ["view", "click", "purchase"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_f"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: r["completed_at"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got = run_once()
+    assert got == batch_done
+
+    # second micro-batch: a user who had reached step 2 completes
+    half = [u for u in range(40) if u not in batch_done][:1]
+    if half:
+        u = half[0]
+        more = spark.createDataFrame(
+            [
+                (u, T0 + dt.timedelta(minutes=600), "view"),
+                (u, T0 + dt.timedelta(minutes=601), "click"),
+                (u, T0 + dt.timedelta(minutes=602), "purchase"),
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        more.write.mode("append").parquet(str(d))
+        got2 = run_once()
+        assert u in got2
+        # earlier completions are not re-emitted
+        assert set(got2) == set(batch_done) | {u}

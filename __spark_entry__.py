@@ -1219,6 +1219,195 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style correlated semi join (TPC-H Q4 shape): orders with
+    at least one lineitem shipped >60 days after the order date,
+    counted per priority. SURVEY §2.3 notes the reference has no
+    semi/anti joins — this adds the class.
+
+    Scale strategy: LEFT SEMI short-circuits on first probe match, so
+    the lineitem side is never materialized per-order (no dedup
+    shuffle). The equi-key is l_orderkey, which the bucketed layout
+    (sources/storage.py) co-locates — at 100 TB this is a
+    shuffle-free SMJ-semi; the >60-day predicate rides the join as a
+    residual condition."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti join + scalar subquery (TPC-H Q22 shape):
+    above-average-balance customers with no urgent order, by segment.
+
+    The global average is compared WITHOUT division — cross-multiplied
+    as decimal ``c_acctbal * n_total > sum_total`` so both engines do
+    exact integer-scaled arithmetic (decimal division would round
+    differently at the ulp). The 2-row scalar aggregate is broadcast;
+    the anti join probes orders on o_custkey (uniform key, AQE
+    handles strategy at scale — anti joins can't broadcast the LEFT
+    side, and the right side here is a filtered fact that shrinks
+    with the priority predicate)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    dec = "decimal(12,2)"
+    tot = cust.agg(
+        F.sum(F.col("c_acctbal").cast(dec)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rich = cust.crossJoin(F.broadcast(tot)).where(
+        F.col("c_acctbal").cast(dec) * F.col("n") > F.col("s")
+    )
+    return (
+        rich.join(urgent, rich["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(dec)).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below 20% of their part's average.
+
+    The per-part average comparison is cross-multiplied to integers
+    (``qty * 5 * n < sum_qty`` ⟺ ``qty < 0.2 * avg``) — quantities
+    are integral, so both engines compare exact BIGINTs; no float
+    average crosses the engine boundary. Physically this is the
+    classic self-join decorrelation Catalyst would produce for the
+    subquery: one partial-agg pass over lineitem keyed on l_partkey,
+    then a re-join on the same key (both sides shuffle on l_partkey;
+    map-side combine keeps the agg side small)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    below = li.join(stats, "l_partkey").where(
+        qty * F.lit(5) * F.col("n_li") < F.col("sum_qty")
+    )
+    return below.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot (TPC-H Q14 shape): PROMO revenue
+    share per ship year. CASE-guarded decimal sums stay exact; the
+    share divides two identical doubles at the very end (IEEE-same in
+    both engines). The part join carries no hint — part grows with
+    SF, AQE broadcasts at small actual sizes."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(dec)))
+            .alias("promo_d"),
+            F.sum(rev).alias("total_d"),
+        )
+        .select(
+            "ship_year",
+            F.col("promo_d").cast("double").alias("promo_revenue"),
+            F.col("total_d").cast("double").alias("total_revenue"),
+            (F.col("promo_d").cast("double") / F.col("total_d").cast("double")).alias(
+                "promo_share"
+            ),
+        )
+    )
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-dimension-role join (TPC-H Q7 shape): shipping volume
+    between supplier-nation and customer-nation pairs per year. The
+    25-row nation dim joins TWICE under different roles — both
+    broadcast (the only safe hints here; customer/supplier/orders/
+    lineitem all grow with SF and are left to AQE). The fact probe
+    order keeps lineitem streaming: orders folds in on l_orderkey
+    (bucket-aligned), supplier on l_suppkey."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"))
+    )
+
+
+def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery-on-HAVING (TPC-H Q18 shape): large-volume orders —
+    orders whose total lineitem quantity exceeds 150, joined back to
+    customer, top-100 by price. The qualifying-keys set is a
+    map-side-combinable integer agg on l_orderkey (bucket-aligned →
+    shuffle-free partial agg), and the re-join on the same key stays
+    co-located; integer quantity sums are engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1292,6 +1481,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "embedding_gram": q_embedding_gram,
         "event_rollup_hopping": q_event_rollup_hopping,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "scalar_subquery": q_scalar_subquery,
+        "case_pivot": q_case_pivot,
+        "nation_volume": q_nation_volume,
+        "having_subquery": q_having_subquery,
     }
 
 
@@ -2737,5 +2932,101 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_v_milli
             FROM events
             GROUP BY 1, 2
+        """,
+        "semi_join": """
+            SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        # cross-multiplied average (acctbal*n > sum) keeps the scalar
+        # comparison in exact decimal arithmetic in both engines
+        "anti_join": """
+            WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+                              COUNT(*) AS n
+                       FROM customer)
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_acctbal
+            FROM customer c, t
+            WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * t.n > t.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+            GROUP BY 1
+        """,
+        # qty*5*n < sum  ⟺  qty < 0.2*avg, in exact integers
+        "scalar_subquery": """
+            WITH s AS (SELECT l_partkey,
+                              SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                              COUNT(*) AS n_li
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS total_price
+            FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+            WHERE CAST(l.l_quantity AS BIGINT) * 5 * s.n_li < s.sum_qty
+        """,
+        "case_pivot": """
+            WITH a AS (
+                SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+                       SUM(CASE WHEN p.p_type = 'PROMO'
+                                THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                                     (CAST(1 AS DECIMAL(4,2)) -
+                                      CAST(l.l_discount AS DECIMAL(12,2)))
+                                ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_d,
+                       SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                           (CAST(1 AS DECIMAL(4,2)) -
+                            CAST(l.l_discount AS DECIMAL(12,2)))) AS total_d
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1
+            )
+            SELECT ship_year,
+                   CAST(promo_d AS DOUBLE) AS promo_revenue,
+                   CAST(total_d AS DOUBLE) AS total_revenue,
+                   CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE)
+                       AS promo_share
+            FROM a
+        """,
+        "nation_volume": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                            (CAST(1 AS DECIMAL(4,2)) -
+                             CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                       AS volume
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+              AND n1.n_name < n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "having_subquery": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                   o.o_totalprice,
+                   CAST(b.total_qty AS BIGINT) AS total_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 100
         """,
     }

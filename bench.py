@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "event_rollup_hopping",
     "distinct_users",
     "embedding_gram",
+    "semi_join",
+    "anti_join",
+    "scalar_subquery",
+    "case_pivot",
+    "nation_volume",
+    "having_subquery",
 ]
 
 # documents-only operators re-run at the 10x scale point

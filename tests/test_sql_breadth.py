@@ -1,0 +1,129 @@
+"""Semi/anti/subquery join-class gates (SURVEY §2.3 notes the
+reference itself has none — these extend the engine's SQL breadth).
+
+Value-level correctness is driver-gated against DuckDB at sf0.01
+(`semi_join`, `anti_join`, `scalar_subquery`, `case_pivot`,
+`nation_volume`, `having_subquery` in ``oracle_sql()``); these tests
+pin the PHYSICAL properties that make each plan survive scale, plus
+cheap semantic invariants at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semi_join_is_left_semi_no_dedup(spark):
+    out = em.q_semi_join(spark, SF)
+    p = _plan(out)
+    assert "LeftSemi" in p
+    # a semi join must not be rewritten as join+distinct
+    assert "Deduplicate" not in p
+    rows = {r.o_orderpriority: r.n_orders for r in out.collect()}
+    orders = em._t(spark, SF, "orders")
+    li = em._t(spark, SF, "lineitem")
+    # oracle-free invariant: per-priority count never exceeds the
+    # priority's total order count, and equals the distinct count of
+    # qualifying orderkeys computed the expensive way
+    joined = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("o_orderpriority", "o_orderkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    expensive = {r.o_orderpriority: r["count"] for r in joined.collect()}
+    assert rows == expensive
+
+
+def test_anti_join_is_left_anti_and_disjoint_from_semi(spark):
+    out = em.q_anti_join(spark, SF)
+    assert "LeftAnti" in _plan(out)
+    got = out.collect()
+    cust = em._t(spark, SF, "customer")
+    urgent_cust = (
+        em._t(spark, SF, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    # anti-join complement check: n_custs(kept) + |rich ∩ urgent| = |rich|
+    tot = cust.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rich = cust.crossJoin(F.broadcast(tot)).where(
+        F.col("c_acctbal").cast("decimal(12,2)") * F.col("n") > F.col("s")
+    )
+    n_rich = rich.count()
+    n_rich_urgent = rich.join(urgent_cust, "c_custkey", "left_semi").count()
+    assert sum(r.n_custs for r in got) == n_rich - n_rich_urgent
+
+
+def test_scalar_subquery_matches_float_formulation(spark):
+    """The cross-multiplied integer predicate must select exactly the
+    rows the textbook float form (qty < 0.2*avg) selects — quantities
+    are integral so no boundary row can sit between the two."""
+    out = em.q_scalar_subquery(spark, SF).collect()[0]
+    li = em._t(spark, SF, "lineitem")
+    stats = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("a"))
+    n_float = (
+        li.join(stats, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("a"))
+        .count()
+    )
+    assert out.n_rows == n_float
+    assert out.total_price > 0
+
+
+def test_case_pivot_share_bounds(spark):
+    rows = em.q_case_pivot(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.promo_share <= 1.0
+        assert r.promo_revenue <= r.total_revenue
+
+
+def test_nation_volume_broadcasts_both_nation_roles(spark):
+    out = em.q_nation_volume(spark, SF)
+    p = _plan(out)
+    # the two nation role-joins must both ride BroadcastExchange
+    assert p.count("BroadcastExchange") >= 2
+    rows = out.collect()
+    for r in rows:
+        assert r.supp_nation < r.cust_nation
+        assert r.l_year in (1996, 1997)
+
+
+def test_having_subquery_topn(spark):
+    rows = em.q_having_subquery(spark, SF).collect()
+    assert len(rows) <= 100
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert all(r.total_qty > 150 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "semi_join",
+        "anti_join",
+        "scalar_subquery",
+        "case_pivot",
+        "nation_volume",
+        "having_subquery",
+    ],
+)
+def test_registered_in_contract(name):
+    assert name in em.queries()
+    assert name in em.oracle_sql()

@@ -1219,6 +1219,20 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point Lloyd k-means (2 iterations, k=8) over
+    the embeddings corpus — the iterative-ML operator class. All
+    arithmetic is exact int64 (operators/clustering.py), so the
+    distributed result is bit-identical to the sequential numpy
+    replica whose FINAL centroids the oracle embeds as literals; the
+    gate then checks cluster sizes, exact inertia, and centroid
+    checksums — pinning both the iteration trajectory and the final
+    assignment."""
+    return cl.kmeans_fixed(
+        _t(spark, sf_dir, "embeddings"), k=8, iterations=2
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS-style correlated semi join (TPC-H Q4 shape): orders with
     at least one lineitem shipped >60 days after the order date,
@@ -1481,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "embedding_gram": q_embedding_gram,
         "event_rollup_hopping": q_event_rollup_hopping,
+        "kmeans_fixed": q_kmeans_fixed,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "scalar_subquery": q_scalar_subquery,
@@ -1690,6 +1705,58 @@ def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -
             WHERE c.vec_id <> q.vec_id
         ),
         {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
+    """
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
+    """DuckDB replay of the FINAL k-means assignment using centroid
+    literals from the sequential numpy replica
+    (``kmeans_fixed_reference`` — an independent implementation of
+    the same exact-int64 algorithm). If any of the distributed
+    iterations diverged by even one integer, the final centroids,
+    inertia, and cluster sizes here would not match."""
+    from annotation_service_spark.operators.clustering import (
+        FIXED_SCALE,
+        kmeans_fixed_reference,
+    )
+
+    cents = kmeans_fixed_reference(
+        f"{_oracle_sf_dir()}/embeddings.parquet", k, iterations
+    )
+    dim = len(cents[0])
+    cent_rows = ", ".join(
+        "({j}, [{vals}], {s})".format(
+            j=j, vals=", ".join(str(int(x)) for x in c), s=int(sum(c))
+        )
+        for j, c in enumerate(cents)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_SCALE})
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        c(j, cv, csum) AS (VALUES {cent_rows}),
+        d AS (
+            SELECT vec_id, j, csum,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS dist
+            FROM q, c
+        ),
+        a AS (
+            SELECT vec_id, j, dist, csum,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, j) AS rk
+            FROM d
+        )
+        SELECT CAST(j AS INTEGER) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(dist) AS BIGINT) AS inertia,
+               CAST(csum AS BIGINT) AS c_sum
+        FROM a WHERE rk = 1
+        GROUP BY j, csum
     """
 
 
@@ -2933,6 +3000,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "kmeans_fixed": _kmeans_oracle(8, 2),
         "semi_join": """
             SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
             FROM orders o

@@ -132,3 +132,168 @@ def dedup_keep_decision(
     return comp.select(
         "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point distributed k-means (Lloyd)
+# ---------------------------------------------------------------------------
+#
+# The reference has no clustering; this is the beyond-reference
+# iterative-ML operator class (the shape a 100 TB embedding-curation
+# pipeline needs for coarse quantizers / corpus bucketing). All
+# arithmetic is int64 fixed point (q = floor(x·scale)), so every
+# reduction is associative-exact and the distributed result is
+# bit-identical to the sequential numpy replica — the property the
+# oracle gate checks.
+#
+# Scale design:
+# - the corpus never leaves the executors: per iteration one
+#   assignment pass (unrolled codegen expression, no Python) and one
+#   partial-aggregated (cluster, dim) sum — the groupBy reduces to
+#   k·dim rows PER PARTITION map-side before the shuffle.
+# - only k·dim integers hit the driver per iteration (the new
+#   centroids); the division (floored, exact) happens driver-side in
+#   Python big-int arithmetic, sidestepping engine-specific integer
+#   division semantics entirely.
+# - empty clusters keep their previous centroid (both
+#   implementations, deterministically).
+
+FIXED_SCALE = 1_000_000
+
+
+def _quantized(embeddings: DataFrame, vec_col: str, id_col: str, scale: int) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _assign_cols(centroids: list[list[int]]):
+    """(cluster, dist) columns: argmin over exact integer squared
+    distances, first-min tie-break (array_position finds the FIRST
+    occurrence). The per-centroid distance is an unrolled positional
+    expression — whole-stage codegen, no interpreted HOFs on the
+    per-row hot path."""
+    dists = []
+    for c in centroids:
+        d = None
+        for i, ci in enumerate(c):
+            t = (F.col("qv")[i] - F.lit(int(ci))) * (F.col("qv")[i] - F.lit(int(ci)))
+            d = t if d is None else d + t
+        dists.append(d)
+    darr = F.array(*dists)
+    cluster = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return cluster.alias("c"), F.array_min(darr).alias("dist")
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = FIXED_SCALE,
+) -> list[list[int]]:
+    """Run the distributed Lloyd iterations and return the final
+    integer centroids (init = the k vectors with smallest ids)."""
+    q = _quantized(embeddings, vec_col, id_col, scale)
+    init = q.orderBy("id").limit(k).collect()
+    centroids = [[int(v) for v in r.qv] for r in init]
+    dim = len(centroids[0])
+
+    for _ in range(iterations):
+        cl_col, _dist = _assign_cols(centroids)
+        assigned = q.select(cl_col, "qv")
+        sums = (
+            assigned.select("c", F.posexplode("qv").alias("i", "v"))
+            .groupBy("c", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, int]] = {}
+        n_by_c: dict[int, int] = {}
+        for r in sums:
+            by_c.setdefault(r.c, {})[r.i] = r.s
+            n_by_c[r.c] = r.n
+        centroids = [
+            [by_c[j][i] // n_by_c[j] for i in range(dim)]
+            if j in n_by_c
+            else centroids[j]
+            for j in range(k)
+        ]
+    return centroids
+
+
+def kmeans_fixed(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = FIXED_SCALE,
+) -> DataFrame:
+    """Distributed Lloyd k-means on fixed-point vectors. Returns one
+    row per non-empty final cluster: (cluster_id, n_members, inertia,
+    c_sum) where inertia = Σ member distances under the FINAL
+    centroids and c_sum = Σ centroid components — together they pin
+    both the assignment and the centroid values exactly."""
+    centroids = kmeans_centroids(
+        embeddings, k, iterations, vec_col, id_col, scale
+    )
+    q = _quantized(embeddings, vec_col, id_col, scale)
+    cl_col, dist_col = _assign_cols(centroids)
+    c_sum = {j: sum(c) for j, c in enumerate(centroids)}
+    spark = embeddings.sparkSession
+    csum_df = spark.createDataFrame(
+        [(j, int(s)) for j, s in c_sum.items()], "cluster_id int, c_sum long"
+    )
+    final = (
+        q.select(cl_col, dist_col)
+        .groupBy(F.col("c").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+    )
+    return final.join(F.broadcast(csum_df), "cluster_id")
+
+
+_KMEANS_REF_MEMO: dict[tuple, list[list[int]]] = {}
+
+
+def kmeans_fixed_reference(
+    path: str,
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = FIXED_SCALE,
+) -> list[list[int]]:
+    """Sequential numpy replica of ``kmeans_fixed`` reading the
+    parquet directly — an INDEPENDENT implementation of the same
+    integer algorithm, used to embed final-centroid literals in the
+    DuckDB oracle. Because every op is exact int64, the distributed
+    and sequential paths must agree bit-for-bit."""
+    key = (path, k, iterations, scale)
+    if key not in _KMEANS_REF_MEMO:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = (
+            pq.read_table(path, columns=["vec_id", "embedding"])
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        v = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(v * scale).astype(np.int64)
+        c = q[:k].copy()
+        for _ in range(iterations):
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first-min tie-break, same as Spark
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    c[j] = np.floor_divide(q[m].sum(axis=0), int(m.sum()))
+        _KMEANS_REF_MEMO[key] = [[int(x) for x in row] for row in c]
+    return _KMEANS_REF_MEMO[key]

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "event_rollup_hopping",
     "distinct_users",
     "embedding_gram",
+    "kmeans_fixed",
     "semi_join",
     "anti_join",
     "scalar_subquery",

@@ -1,0 +1,59 @@
+"""Fixed-point distributed k-means: the distributed Lloyd iterations
+must be bit-identical to the sequential numpy replica (exact int64
+arithmetic everywhere — that's the designed property the oracle gate
+leans on)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from annotation_service_spark.operators import clustering as cl
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distributed_centroids_match_numpy_replica(spark):
+    emb = em._t(spark, SF, "embeddings")
+    dist = cl.kmeans_centroids(emb, k=8, iterations=2)
+    ref = cl.kmeans_fixed_reference(f"{SF}/embeddings.parquet", 8, 2)
+    assert dist == ref
+
+
+def test_kmeans_gate_partitions_whole_corpus(spark):
+    emb = em._t(spark, SF, "embeddings")
+    out = em.q_kmeans_fixed(spark, SF).collect()
+    assert sum(r.n_members for r in out) == emb.count()
+    assert all(r.inertia >= 0 for r in out)
+    # every reported cluster is non-empty by construction
+    assert all(r.n_members > 0 for r in out)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark, tmp_path):
+    """k exceeding the number of distinct points leaves a cluster
+    empty; both implementations must retain its previous centroid
+    deterministically."""
+    vecs = [[1.0, 1.0], [1.0, 1.0], [5.0, 5.0]]
+    pdf = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pdf, path)
+    df = spark.read.parquet(path)
+    dist = cl.kmeans_centroids(df, k=3, iterations=2)
+    ref = cl.kmeans_fixed_reference(path, 3, 2)
+    assert dist == ref
+    # ids 0 and 1 are identical points: one of their two init
+    # centroids must survive untouched as an empty cluster
+    assert dist[1] == [1_000_000, 1_000_000]
+
+
+def test_registered_in_contract():
+    assert "kmeans_fixed" in em.queries()
+    assert "kmeans_fixed" in em.oracle_sql()

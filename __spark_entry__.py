@@ -1219,6 +1219,26 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the orders table (nulls,
+    exact cardinality, min/max) — the ingest data-quality sweep
+    (operators/profile.py). Every statistic map-side combines to one
+    row per partition before a 1-row shuffle."""
+    from annotation_service_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + whitespace canonicalization digest per document
+    (functions/text.py normalize_text_table): one Arrow-batched NFC
+    pass, everything else JVM expressions; md5 pins the exact
+    normalized bytes against utf8proc's NFC in DuckDB."""
+    return txt.normalize_text_table(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed fixed-point Lloyd k-means (2 iterations, k=8) over
     the embeddings corpus — the iterative-ML operator class. All
@@ -1496,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": q_embedding_gram,
         "event_rollup_hopping": q_event_rollup_hopping,
         "kmeans_fixed": q_kmeans_fixed,
+        "profile_table": q_profile_table,
+        "text_normalize": q_text_normalize,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "scalar_subquery": q_scalar_subquery,
@@ -3001,6 +3023,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kmeans_fixed": _kmeans_oracle(8, 2),
+        "profile_table": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(MIN({c}) AS VARCHAR) AS min_value,
+                   CAST(MAX({c}) AS VARCHAR) AS max_value
+            FROM orders
+            """
+            for c in (
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        ),
+        "text_normalize": r"""
+            SELECT doc_id,
+                   CAST(length(trim(regexp_replace(
+                        nfc_normalize(text), '\s+', ' ', 'g'))) AS BIGINT)
+                       AS norm_len,
+                   md5(trim(regexp_replace(
+                        nfc_normalize(text), '\s+', ' ', 'g'))) AS norm_md5
+            FROM documents
+        """,
         "semi_join": """
             SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
             FROM orders o

@@ -423,3 +423,41 @@ def unigram_nll_table(
             round_fixed(-F.avg(F.log2("p")), 6).alias("nll_bits"),
         )
     )
+
+
+def normalize_text_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical text normalization — the first stage of any training
+    corpus pipeline: Unicode NFC composition, whitespace-class
+    collapse to single spaces, and edge trim. Returns
+    (id, norm_len, norm_md5): the digest pins the exact normalized
+    bytes without shipping them around.
+
+    Execution split: the NFC step is the only part that needs Python
+    (Spark has no normalization expression) and runs as ONE
+    Arrow-batched mapInPandas pass; the whitespace collapse, trim,
+    length and md5 all stay JVM-side expressions on top of it. Java's
+    regex \\s and RE2's (DuckDB oracle) match the same 6-char class,
+    and NFC is NFC in unicodedata and utf8proc alike, so the digest
+    is engine-portable."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[text_col] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    composed = df.select(F.col(id_col).alias("id"), text_col).mapInPandas(
+        nfc, f"id long, {text_col} string"
+    )
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return composed.select(
+        "id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )

@@ -1,0 +1,63 @@
+"""Table profiling — the data-quality sweep a 100 TB ingest runs
+before anything else: per-column null counts, cardinalities, and
+value ranges in ONE pass over the data.
+
+The reference has no profiling surface (its closest analog is the
+loader error budgets, loader/csv-reader.go:17-19, which count bad
+FIELDS — S2's error-budget semantics live in sources/geolite2.py);
+this generalizes that idea to whole-table column statistics.
+
+Scale design:
+- a single ``df.agg`` pass: every statistic is an associative
+  aggregate, so map-side partial aggregation reduces each partition
+  to ONE row before the 1-row shuffle.
+- exact COUNT(DISTINCT) over many columns makes Catalyst plan an
+  Expand (one duplicated stream per distinct agg) — fine for the
+  profile cadence, but for very wide tables pass ``approx=True`` to
+  use HLL sketches (approx_count_distinct), which fold into the same
+  single pass with no Expand.
+- the result is k rows for k columns — driver-safe by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
+    """One row per column: (column_name, n_rows, n_nulls, n_distinct,
+    min_value, max_value). min/max are computed on the native type
+    and cast to string for a uniform schema."""
+    distinct = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{f.name}__nulls"),
+            distinct(c).alias(f"{f.name}__distinct"),
+            F.min(c).cast("string").alias(f"{f.name}__min"),
+            F.max(c).cast("string").alias(f"{f.name}__max"),
+        ]
+    row = df.agg(*aggs)
+    stacks = []
+    for f in df.schema.fields:
+        stacks.append(
+            f"'{f.name}', `{f.name}__nulls`, `{f.name}__distinct`, "
+            f"`{f.name}__min`, `{f.name}__max`"
+        )
+    n_cols = len(df.schema.fields)
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({n_cols}, {', '.join(stacks)}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "distinct_users",
     "embedding_gram",
     "kmeans_fixed",
+    "profile_table",
+    "text_normalize",
     "semi_join",
     "anti_join",
     "scalar_subquery",

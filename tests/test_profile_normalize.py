@@ -1,0 +1,78 @@
+"""profile_table (column profiling) and normalize_text_table (NFC +
+whitespace canonicalization). Value parity with DuckDB is
+driver-gated (`profile_table`, `text_normalize`); these cover the
+semantics the oracle can't see — planted Unicode and null behavior —
+plus plan-shape checks."""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from annotation_service_spark.functions.text import normalize_text_table
+from annotation_service_spark.operators.profile import profile_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_profile_counts_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (None, "b", 2.5)],
+        "k long, s string, v double",
+    )
+    rows = {r.column_name: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    assert all(r.n_rows == 4 for r in rows.values())
+    assert rows["k"].n_nulls == 1 and rows["k"].n_distinct == 3
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["v"].n_nulls == 1 and rows["v"].n_distinct == 2
+    assert rows["s"].min_value == "a" and rows["s"].max_value == "b"
+    assert rows["v"].min_value == "1.5"
+
+
+def test_profile_single_pass_no_join(spark):
+    """The whole profile must be ONE aggregation over the table —
+    no self-joins, no per-column scans."""
+    out = profile_table(em._t(spark, SF, "orders"))
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    # exactly one scan of the source
+    assert p.count("Scan parquet") + p.count("FileScan") >= 1
+    assert p.count("orders.parquet") <= 2  # columnar scan reused, not per-column
+
+
+def test_profile_approx_mode_avoids_expand(spark):
+    exact = profile_table(em._t(spark, SF, "orders"), approx=False)
+    approx = profile_table(em._t(spark, SF, "orders"), approx=True)
+    p_exact = exact._jdf.queryExecution().executedPlan().toString()
+    p_approx = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p_exact  # the documented cost of exact distincts
+    assert "Expand" not in p_approx
+
+
+def test_normalize_nfc_and_whitespace(spark):
+    decomposed = "Café  du\tMonde\n"  # e + combining acute
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert composed != decomposed  # the fixture genuinely decomposes
+    df = spark.createDataFrame([(1, decomposed), (2, "  x  y  ")],
+                               "doc_id long, text string")
+    rows = {r.id: r for r in normalize_text_table(df).collect()}
+    want1 = "Café du Monde"
+    assert rows[1].norm_len == len(want1)
+    assert rows[1].norm_md5 == hashlib.md5(want1.encode()).hexdigest()
+    assert rows[2].norm_md5 == hashlib.md5(b"x y").hexdigest()
+
+
+def test_normalize_null_text_passthrough(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = normalize_text_table(df).collect()[0]
+    assert r.norm_len is None and r.norm_md5 is None
+
+
+def test_registered_in_contract():
+    for name in ("profile_table", "text_normalize"):
+        assert name in em.queries()
+        assert name in em.oracle_sql()

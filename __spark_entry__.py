@@ -1219,6 +1219,31 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (view→click attribution within 30
+    minutes per user) — the batch twin of the stream-stream join in
+    streaming/joins.py; the streaming form is proven equal on a
+    replayed file stream in tests/test_stream_join.py. delay_us is
+    exact integer microseconds."""
+    from annotation_service_spark.streaming.joins import attribution_join
+
+    ev = _t(spark, sf_dir, "events")
+    imps = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("imp_id"), F.col("ts").alias("imp_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = attribution_join(
+        imps,
+        clicks.withColumnRenamed("c_user", "user_id"),
+        horizon="30 minutes",
+    )
+    return out
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profile of the orders table (nulls,
     exact cardinality, min/max) — the ingest data-quality sweep
@@ -1516,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": q_embedding_gram,
         "event_rollup_hopping": q_event_rollup_hopping,
         "kmeans_fixed": q_kmeans_fixed,
+        "attribution_join": q_attribution_join,
         "profile_table": q_profile_table,
         "text_normalize": q_text_normalize,
         "semi_join": q_semi_join,
@@ -3023,6 +3049,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kmeans_fixed": _kmeans_oracle(8, 2),
+        "attribution_join": """
+            SELECT i.user_id,
+                   i.event_id AS imp_id,
+                   c.event_id AS click_id,
+                   CAST(epoch_us(c.ts) - epoch_us(i.ts) AS BIGINT) AS delay_us
+            FROM events i
+            JOIN events c
+              ON c.user_id = i.user_id
+             AND c.ts >= i.ts
+             AND c.ts <= i.ts + INTERVAL 30 MINUTE
+            WHERE i.event_type = 'view' AND c.event_type = 'click'
+        """,
         "profile_table": " UNION ALL ".join(
             f"""
             SELECT '{c}' AS column_name,

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "distinct_users",
     "embedding_gram",
     "kmeans_fixed",
+    "attribution_join",
     "profile_table",
     "text_normalize",
     "semi_join",

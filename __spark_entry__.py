@@ -1219,6 +1219,38 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): daily
+    grid per user over the corpus span, latest observation per day
+    forward-filled in exact fixed point. The DuckDB oracle uses a
+    native ASOF JOIN — a different algorithm reaching the same rows,
+    the strongest kind of cross-engine check."""
+    from annotation_service_spark.operators.timeseries import gap_fill_daily
+
+    return gap_fill_daily(_t(spark, sf_dir, "events"))
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column
+    with a TYPED from_json (schema'd JVM parse, not per-row string
+    plucking) and aggregate the extracted field per event type.
+    Integer sums are engine-exact; n_missing counts rows whose JSON
+    lacks the key (NULL after parse)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+        )
+    )
+
+
 def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time interval join (view→click attribution within 30
     minutes per user) — the batch twin of the stream-stream join in
@@ -1542,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup_hopping": q_event_rollup_hopping,
         "kmeans_fixed": q_kmeans_fixed,
         "attribution_join": q_attribution_join,
+        "json_extract": q_json_extract,
+        "gap_fill": q_gap_fill,
         "profile_table": q_profile_table,
         "text_normalize": q_text_normalize,
         "semi_join": q_semi_join,
@@ -3049,6 +3083,56 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kmeans_fixed": _kmeans_oracle(8, 2),
+        # independent formulation: ASOF JOIN instead of window ffill
+        "gap_fill": """
+            WITH obs AS (
+                SELECT user_id,
+                       date_trunc('day', ts) AS bucket,
+                       ts, event_id,
+                       CAST(floor(value * 1000) AS BIGINT) AS v_milli
+                FROM events
+            ),
+            latest AS (
+                SELECT user_id, bucket, v_milli FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, bucket
+                        ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM obs
+                ) WHERE rk = 1
+            ),
+            span AS (
+                SELECT date_trunc('day', min(ts)) AS lo,
+                       date_trunc('day', max(ts)) AS hi
+                FROM events
+            ),
+            grid AS (
+                SELECT k.user_id, g.g AS bucket
+                FROM (SELECT DISTINCT user_id FROM events) k,
+                     span,
+                     LATERAL (SELECT unnest(generate_series(
+                         span.lo, span.hi, INTERVAL 1 DAY)) AS g) g
+            )
+            SELECT g.user_id,
+                   CAST(g.bucket AS DATE) AS grid_date,
+                   l.v_milli,
+                   (lo.user_id IS NOT NULL) AS observed
+            FROM grid g
+            ASOF LEFT JOIN latest l
+                 ON g.user_id = l.user_id AND g.bucket >= l.bucket
+            LEFT JOIN latest lo
+                 ON g.user_id = lo.user_id AND g.bucket = lo.bucket
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(sum(CASE WHEN props->>'$.k' IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+            FROM events
+            GROUP BY 1
+        """,
         "attribution_join": """
             SELECT i.user_id,
                    i.event_id AS imp_id,

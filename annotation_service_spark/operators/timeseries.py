@@ -1,0 +1,87 @@
+"""Time-series regularization: resample irregular observations onto a
+fixed calendar grid with last-observation-carried-forward fill.
+
+The reference has no time-series surface; this is the
+beyond-reference operator a metrics/feature pipeline needs (turning
+event streams into aligned daily/hourly series for joins with model
+features). Everything is built-in expressions — no UDFs.
+
+Scale design:
+- the per-(key, bucket) "latest observation" pass is a window
+  row_number keyed on (key, bucket) — uniform keys, partial-agg-free
+  but shuffle-keyed the same as any groupBy; deterministic tie-break
+  on (ts, id) descending.
+- the grid is keys × sequence(min_bucket, max_bucket) — the
+  two-scalar span aggregate broadcasts, so grid generation is a
+  map-side explode over the (small) distinct-keys relation; grid
+  size = |keys| · |span/step| rows, stated up front by construction.
+- the forward fill is one window pass per key ordered by bucket
+  (``last(v, ignorenulls=True)``) — state is one value per key, the
+  same access pattern at any scale.
+
+The DuckDB oracle intentionally uses a DIFFERENT algorithm (native
+ASOF JOIN of grid→latest-observation) — matching outputs from two
+formulations is a stronger check than replaying the window plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_daily(
+    obs: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+    id_col: str = "event_id",
+    milli_scale: int = 1000,
+) -> DataFrame:
+    """Daily grid per key spanning the corpus' [min, max] day, with
+    the latest observation per (key, day) forward-filled. Values are
+    fixed-point milli-units (floor(value·1000) as BIGINT) so the
+    fill is engine-exact. Returns (key, grid_date, v_milli,
+    observed); v_milli is NULL before a key's first observation."""
+    t = F.col(ts).cast("timestamp")
+    day = F.date_trunc("day", t)
+    prepared = obs.select(
+        F.col(key),
+        day.alias("bucket"),
+        t.alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.floor(F.col(val) * milli_scale).cast("long").alias("v_milli"),
+    )
+    w_latest = Window.partitionBy(key, "bucket").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    latest = (
+        prepared.withColumn("rk", F.row_number().over(w_latest))
+        .where(F.col("rk") == 1)
+        .select(key, "bucket", "v_milli")
+    )
+    span = obs.agg(
+        F.date_trunc("day", F.min(t)).alias("lo"),
+        F.date_trunc("day", F.max(t)).alias("hi"),
+    )
+    keys = obs.select(key).distinct()
+    grid = keys.crossJoin(F.broadcast(span)).select(
+        key,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(latest, [key, "bucket"], "left").withColumn(
+        "observed", F.col("v_milli").isNotNull()
+    )
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        F.col("bucket").cast("date").alias("grid_date"),
+        F.last("v_milli", ignorenulls=True).over(w_fill).alias("v_milli"),
+        "observed",
+    )

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "embedding_gram",
     "kmeans_fixed",
     "attribution_join",
+    "json_extract",
+    "gap_fill",
     "profile_table",
     "text_normalize",
     "semi_join",

@@ -1,0 +1,87 @@
+"""gap_fill_daily (time-series regularization) and the typed JSON
+extraction gate. Cross-engine value parity is driver-gated
+(`gap_fill` — checked against a DuckDB ASOF JOIN — and
+`json_extract`); these pin the fill/parse semantics on hand-built
+fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from annotation_service_spark.operators.timeseries import gap_fill_daily
+
+
+def _ts(day: int, hour: int = 0) -> datetime:
+    return datetime(2024, 1, day, hour)
+
+
+def test_gap_fill_ffill_and_leading_nulls(spark):
+    rows = [
+        # user 1: two obs on day 1 (latest wins), nothing on day 2,
+        # new value day 3
+        (1, 1, _ts(1, 8), 10.0),
+        (2, 1, _ts(1, 9), 20.0),
+        (3, 1, _ts(3), 30.0),
+        # user 2: first obs on day 2 -> day 1 must stay NULL
+        (4, 2, _ts(2), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r.user_id, str(r.grid_date)): (r.v_milli, r.observed)
+        for r in gap_fill_daily(df).collect()
+    }
+    assert out[(1, "2024-01-01")] == (20000, True)  # latest of day 1
+    assert out[(1, "2024-01-02")] == (20000, False)  # carried forward
+    assert out[(1, "2024-01-03")] == (30000, True)
+    assert out[(2, "2024-01-01")] == (None, False)  # before first obs
+    assert out[(2, "2024-01-02")] == (40000, True)
+    assert out[(2, "2024-01-03")] == (40000, False)
+    # grid is the full corpus span for every key
+    assert len(out) == 6
+
+
+def test_gap_fill_tie_break_on_id(spark):
+    rows = [
+        (9, 1, _ts(1, 8), 1.0),
+        (8, 1, _ts(1, 8), 2.0),  # same ts: higher event_id (9) wins
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    r = gap_fill_daily(df).collect()[0]
+    assert r.v_milli == 1000
+
+
+def test_json_extract_missing_and_malformed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", '{"k": 5}'),
+            (2, "a", "{}"),
+            (3, "a", "not json"),
+            (4, "a", None),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    k = F.from_json("props", "k long")["k"]
+    agg = (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+        )
+        .collect()[0]
+    )
+    assert agg.sum_k == 5
+    assert agg.n_missing == 3  # empty object, malformed, NULL all map to NULL
+
+
+def test_registered_in_contract():
+    for name in ("gap_fill", "json_extract"):
+        assert name in em.queries()
+        assert name in em.oracle_sql()

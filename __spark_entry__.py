@@ -1219,6 +1219,28 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary (non-hierarchical) GROUPING SETS lattice:
+    (type×dow), (type), (dow) — the aggregation-lattice class beyond
+    event_cube's ROLLUP. One pass, partial aggs expand per set;
+    grouping_id disambiguates levels. isodow (1=Mon) is used because
+    Spark's dayofweek and DuckDB's dow disagree on week origin."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).cast("long").alias("dow"), "value"
+    )
+    return ev.groupingSets(
+        [["event_type", "dow"], ["event_type"], ["dow"]],
+        "event_type",
+        "dow",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("sum_v_milli"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization (operators/timeseries.py): daily
     grid per user over the corpus span, latest observation per day
@@ -1576,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_join": q_attribution_join,
         "json_extract": q_json_extract,
         "gap_fill": q_gap_fill,
+        "grouping_sets": q_grouping_sets,
         "profile_table": q_profile_table,
         "text_normalize": q_text_normalize,
         "semi_join": q_semi_join,
@@ -3083,6 +3106,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kmeans_fixed": _kmeans_oracle(8, 2),
+        "grouping_sets": """
+            SELECT event_type,
+                   CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_v_milli,
+                   CAST(GROUPING(event_type, isodow(ts)) AS BIGINT) AS gid
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, isodow(ts)),
+                                    (event_type), (isodow(ts)))
+        """,
         # independent formulation: ASOF JOIN instead of window ffill
         "gap_fill": """
             WITH obs AS (

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "attribution_join",
     "json_extract",
     "gap_fill",
+    "grouping_sets",
     "profile_table",
     "text_normalize",
     "semi_join",

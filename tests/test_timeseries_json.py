@@ -85,3 +85,15 @@ def test_registered_in_contract():
     for name in ("gap_fill", "json_extract"):
         assert name in em.queries()
         assert name in em.oracle_sql()
+
+
+def test_grouping_sets_levels(spark):
+    SF = "/root/testdata/sf0.001"
+    rows = em.q_grouping_sets(spark, SF).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 2}  # (type,dow), (type), (dow)
+    total_detail = sum(r.n for r in rows if r.gid == 0)
+    total_by_type = sum(r.n for r in rows if r.gid == 1)
+    total_by_dow = sum(r.n for r in rows if r.gid == 2)
+    assert total_detail == total_by_type == total_by_dow
+    assert "grouping_sets" in em.queries() and "grouping_sets" in em.oracle_sql()

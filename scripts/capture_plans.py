@@ -25,6 +25,10 @@ QUERIES = [
     "pipeline_full", "span_dedup", "temperature_mix", "vocab_topk",
     "event_rollup", "span_dedup_apply", "dedup_incremental",
     "embedding_gram", "event_rollup_hopping", "distinct_users", "cms_counts", "unigram_nll", "event_topk_windowed", "scd_asof", "dedup_keep_best", "quality_quantile_mix", "doc_percentiles", "rolling_avg", "event_cube", "funnel", "cohort_retention", "upsert_merge",
+    "semi_join", "anti_join", "scalar_subquery", "case_pivot",
+    "nation_volume", "having_subquery", "kmeans_fixed", "profile_table",
+    "text_normalize", "attribution_join", "json_extract", "gap_fill",
+    "grouping_sets",
 ]
 
 

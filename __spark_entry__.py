@@ -1219,6 +1219,29 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the exact-match search/decontamination
+    support structure): token → sorted distinct posting list +
+    document frequency, for tokens appearing in ≥5 documents. The
+    explode→distinct→collect shuffle is keyed by token (zipfian, but
+    the df≥5 posting arrays are bounded by the doc-frequency cut the
+    query itself applies); sort_array makes the array deterministic
+    for hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(dd.tokens(F.col("text"))).alias("token")
+        )
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -1599,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "gap_fill": q_gap_fill,
         "grouping_sets": q_grouping_sets,
+        "posting_lists": q_posting_lists,
         "profile_table": q_profile_table,
         "text_normalize": q_text_normalize,
         "semi_join": q_semi_join,
@@ -3106,6 +3130,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kmeans_fixed": _kmeans_oracle(8, 2),
+        "posting_lists": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            )
+            SELECT token,
+                   list_sort(list(doc_id)) AS postings,
+                   CAST(count(*) AS BIGINT) AS df
+            FROM tok
+            GROUP BY token
+            HAVING count(*) >= 5
+        """,
         "grouping_sets": """
             SELECT event_type,
                    CAST(isodow(ts) AS BIGINT) AS dow,

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "json_extract",
     "gap_fill",
     "grouping_sets",
+    "posting_lists",
     "profile_table",
     "text_normalize",
     "semi_join",

@@ -97,3 +97,13 @@ def test_grouping_sets_levels(spark):
     total_by_dow = sum(r.n for r in rows if r.gid == 2)
     assert total_detail == total_by_type == total_by_dow
     assert "grouping_sets" in em.queries() and "grouping_sets" in em.oracle_sql()
+
+
+def test_posting_lists_sorted_distinct(spark):
+    SF = "/root/testdata/sf0.001"
+    rows = em.q_posting_lists(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.df == len(r.postings) >= 5
+        assert list(r.postings) == sorted(set(r.postings))
+    assert "posting_lists" in em.queries() and "posting_lists" in em.oracle_sql()

@@ -170,19 +170,37 @@ def _quantized(embeddings: DataFrame, vec_col: str, id_col: str, scale: int) -> 
     )
 
 
-def _assign_cols(centroids: list[list[int]]):
+def _assign_cols(centroids: list[list[int]], unroll_budget: int = 8192):
     """(cluster, dist) columns: argmin over exact integer squared
     distances, first-min tie-break (array_position finds the FIRST
     occurrence). The per-centroid distance is an unrolled positional
     expression — whole-stage codegen, no interpreted HOFs on the
-    per-row hot path."""
+    per-row hot path. Past ``unroll_budget`` total terms (large
+    k·dim) the expression tree would stress Janino's method-size
+    limits, so it switches to the HOF aggregate form — same exact
+    values, interpreted evaluation."""
+    k = len(centroids)
+    dim = len(centroids[0])
     dists = []
-    for c in centroids:
-        d = None
-        for i, ci in enumerate(c):
-            t = (F.col("qv")[i] - F.lit(int(ci))) * (F.col("qv")[i] - F.lit(int(ci)))
-            d = t if d is None else d + t
-        dists.append(d)
+    if k * dim > unroll_budget:
+        for c in centroids:
+            carr = F.array(*[F.lit(int(ci)).cast("long") for ci in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), carr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+            )
+    else:
+        for c in centroids:
+            d = None
+            for i, ci in enumerate(c):
+                t = (F.col("qv")[i] - F.lit(int(ci))) * (
+                    F.col("qv")[i] - F.lit(int(ci))
+                )
+                d = t if d is None else d + t
+            dists.append(d)
     darr = F.array(*dists)
     cluster = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
     return cluster.alias("c"), F.array_min(darr).alias("dist")

@@ -28,7 +28,7 @@ QUERIES = [
     "semi_join", "anti_join", "scalar_subquery", "case_pivot",
     "nation_volume", "having_subquery", "kmeans_fixed", "profile_table",
     "text_normalize", "attribution_join", "json_extract", "gap_fill",
-    "grouping_sets",
+    "grouping_sets", "posting_lists",
 ]
 
 

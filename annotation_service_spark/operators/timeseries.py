@@ -42,7 +42,15 @@ def gap_fill_daily(
     the latest observation per (key, day) forward-filled. Values are
     fixed-point milli-units (floor(value·1000) as BIGINT) so the
     fill is engine-exact. Returns (key, grid_date, v_milli,
-    observed); v_milli is NULL before a key's first observation."""
+    observed); v_milli is NULL before a key's first observation.
+
+    NULL observation values: the fill is pandas-style LOCF — a NULL
+    observation is skipped and the previous non-null value carries
+    through (``last(ignorenulls=True)``), while ``observed`` still
+    reports the row (join-hit semantics). The driver oracle's ASOF
+    formulation assumes non-null observation values (true of the
+    gate data); the NULL behavior is pinned by
+    tests/test_timeseries_json.py instead."""
     t = F.col(ts).cast("timestamp")
     day = F.date_trunc("day", t)
     prepared = obs.select(
@@ -58,7 +66,10 @@ def gap_fill_daily(
     latest = (
         prepared.withColumn("rk", F.row_number().over(w_latest))
         .where(F.col("rk") == 1)
-        .select(key, "bucket", "v_milli")
+        # explicit hit marker: "observed" must mean A ROW EXISTED in
+        # the bucket, not "the filled value is non-null" — the two
+        # differ when the source value itself is NULL
+        .select(key, "bucket", "v_milli", F.lit(True).alias("_hit"))
     )
     span = obs.agg(
         F.date_trunc("day", F.min(t)).alias("lo"),
@@ -72,7 +83,7 @@ def gap_fill_daily(
         ).alias("bucket"),
     )
     joined = grid.join(latest, [key, "bucket"], "left").withColumn(
-        "observed", F.col("v_milli").isNotNull()
+        "observed", F.coalesce(F.col("_hit"), F.lit(False))
     )
     w_fill = (
         Window.partitionBy(key)

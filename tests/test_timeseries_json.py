@@ -107,3 +107,17 @@ def test_posting_lists_sorted_distinct(spark):
         assert r.df == len(r.postings) >= 5
         assert list(r.postings) == sorted(set(r.postings))
     assert "posting_lists" in em.queries() and "posting_lists" in em.oracle_sql()
+
+
+def test_gap_fill_null_value_still_observed(spark):
+    """A bucket with an observed row whose value is NULL must report
+    observed=True (join-hit semantics, matching the oracle's
+    formulation) even though the fill carries the previous value."""
+    rows = [(1, 1, _ts(1), 10.0), (2, 1, _ts(2), None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {str(r.grid_date): r for r in gap_fill_daily(df).collect()}
+    assert out["2024-01-02"].observed is True
+    # last(ignorenulls) carries day 1's value through the NULL obs
+    assert out["2024-01-02"].v_milli == 10000

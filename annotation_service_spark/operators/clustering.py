@@ -147,10 +147,18 @@ def dedup_keep_decision(
 # oracle gate checks.
 #
 # Scale design:
-# - the corpus never leaves the executors: per iteration one
-#   assignment pass (unrolled codegen expression, no Python) and one
-#   partial-aggregated (cluster, dim) sum — the groupBy reduces to
-#   k·dim rows PER PARTITION map-side before the shuffle.
+# - the corpus never leaves the executors: per iteration ONE
+#   Arrow-batched pass (mapInPandas, exact numpy int64) that assigns
+#   every row AND reduces it to per-partition (cluster, dim) partial
+#   sums — only k·dim rows per partition enter the shuffle, and the
+#   per-row assignment is vectorized C, not codegen. (An earlier
+#   revision unrolled the distance into a k·dim-term codegen
+#   expression; correct, but Janino recompiles the tree every
+#   iteration — ~7 s/pass of pure compile at k·dim=512 — and the
+#   tree duplicates under argmin. The numpy kernel is the same exact
+#   integer arithmetic without the compile cliff, and has no k·dim
+#   ceiling. `_assign_cols` keeps the expression form as a
+#   differential witness.)
 # - only k·dim integers hit the driver per iteration (the new
 #   centroids); the division (floored, exact) happens driver-side in
 #   Python big-int arithmetic, sidestepping engine-specific integer
@@ -206,6 +214,72 @@ def _assign_cols(centroids: list[list[int]], unroll_budget: int = 8192):
     return cluster.alias("c"), F.array_min(darr).alias("dist")
 
 
+def _np_assign(centroids: list[list[int]], qv_series) -> tuple:
+    """Vectorized exact-int64 argmin assignment for one Arrow batch.
+    Returns (assignment int64[n], dist int64[n]). First-min tie-break
+    (np.argmin), matching both the expression form and the replica."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    Q = np.vstack(qv_series.to_numpy()).astype(np.int64)
+    d = np.empty((Q.shape[0], C.shape[0]), dtype=np.int64)
+    for j in range(C.shape[0]):
+        diff = Q - C[j]
+        d[:, j] = np.einsum("ij,ij->i", diff, diff)
+    a = d.argmin(axis=1)
+    return Q, a, d[np.arange(Q.shape[0]), a]
+
+
+def _partial_sums_fn(centroids: list[list[int]]):
+    """mapInPandas kernel: assign each row, reduce the whole partition
+    to (c, i, s, n) partial sums — k·dim rows out per partition, so
+    the downstream shuffle is constant-size regardless of corpus."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(centroids)
+    dim = len(centroids[0])
+
+    def fn(batches):
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q, a, _ = _np_assign(centroids, pdf["qv"])
+            for j in np.unique(a):
+                m = a == j
+                sums[j] += Q[m].sum(axis=0)
+                counts[j] += int(m.sum())
+        live = np.flatnonzero(counts)
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "c": np.repeat(live, dim).astype(np.int32),
+                    "i": np.tile(np.arange(dim, dtype=np.int32), len(live)),
+                    "s": sums[live].reshape(-1),
+                    "n": np.repeat(counts[live], dim),
+                }
+            )
+
+    return fn
+
+
+def _assign_dist_fn(centroids: list[list[int]]):
+    """mapInPandas kernel: (c, dist) per row for the final inertia
+    aggregation (map-side combine reduces to k rows per partition)."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            _, a, dist = _np_assign(centroids, pdf["qv"])
+            yield pd.DataFrame({"c": a.astype("int32"), "dist": dist})
+
+    return fn
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
@@ -222,12 +296,11 @@ def kmeans_centroids(
     dim = len(centroids[0])
 
     for _ in range(iterations):
-        cl_col, _dist = _assign_cols(centroids)
-        assigned = q.select(cl_col, "qv")
         sums = (
-            assigned.select("c", F.posexplode("qv").alias("i", "v"))
+            q.select("qv")
+            .mapInPandas(_partial_sums_fn(centroids), "c int, i int, s long, n long")
             .groupBy("c", "i")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_c: dict[int, dict[int, int]] = {}
@@ -261,14 +334,14 @@ def kmeans_fixed(
         embeddings, k, iterations, vec_col, id_col, scale
     )
     q = _quantized(embeddings, vec_col, id_col, scale)
-    cl_col, dist_col = _assign_cols(centroids)
     c_sum = {j: sum(c) for j, c in enumerate(centroids)}
     spark = embeddings.sparkSession
     csum_df = spark.createDataFrame(
         [(j, int(s)) for j, s in c_sum.items()], "cluster_id int, c_sum long"
     )
     final = (
-        q.select(cl_col, dist_col)
+        q.select("qv")
+        .mapInPandas(_assign_dist_fn(centroids), "c int, dist long")
         .groupBy(F.col("c").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -125,6 +125,8 @@ SF1_QUERIES = [
     "pipeline_full",
     "span_dedup",
     "vocab_topk",
+    "text_normalize",
+    "posting_lists",
 ]
 
 SF1_REPLICAS = 10

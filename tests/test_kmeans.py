@@ -54,6 +54,47 @@ def test_empty_cluster_keeps_previous_centroid(spark, tmp_path):
     assert dist[1] == [1_000_000, 1_000_000]
 
 
+def test_expression_form_matches_numpy_kernel(spark):
+    """The retired codegen expression form (`_assign_cols`, kept as a
+    differential witness) and the Arrow/numpy kernel that replaced it
+    on the hot path must produce identical (cluster, dist) for every
+    row — three independent evaluations of the same exact-int64
+    argmin (expression, kernel, replica) all agreeing."""
+    emb = em._t(spark, SF, "embeddings")
+    cents = cl.kmeans_fixed_reference(f"{SF}/embeddings.parquet", 8, 2)
+    q = cl._quantized(emb, "embedding", "vec_id", cl.FIXED_SCALE)
+    cl_col, dist_col = cl._assign_cols(cents)
+    expr = {
+        r.id: (r.c, r.dist)
+        for r in q.select("id", cl_col, dist_col).collect()
+    }
+    kern = {
+        r.id: (r.c, r.dist)
+        for r in q.mapInPandas(
+            lambda it: (
+                __import__("pandas").DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "c": cl._np_assign(cents, pdf["qv"])[1].astype("int32"),
+                        "dist": cl._np_assign(cents, pdf["qv"])[2],
+                    }
+                )
+                for pdf in it
+                if len(pdf)
+            ),
+            "id long, c int, dist long",
+        ).collect()
+    }
+    assert expr == kern
+    # and the HOF fallback branch (forced via a tiny unroll budget)
+    hof_cl, hof_d = cl._assign_cols(cents, unroll_budget=1)
+    hof = {
+        r.id: (r.c, r.dist)
+        for r in q.select("id", hof_cl, hof_d).collect()
+    }
+    assert hof == kern
+
+
 def test_registered_in_contract():
     assert "kmeans_fixed" in em.queries()
     assert "kmeans_fixed" in em.oracle_sql()

@@ -1544,6 +1544,50 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["dup", "vector", "merge"]
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a 3-term query
+    (operators/ranking.py) — the IR-class operator for query-driven
+    corpus slicing. Two passes, zero corpus shuffles: a 1-row stats
+    agg, then a pure-expression score with the stats as literals.
+    The oracle recomputes the stats with an INDEPENDENT sequential
+    tokenizer (bm25_stats_reference) and replays the identical
+    literal-for-literal double arithmetic, so scores are bit-exact
+    across engines (fixed-point micro units)."""
+    from annotation_service_spark.operators.ranking import bm25_score
+
+    return bm25_score(_t(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES, operators/curation.py): 50 docs with
+    probability ∝ text length, via the deterministic md5 uniform.
+    The top-k is TakeOrderedAndProject (per-partition k-heaps + a
+    k-row driver merge) — no sort shuffle, no RNG state."""
+    from annotation_service_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") + 1).cast("double").alias("weight")
+    )
+    return weighted_sample(docs, k=50, weight_col="weight", salt="ws1")
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/val split (operators/curation.py):
+    the 90/10 hash coin is thrown on the exact-dup content hash
+    (md5(text)), so duplicate documents always share a split — the
+    eval-contamination guard. Pure expression, zero shuffles."""
+    from annotation_service_spark.operators.curation import group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_split(
+        docs, F.md5(F.col("text")), salt="sp1"
+    ).select("doc_id", "split_group", "split")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1631,6 +1675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_pivot": q_case_pivot,
         "nation_volume": q_nation_volume,
         "having_subquery": q_having_subquery,
+        "bm25_rank": q_bm25_rank,
+        "weighted_sample": q_weighted_sample,
+        "group_split": q_group_split,
     }
 
 
@@ -1835,6 +1882,23 @@ def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -
         ),
         {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
     """
+
+
+def _bm25_oracle() -> str:
+    """DuckDB replay of ``bm25_rank``: the corpus statistics come
+    from an independent sequential tokenizer over the oracle parquet
+    (``bm25_stats_reference``), so the gate pins Spark's distributed
+    pass-1 stats (equal ints ⇒ bit-equal literals) and the pass-2
+    arithmetic (identical literal-for-literal double ops)."""
+    from annotation_service_spark.operators.ranking import (
+        bm25_oracle_select,
+        bm25_stats_reference,
+    )
+
+    stats = bm25_stats_reference(
+        f"{_oracle_sf_dir()}/documents.parquet", BM25_TERMS
+    )
+    return bm25_oracle_select(BM25_TERMS, stats)
 
 
 def _kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
@@ -3342,5 +3406,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey
             LIMIT 100
+        """,
+        "bm25_rank": _bm25_oracle(),
+        "weighted_sample": """
+            SELECT doc_id, weight FROM (
+                SELECT doc_id,
+                       CAST(length(text) + 1 AS DOUBLE) AS weight,
+                       ln((CAST('0x' || substr(md5('ws1' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           + 1) / 1152921504606846976.0)
+                           / CAST(length(text) + 1 AS DOUBLE) AS k
+                FROM documents
+            ) ORDER BY k DESC, doc_id LIMIT 50
+        """,
+        "group_split": """
+            SELECT doc_id, md5(text) AS split_group,
+                   CASE WHEN CAST('0x' || substr(md5('sp1' || md5(text)),
+                                 1, 8) AS BIGINT) % 10000 < 9000
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
         """,
     }

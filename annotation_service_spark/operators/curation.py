@@ -186,3 +186,89 @@ def stratified_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thr = expr.otherwise(thr) if expr is not None else thr
     return docs.where(sample_hash(F.col(id_col), salt) < thr)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-size weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets key = ln(u)/w with u a
+    deterministic uniform from md5(salt|id), and the k largest keys
+    win — P(selection) proportional to weight, exactly the reservoir
+    scheme, but expressed as a global top-k so it distributes
+    (ln(u)/w is a monotone transform of the classic u^(1/w) and
+    avoids pow's poor cross-engine rounding).
+
+    Scale: the key is a per-row expression (no shuffle); the top-k is
+    Spark's TakeOrderedAndProject — per-partition heaps of size k,
+    then a k-row merge on the driver. No full sort, no corpus
+    shuffle. Deterministic: no RNG state, reruns and engines agree
+    (u has 60 bits from the md5, +1 offset keeps it in (0,1]).
+
+    Weights must be > 0; ties broken by id. Output: (id, weight) of
+    the selected rows.
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + F.lit(1)
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.select(F.col(id_col), F.col(weight_col), key.alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_key")
+    )
+
+
+def group_split(
+    docs: DataFrame,
+    group_key,
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.1)),
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-guarded train/val split: the hash coin is thrown on a
+    GROUP key (e.g. the exact-dup content hash or a near-dup cluster
+    id), so every member of a duplicate group lands in the same
+    split — the guard that keeps eval leakage out of held-out sets
+    when the corpus still contains dup families.
+
+    ``splits`` is an ordered (name, fraction) list partitioning
+    [0, 1); assignment is by cumulative hash-bucket thresholds of
+    md5(salt|group_key) — deterministic, engine-portable, and
+    independent of row order. Pure expression: zero shuffles.
+
+    Output: input rows + (split_group, split) columns.
+    """
+    g = group_key if isinstance(group_key, F.Column) else F.col(group_key)
+    bucket = sample_hash(g, salt)
+    expr = None
+    acc = 0.0
+    for name, frac in splits:
+        acc += frac
+        thr = F.lit(int(round(acc * 10000)))
+        expr = (
+            F.when(bucket < thr, F.lit(name))
+            if expr is None
+            else expr.when(bucket < thr, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(None).cast("string"))
+    return docs.select(
+        "*", g.alias("split_group"), expr.alias("split")
+    )

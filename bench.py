@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "case_pivot",
     "nation_volume",
     "having_subquery",
+    "bm25_rank",
+    "weighted_sample",
+    "group_split",
 ]
 
 # documents-only operators re-run at the 10x scale point

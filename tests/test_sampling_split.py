@@ -1,0 +1,83 @@
+"""Weighted reservoir sampling (A-ES) and the leakage-guarded group
+split (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from annotation_service_spark.operators.curation import (
+    group_split,
+    weighted_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return em._t(spark, SF, "documents")
+
+
+def test_weighted_sample_size_and_determinism(spark):
+    docs = _docs(spark).select(
+        "doc_id", (F.length("text") + 1).cast("double").alias("w")
+    )
+    a = sorted(r.doc_id for r in weighted_sample(docs, 20, "w").collect())
+    b = sorted(r.doc_id for r in weighted_sample(docs, 20, "w").collect())
+    assert len(a) == 20
+    assert a == b  # no RNG state — reruns agree exactly
+
+
+def test_weighted_sample_huge_weight_always_selected(spark):
+    docs = _docs(spark).select(
+        "doc_id",
+        F.when(F.col("doc_id") == 7, 1e12).otherwise(1.0).alias("w"),
+    )
+    got = {r.doc_id for r in weighted_sample(docs, 5, "w").collect()}
+    assert 7 in got
+
+
+def test_weighted_sample_salt_changes_selection(spark):
+    docs = _docs(spark).select("doc_id", F.lit(1.0).alias("w"))
+    a = {r.doc_id for r in weighted_sample(docs, 20, "w", salt="x").collect()}
+    b = {r.doc_id for r in weighted_sample(docs, 20, "w", salt="y").collect()}
+    assert a != b
+
+
+def test_group_split_coassigns_duplicate_text(spark):
+    """Docs with byte-identical text must always share a split — the
+    leakage guard. Duplicate the corpus under new ids and check every
+    text group is single-split."""
+    docs = _docs(spark).select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.union(dup)
+    out = group_split(both, F.md5(F.col("text")), salt="sp1")
+    n_violations = (
+        out.groupBy("split_group")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert n_violations == 0
+
+
+def test_group_split_fractions_roughly_respected(spark):
+    out = group_split(_docs(spark), F.md5(F.col("text")), salt="sp1")
+    counts = dict(
+        (r.split, r.n)
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(counts.values())
+    assert set(counts) <= {"train", "val"}
+    assert 0.8 <= counts.get("train", 0) / total <= 0.97
+
+
+def test_group_split_multiway(spark):
+    out = group_split(
+        _docs(spark),
+        F.md5(F.col("text")),
+        splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        salt="sp1",
+    )
+    got = {r.split for r in out.select("split").distinct().collect()}
+    assert got == {"train", "val", "test"}

@@ -1544,6 +1544,90 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (operators/rollup.py::merge_rollups): the 6-hour rollup is built
+    as standing STATE (events before 2024-01-25 12:30) plus a fresh
+    DELTA partition, then merged — and must equal the oracle's full
+    recompute exactly. The deliberately bucket-straddling cutoff
+    proves partial windows merge correctly (counts add, fixed-point
+    sums add). At 100 TB this is the nightly pattern: scan only the
+    new partition, merge rollup-sized tables."""
+    from annotation_service_spark.operators import rollup as ru
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-25 12:30:00").cast("timestamp")
+    mk = lambda df: ru.tumbling_rollup(  # noqa: E731
+        df, window_width="6 hours", dims=("event_type",)
+    )
+    return ru.merge_rollups(
+        mk(ev.where(F.col("ts") < cut)), mk(ev.where(F.col("ts") >= cut))
+    )
+
+
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the embedding 3-NN cosine graph
+    (operators/graph.py) — graph-centrality representativeness
+    scoring, the second iterative-algorithm gate. Exact int64
+    recurrence end-to-end; the oracle replays the WHOLE computation
+    independently in DuckDB (edges from the exact-cosine SQL, the
+    three iterations unrolled as chained CTEs) — no literals cross
+    engines."""
+    from annotation_service_spark.operators.graph import knn_pagerank
+
+    return knn_pagerank(
+        _t(spark, sf_dir, "embeddings"), k=3, iterations=3
+    )
+
+
+def _pagerank_oracle(k: int = 3, iterations: int = 3) -> str:
+    """Independent DuckDB replay of ``knn_pagerank``: exact k-NN
+    edges via the established round-6 cosine SQL (same as the ANN
+    oracles), then the integer PageRank recurrence unrolled — one
+    CTE per iteration. All-integer ops (`//` = floor division), so
+    agreement is exact, not approximate."""
+    damping, scale = 85, 1_000_000
+    base = ((100 - damping) * scale) // 100
+    cte = [
+        f"""{_V_CTE},
+        pairs AS (
+            SELECT q.vec_id AS src, v.vec_id AS dst,
+                   {_cos6('q.e', 'v.e')} AS cos
+            FROM v q, v WHERE v.vec_id <> q.vec_id
+        ),
+        e AS (
+            SELECT src, dst FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src ORDER BY cos DESC, dst) AS rn
+                FROM pairs) WHERE rn <= {k}
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY 1),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT node, CAST({scale} AS BIGINT) AS score FROM n)"""
+    ]
+    for i in range(iterations):
+        cte.append(f"""
+        s{i + 1} AS (
+            SELECT n.node,
+                   CAST({base} + ({damping} * COALESCE(t.m, 0)) // 100
+                        AS BIGINT) AS score
+            FROM n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(s{i}.score // deg.deg) AS BIGINT) AS m
+                FROM e
+                JOIN s{i} ON s{i}.node = e.src
+                JOIN deg ON deg.src = e.src
+                GROUP BY 1) t ON t.node = n.node)""")
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+        SELECT node AS vec_id, CAST(score AS BIGINT) AS pr_score
+        FROM s{iterations}"""
+    )
+
+
 BM25_TERMS = ["dup", "vector", "merge"]
 
 
@@ -1678,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "weighted_sample": q_weighted_sample,
         "group_split": q_group_split,
+        "knn_pagerank": q_knn_pagerank,
+        "incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -3408,6 +3494,16 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "bm25_rank": _bm25_oracle(),
+        "knn_pagerank": _pagerank_oracle(3, 3),
+        "incremental_rollup": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_v_milli
+            FROM events
+            GROUP BY 1, 2
+        """,
         "weighted_sample": """
             SELECT doc_id, weight FROM (
                 SELECT doc_id,

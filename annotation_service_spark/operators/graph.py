@@ -1,0 +1,165 @@
+"""Fixed-point PageRank over the embedding k-NN graph — graph
+centrality for corpus curation.
+
+The reference has no graph surface; this is the second member of the
+iterative-algorithm class (with k-means, operators/clustering.py) and
+a real curation primitive: PageRank over the k-nearest-neighbor graph
+of document embeddings scores how REPRESENTATIVE each document is of
+its neighborhood (central docs anchor clusters; low-rank docs are
+outliers) — the signal coreset-selection and quality-weighted
+sampling recipes use.
+
+All arithmetic is exact int64 fixed point, so the distributed result
+is bit-identical to any sequential replay:
+
+  s_0(v)   = SCALE
+  s_t+1(v) = BASE + (DAMP_PCT · Σ_{u→v} (s_t(u) div deg(u))) div 100
+  BASE     = ((100 − DAMP_PCT) · SCALE) div 100
+
+(`div` = integer floor division; every op is associative-exact, the
+same trick that makes k-means oracle-checkable.) The oracle replays
+the ENTIRE computation independently in DuckDB — edges from the
+established exact-cosine SQL, the iterations unrolled as chained
+CTEs — no literals shipped between engines.
+
+Scale design (100 TB):
+- the edge list is built ONCE: exact brute-force for the oracle
+  regime, or the LSH/IVF ANN path (operators/similarity.py) at
+  scale — PageRank itself only consumes (src, dst) pairs.
+- per iteration: one join keyed by node id (uniform — ids, not
+  degrees, are the key) + one map-side-combinable groupBy(dst);
+  scores are ONE row per node, orders of magnitude smaller than
+  the corpus. Lineage is truncated per round (localCheckpoint),
+  the standard Spark iterative pattern (see clustering.py notes).
+- k-NN graphs bound out-degree by construction (deg ≤ k), so the
+  contribution fan-out is O(k·n) with no skew; in-degree hubs are
+  absorbed by the partial-aggregated sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000
+
+
+def knn_edges(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed k-NN edges (src, dst): each vector points at its k
+    nearest neighbors by round-6 cosine (ties toward the smaller
+    neighbor id — the ANN family's portable ordering). Uses the GEMM
+    exact path (per-partition BLAS + expression re-score — output
+    bit-identical to the brute-force expression form, see
+    similarity.py); swap in ``ann_lsh_topk``/``ann_ivf_topk`` for
+    the approximate edge build when even one dense pass per query
+    batch is too much."""
+    from annotation_service_spark.operators.similarity import (
+        ann_bruteforce_topk_gemm,
+    )
+
+    top = ann_bruteforce_topk_gemm(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_filter=F.lit(True),
+        k=k,
+    )
+    return top.select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Integer-exact PageRank with a fixed iteration count over a
+    directed edge list. Returns (node, pr_score) with pr_score in
+    SCALE fixed-point units. Nodes are the union of edge endpoints;
+    every node starts at SCALE. Dangling nodes (no out-edges) leak
+    their mass — the classic simplification — which is deterministic
+    and mirrored by the oracle; k-NN graphs have none (deg = k)."""
+    base = ((100 - damping_pct) * scale) // 100
+    # materialize the (src, dst, deg) adjacency ONCE: it is consumed
+    # by every iteration, and without plan truncation each round would
+    # re-execute the (possibly expensive — e.g. k-NN) edge derivation
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = edges.join(deg, "src").localCheckpoint()
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
+    for _ in range(iterations):
+        contrib = adj.join(
+            scores.select(F.col("node").alias("src"), "score"), "src"
+        ).select("dst", F.expr("score div deg").cast("long").alias("c"))
+        in_sum = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("m")
+        )
+        scores = (
+            nodes.join(in_sum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(m, 0L)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores.select("node", F.col("score").alias("pr_score"))
+
+
+def knn_pagerank(
+    embeddings: DataFrame,
+    k: int = 3,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Representativeness score per vector: PageRank over the exact
+    k-NN cosine graph. (vec_id, pr_score) in fixed-point units."""
+    return pagerank_fixed(
+        knn_edges(embeddings, k, id_col, vec_col), iterations
+    ).withColumnRenamed("node", id_col)
+
+
+def pagerank_reference(
+    edge_list: list[tuple[int, int]],
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> dict[int, int]:
+    """Sequential pure-Python replica of ``pagerank_fixed`` — an
+    independent implementation of the same integer recurrence, for
+    differential tests."""
+    from collections import defaultdict
+
+    base = ((100 - damping_pct) * scale) // 100
+    deg: dict[int, int] = defaultdict(int)
+    nodes = set()
+    for s, d in edge_list:
+        deg[s] += 1
+        nodes.add(s)
+        nodes.add(d)
+    scores = {v: scale for v in nodes}
+    for _ in range(iterations):
+        in_sum: dict[int, int] = defaultdict(int)
+        for s, d in edge_list:
+            in_sum[d] += scores[s] // deg[s]
+        scores = {
+            v: base + (damping_pct * in_sum.get(v, 0)) // 100 for v in nodes
+        }
+    return scores

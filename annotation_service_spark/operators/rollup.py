@@ -91,3 +91,29 @@ def _rollup(
         .select(F.col("w.start").alias("window_start"), *dims,
                 "n_events", "sum_v_milli")
     )
+
+
+def merge_rollups(*parts: DataFrame) -> DataFrame:
+    """Incremental materialized-rollup maintenance: merge rollup
+    PARTIALS (a standing state table + a fresh delta partition)
+    into the same result a full recompute would give — the nightly
+    pattern that lets a 100 TB pipeline maintain its aggregate
+    tables by scanning only the new partition.
+
+    Works because every carried statistic is mergeable: counts add,
+    fixed-point BIGINT sums add (associative-exact — the reason
+    ``_rollup`` carries floor(value·1000) instead of a double sum).
+    The merge shuffles only ROLLUP rows (buckets × dims), never the
+    underlying events; with state and delta both partitioned by
+    window_start, AQE plans it as a near-local union+reduce.
+    """
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    keys = [
+        c for c in merged.columns if c not in ("n_events", "sum_v_milli")
+    ]
+    return merged.groupBy(*keys).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_v_milli").cast("long").alias("sum_v_milli"),
+    )

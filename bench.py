@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "bm25_rank",
     "weighted_sample",
     "group_split",
+    "knn_pagerank",
+    "incremental_rollup",
 ]
 
 # documents-only operators re-run at the 10x scale point
@@ -250,6 +252,10 @@ def main() -> None:
         for name in SF1_QUERIES:
             spark.catalog.clearCache()
             sf1_timings[name] = round(run(name, sf1_dir), 3)
+            # same ref-release discipline as the headline loop: let the
+            # ContextCleaner reclaim localCheckpoint blocks between the
+            # heavy scale-point queries
+            gc.collect()
         spark.catalog.clearCache()
     except Exception as exc:  # never let the scale block sink the bench
         sf1_timings = {"error": str(exc)[:200]}

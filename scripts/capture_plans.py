@@ -29,7 +29,8 @@ QUERIES = [
     "nation_volume", "having_subquery", "kmeans_fixed", "profile_table",
     "text_normalize", "attribution_join", "json_extract", "gap_fill",
     "grouping_sets", "posting_lists",
-    "bm25_rank", "weighted_sample", "group_split",
+    "bm25_rank", "weighted_sample", "group_split", "knn_pagerank",
+    "incremental_rollup",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Fixed-point PageRank (operators/graph.py): distributed vs the
+sequential integer replica, structural invariants of the k-NN graph,
+and recurrence properties on hand-built graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from annotation_service_spark.operators import graph as g
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distributed_matches_sequential_replica(spark):
+    edges_df = g.knn_edges(em._t(spark, SF, "embeddings"), k=3)
+    edge_list = [(r.src, r.dst) for r in edges_df.collect()]
+    dist = {
+        r.node: r.pr_score
+        for r in g.pagerank_fixed(edges_df, iterations=3).collect()
+    }
+    assert dist == g.pagerank_reference(edge_list, iterations=3)
+
+
+def test_knn_graph_degree_and_no_self_loops(spark):
+    emb = em._t(spark, SF, "embeddings")
+    edges = g.knn_edges(emb, k=3).collect()
+    assert all(r.src != r.dst for r in edges)
+    from collections import Counter
+
+    out = Counter(r.src for r in edges)
+    n = emb.count()
+    assert len(out) == n and set(out.values()) == {3}
+
+
+def test_star_graph_center_dominates(spark):
+    """All spokes point at the center: the center's rank must exceed
+    every spoke's, and spokes (identical in-neighborhoods = none)
+    must tie exactly."""
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    got = {r.node: r.pr_score for r in g.pagerank_fixed(edges, 3).collect()}
+    spokes = {got[i] for i in range(1, 6)}
+    assert len(spokes) == 1
+    assert got[0] > spokes.pop()
+    assert got == g.pagerank_reference(
+        [(i, 0) for i in range(1, 6)], 3
+    )
+
+
+def test_cycle_graph_uniform_fixed_point(spark):
+    """A directed cycle is already at its fixed point: every node
+    keeps exactly SCALE (deg=1, base + 85% of SCALE = SCALE in the
+    integer recurrence)."""
+    n = 5
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    got = {r.node: r.pr_score for r in g.pagerank_fixed(edges, 3).collect()}
+    assert set(got.values()) == {g.PR_SCALE}
+
+
+def test_registered_in_contract():
+    assert "knn_pagerank" in em.queries()
+    assert "knn_pagerank" in em.oracle_sql()

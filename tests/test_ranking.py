@@ -72,3 +72,53 @@ def test_registered_in_contract():
     o = em.oracle_sql()
     for name in ("bm25_rank", "weighted_sample", "group_split"):
         assert name in q and name in o
+
+
+def test_randomized_differential_vs_pure_python(spark):
+    """Random corpora (seeded RNG) scored by Spark BM25 must agree
+    with an independent pure-Python scorer to the fixed-point digit —
+    one Spark job over all corpora (corpus-offset doc ids)."""
+    import random
+    import re
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    terms = ["a", "d"]
+    rows = []
+    for c in range(20):
+        for d in range(8):
+            n = rng.randint(1, 15)
+            rows.append(
+                (c * 100 + d, c, " ".join(rng.choice(vocab) for _ in range(n)))
+            )
+    df = spark.createDataFrame(rows, "doc_id long, corpus int, text string")
+
+    got = {}
+    for c in range(20):
+        sub = df.where(F.col("corpus") == c)
+        out = rk.bm25_score(sub, terms)
+        got[c] = {r.doc_id: r.bm25_micro for r in out.collect()}
+
+    k1, b = 1.2, 0.75
+    for c in range(20):
+        docs = {i: t for i, cc, t in rows if cc == c}
+        toks = {
+            i: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for i, t in docs.items()
+        }
+        n = len(docs)
+        avgdl = float(sum(len(v) for v in toks.values())) / float(n)
+        exp = {}
+        for i, tk in toks.items():
+            s = 0.0
+            for t in terms:
+                df_t = sum(1 for v in toks.values() if t in v)
+                idf = rk.bm25_idf(n, df_t)
+                tf = float(tk.count(t))
+                s += (idf * (tf * (k1 + 1.0))) / (
+                    tf + k1 * ((1.0 - b) + b * (float(len(tk)) / avgdl))
+                )
+            micro = int(math.floor(s * rk.SCORE_SCALE))
+            if micro > 0:
+                exp[i] = micro
+        assert got[c] == exp, f"corpus {c}"

@@ -348,3 +348,64 @@ def test_native_session_window_matches_cumsum_sessionize(spark):
         .collect()
     }
     assert native == cumsum
+
+
+def test_merge_rollups_equals_full_recompute(spark):
+    """Incremental maintenance invariant: state + delta merged ==
+    full recompute, including buckets straddling the cutoff."""
+    from annotation_service_spark.operators.rollup import merge_rollups
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    ev = em._t(spark, sf, "events")
+    cut = F.lit("2024-01-25 12:30:00").cast("timestamp")
+    mk = lambda d: tumbling_rollup(d, "6 hours")  # noqa: E731
+    inc = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_v_milli)
+        for r in merge_rollups(
+            mk(ev.where(F.col("ts") < cut)), mk(ev.where(F.col("ts") >= cut))
+        ).collect()
+    }
+    full = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_v_milli)
+        for r in mk(ev).collect()
+    }
+    assert inc == full
+    # some bucket must straddle the (deliberately non-aligned) cutoff
+    # at a data scale where the 12:00-12:30 slice is populated; verify
+    # partial-bucket merging by reconciling any such bucket directly
+    state_k = {
+        (r.window_start, r.event_type): r.n_events
+        for r in mk(ev.where(F.col("ts") < cut)).collect()
+    }
+    delta_k = {
+        (r.window_start, r.event_type): r.n_events
+        for r in mk(ev.where(F.col("ts") >= cut)).collect()
+    }
+    for k in set(state_k) & set(delta_k):  # straddling buckets, if any
+        assert full[k][0] == state_k[k] + delta_k[k]
+
+
+def test_merge_rollups_three_way_associative(spark):
+    """Merging three disjoint partials in any grouping gives the same
+    result (the property that lets state tables fold in deltas one
+    day at a time)."""
+    from annotation_service_spark.operators.rollup import merge_rollups
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    ev = em._t(spark, sf, "events")
+    c1 = F.lit("2024-01-10").cast("timestamp")
+    c2 = F.lit("2024-01-20").cast("timestamp")
+    p1 = tumbling_rollup(ev.where(F.col("ts") < c1), "1 day")
+    p2 = tumbling_rollup(
+        ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)), "1 day"
+    )
+    p3 = tumbling_rollup(ev.where(F.col("ts") >= c2), "1 day")
+    key = lambda rows: {  # noqa: E731
+        (r.window_start, r.event_type): (r.n_events, r.sum_v_milli)
+        for r in rows
+    }
+    flat = key(merge_rollups(p1, p2, p3).collect())
+    nested = key(merge_rollups(merge_rollups(p1, p2), p3).collect())
+    assert flat == nested

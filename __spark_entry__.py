@@ -1544,6 +1544,19 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour count + fixed-point sum per user
+    (operators/timeseries.py::trailing_window_sum) — true event-time
+    RANGE frame over exact epoch microseconds (membership by ordering
+    VALUE, which ROWS frames can't express); the velocity-feature
+    primitive. One uniform user_id shuffle, streaming frame state."""
+    from annotation_service_spark.operators.timeseries import (
+        trailing_window_sum,
+    )
+
+    return trailing_window_sum(_t(spark, sf_dir, "events"))
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-rollup maintenance
     (operators/rollup.py::merge_rollups): the 6-hour rollup is built
@@ -1764,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "knn_pagerank": q_knn_pagerank,
         "incremental_rollup": q_incremental_rollup,
+        "trailing_window": q_trailing_window,
     }
 
 
@@ -3495,6 +3509,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
+        "trailing_window": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w
+                        AS BIGINT) AS trail_v_milli
+            FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
         "incremental_rollup": """
             SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
                    event_type,

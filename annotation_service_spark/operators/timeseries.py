@@ -96,3 +96,52 @@ def gap_fill_daily(
         F.last("v_milli", ignorenulls=True).over(w_fill).alias("v_milli"),
         "observed",
     )
+
+
+def trailing_window_sum(
+    events: DataFrame,
+    trail_micros: int = 3_600_000_000,
+    part_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time trailing-window aggregate per key: for every event,
+    the count and fixed-point sum of that key's events in the
+    trailing ``trail_micros`` (inclusive of the current row and any
+    equal-timestamp peers — RANGE-frame semantics, the window class
+    ROWS frames can't express because membership depends on the
+    VALUE of the ordering column, not its position).
+
+    Implemented as a true RANGE frame over epoch microseconds
+    (``Window.rangeBetween`` needs a numeric ordering column).
+    Sums carry floor(value·1000) BIGINT so the frame reduction is
+    associative-exact.
+
+    Scale: one shuffle keyed by ``part_col`` (uniform id), then a
+    per-key ordered scan — Spark's WindowExec keeps only the frame's
+    sliding state in memory, so a key's history streams rather than
+    materializes. Skewed keys (one user = half the events) would be
+    the concern; the rollup family is the aggregate-side answer,
+    this operator is for per-EVENT feature generation (e.g. "events
+    by this user in the last hour" as an abuse/velocity feature).
+    """
+    # unix_micros is the exact integer epoch (a double round-trip
+    # would lose sub-µs bits — the TESTDATA nanos lesson); the cast
+    # lifts NTZ parquet timestamps into the UTC session zone exactly
+    base = events.withColumn(
+        "_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("_us")
+        .rangeBetween(-trail_micros, 0)
+    )
+    return base.select(
+        "event_id",
+        part_col,
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        F.sum(F.floor(F.col(value_col) * 1000).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("trail_v_milli"),
+    )

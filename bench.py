@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "group_split",
     "knn_pagerank",
     "incremental_rollup",
+    "trailing_window",
 ]
 
 # documents-only operators re-run at the 10x scale point

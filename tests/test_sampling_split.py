@@ -81,3 +81,30 @@ def test_group_split_multiway(spark):
     )
     got = {r.split for r in out.select("split").distinct().collect()}
     assert got == {"train", "val", "test"}
+
+
+def test_weighted_sample_rank_margin_vs_ulp(spark):
+    """The A-ES key uses libm ln(); engines may differ in the last
+    ulp. Selection only flips if the key gap at the k-boundary is
+    ulp-sized — pin that the gate dataset's gap (rank 50 vs 51 on
+    the sf0.001 corpus, same salt/weights as the gate) is many orders
+    above double rounding error, so the cross-engine gate is
+    structurally stable, not lucky."""
+    import math
+
+    docs = em._t(spark, SF, "documents").select(
+        "doc_id", (F.length("text") + 1).cast("double").alias("weight")
+    )
+    rows = docs.collect()
+    keys = []
+    import hashlib
+
+    for r in rows:
+        h = hashlib.md5(f"ws1{r.doc_id}".encode()).hexdigest()
+        u = (int(h[:15], 16) + 1) / float(2**60)
+        keys.append(math.log(u) / r.weight)
+    keys.sort(reverse=True)
+    gap = keys[49] - keys[50]
+    # |key| is O(1e-2); one ulp of the subtraction operands is
+    # ~1e-18 — require 9 orders of headroom
+    assert gap > 1e-9, gap

@@ -121,3 +121,43 @@ def test_gap_fill_null_value_still_observed(spark):
     assert out["2024-01-02"].observed is True
     # last(ignorenulls) carries day 1's value through the NULL obs
     assert out["2024-01-02"].v_milli == 10000
+
+
+def test_trailing_window_hand_case(spark):
+    """RANGE-frame membership: exactly-1-hour-old events are INSIDE
+    the frame (inclusive bound); equal-timestamp peers aggregate
+    together on both rows."""
+    from annotation_service_spark.operators.timeseries import (
+        trailing_window_sum,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, t0, 1.0),
+        (2, 7, t0 + dt.timedelta(minutes=30), 2.0),
+        (3, 7, t0 + dt.timedelta(hours=1), 4.0),          # 1h after e1: in
+        (4, 7, t0 + dt.timedelta(hours=1, seconds=1), 8.0),  # e1 out now
+        (5, 7, t0 + dt.timedelta(hours=1, seconds=1), 16.0),  # peer of e4
+        (6, 9, t0, 32.0),  # other user: independent frame
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: (r.trail_n, r.trail_v_milli)
+        for r in trailing_window_sum(df).collect()
+    }
+    assert got[1] == (1, 1000)
+    assert got[2] == (2, 3000)
+    assert got[3] == (3, 7000)          # inclusive 1h bound keeps e1
+    assert got[4] == (4, 30000)         # e1 aged out; peer e5 included
+    assert got[5] == (4, 30000)         # identical frame as its peer
+    assert got[6] == (1, 32000)
+
+
+def test_trailing_window_registered():
+    import __spark_entry__ as em
+
+    assert "trailing_window" in em.queries()
+    assert "trailing_window" in em.oracle_sql()

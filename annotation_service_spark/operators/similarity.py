@@ -30,7 +30,7 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Sequential left-to-right sum — bit-identical to the DuckDB
     oracle's list_sum over the zipped product.
 
@@ -39,7 +39,21 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     which whole-stage codegen compiles; the HOF fallback
     (aggregate/zip_with) is INTERPRETED per row and ~10x slower on
     the pair-scoring hot path. Same value either way: the fold's
-    0.0+x0 equals x0 and both associate left-to-right."""
+    0.0+x0 equals x0 and both associate left-to-right.
+
+    Pass column NAMES (strings) where possible: the unrolled tree is
+    then built as ONE parsed SQL string instead of ~3·dim py4j
+    Column calls — same left-associated expression, ~100x cheaper
+    query CONSTRUCTION (0.35 s → 3 ms per 64-dim dot; the ANN family
+    builds several per query)."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(f"`{a}`[{i}] * `{b}`[{i}]" for i in range(dim))
+        )
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     if dim is not None:
         expr = a[0] * b[0]
         for i in range(1, dim):
@@ -85,17 +99,17 @@ def ann_bruteforce_topk(
     dim = _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ce")
-    ).withColumn("cn", F.sqrt(dot(F.col("ce"), F.col("ce"), dim)))
+    ).withColumn("cn", F.sqrt(dot("ce", "ce", dim)))
     qf = query_filter if query_filter is not None else (F.col(id_col) % 50 == 0)
     q = embeddings.where(qf).select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
-    ).withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"), dim)))
+    ).withColumn("qn", F.sqrt(dot("qe", "qe", dim)))
     scored = base.crossJoin(F.broadcast(q)).where(F.col("qid") != F.col("nid"))
     scored = scored.select(
         "qid",
         "nid",
         F.round(
-            dot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * F.col("cn")),
+            dot("qe", "ce", dim) / (F.col("qn") * F.col("cn")),
             round_digits,
         ).alias("cos"),
     )
@@ -169,10 +183,10 @@ def ann_bruteforce_topk_gemm(
     # form ⇒ identical round-6 values and tie-breaks.
     base = embeddings.select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ce")
-    ).withColumn("cn", F.sqrt(dot(F.col("ce"), F.col("ce"), dim)))
+    ).withColumn("cn", F.sqrt(dot("ce", "ce", dim)))
     q = embeddings.where(qf).select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
-    ).withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"), dim)))
+    ).withColumn("qn", F.sqrt(dot("qe", "qe", dim)))
     scored = (
         base.join(F.broadcast(cand), "nid")
         .join(F.broadcast(q), "qid")
@@ -180,7 +194,7 @@ def ann_bruteforce_topk_gemm(
             "qid",
             "nid",
             F.round(
-                dot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * F.col("cn")),
+                dot("qe", "ce", dim) / (F.col("qn") * F.col("cn")),
                 round_digits,
             ).alias("cos"),
         )
@@ -214,7 +228,7 @@ def embedding_dup_pairs(
     dim = _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
-    ).withColumn("nrm", F.sqrt(dot(F.col("ve"), F.col("ve"), dim)))
+    ).withColumn("nrm", F.sqrt(dot("ve", "ve", dim)))
     if use_lsh:
         planes = _hyperplanes(dim, n_planes)
         bits_per_band = n_planes // bands
@@ -260,7 +274,7 @@ def embedding_dup_pairs(
         "id_a",
         "id_b",
         F.round(
-            dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+            dot("va", "vb", dim) / (F.col("na") * F.col("nb")),
             round_digits,
         ).alias("cos"),
     ).where(F.col("cos") >= threshold)
@@ -432,7 +446,7 @@ def ann_ivf_topk(
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
     ).withColumn("c", _nearest_centroid(centroids)(F.col("ve"))).withColumn(
-        "nrm", F.sqrt(dot(F.col("ve"), F.col("ve"), dim))
+        "nrm", F.sqrt(dot("ve", "ve", dim))
     )
 
     qf = query_filter if query_filter is not None else (F.col("id") % 50 == 0)
@@ -449,7 +463,7 @@ def ann_ivf_topk(
         "qid",
         F.col("id").alias("nid"),
         F.round(
-            dot(F.col("qe"), F.col("ve"), dim) / (F.col("qn") * F.col("nrm")),
+            dot("qe", "ve", dim) / (F.col("qn") * F.col("nrm")),
             round_digits,
         ).alias("cos"),
     ).distinct()
@@ -502,7 +516,7 @@ def ann_lsh_topk(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("ve"),
         lsh_signature(as_double(F.col(vec_col)), planes).alias("sig"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("ve"), F.col("ve"), dim)))
+    ).withColumn("nrm", F.sqrt(dot("ve", "ve", dim)))
     band_arr = F.array(
         *[
             F.struct(
@@ -535,7 +549,7 @@ def ann_lsh_topk(
         "qid",
         "nid",
         F.round(
-            dot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * F.col("cn")),
+            dot("qe", "ce", dim) / (F.col("qn") * F.col("cn")),
             round_digits,
         ).alias("cos"),
     )

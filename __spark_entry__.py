@@ -1544,6 +1544,36 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset diff between two corpus versions
+    (operators/profile.py::table_diff — the release audit). Version
+    B is derived deterministically in-plan: doc_id%7==0 dropped
+    (removed), doc_id%11==0 text-amended (changed), doc_id%13==0
+    re-added under new ids (added). Only (key, md5) pairs reach the
+    FULL OUTER join — the first full-outer-join gate in the suite."""
+    from annotation_service_spark.operators.profile import table_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit("X"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("new"), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return table_diff(docs, b, "doc_id", ["text"])
+
+
 def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-1-hour count + fixed-point sum per user
     (operators/timeseries.py::trailing_window_sum) — true event-time
@@ -1778,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank": q_knn_pagerank,
         "incremental_rollup": q_incremental_rollup,
         "trailing_window": q_trailing_window,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -3509,6 +3540,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
+        "corpus_diff": """
+            WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+            b AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 11 = 0 THEN text || 'X'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, md5('new' || text)
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+        """,
         "trailing_window": """
             SELECT event_id, user_id,
                    CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,

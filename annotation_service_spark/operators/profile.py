@@ -61,3 +61,40 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Dataset diffing — (key, status) for every row that was added,
+    removed, or changed between two versions of a table (the corpus
+    release audit: what did this ingest/filter pass actually do?).
+
+    Rows are compared by md5 of the concatenated compare columns, so
+    only (key, hash) pairs flow into the FULL OUTER join — the
+    payload never shuffles. The join is keyed by the table key
+    (uniform); with both versions bucketed on it (sources/storage.py)
+    the Exchange disappears entirely. Output is differences only —
+    at 100 TB the diff is expected to be orders smaller than either
+    version.
+    """
+    hcol = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in compare_cols]))
+    ah = a.select(F.col(key_col).alias("_k"), hcol.alias("_ha"))
+    bh = b.select(F.col(key_col).alias("_k"), hcol.alias("_hb"))
+    j = ah.join(bh, "_k", "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.where(
+            F.col("_ha").isNull()
+            | F.col("_hb").isNull()
+            | (F.col("_ha") != F.col("_hb"))
+        )
+        .select(F.col("_k").alias(key_col), status.alias("status"))
+    )

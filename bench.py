@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "knn_pagerank",
     "incremental_rollup",
     "trailing_window",
+    "corpus_diff",
 ]
 
 # documents-only operators re-run at the 10x scale point

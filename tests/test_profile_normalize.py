@@ -76,3 +76,41 @@ def test_registered_in_contract():
     for name in ("profile_table", "text_normalize"):
         assert name in em.queries()
         assert name in em.oracle_sql()
+
+
+def test_table_diff_hand_case(spark):
+    from annotation_service_spark.operators.profile import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, t string"
+    )
+    b = spark.createDataFrame(
+        [(2, "y"), (3, "Z"), (4, "w")], "id long, t string"
+    )
+    got = {r.id: r.status for r in table_diff(a, b, "id", ["t"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_table_diff_multi_column_and_separator_safety(spark):
+    """The \\x1f separator keeps ('ab','c') distinct from ('a','bc');
+    a change in ANY compare column flags the row."""
+    from annotation_service_spark.operators.profile import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "q", "r")], "id long, u string, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "a", "bc"), (2, "q", "r")], "id long, u string, v string"
+    )
+    got = {
+        r.id: r.status
+        for r in table_diff(a, b, "id", ["u", "v"]).collect()
+    }
+    assert got == {1: "changed"}
+
+
+def test_corpus_diff_registered():
+    import __spark_entry__ as em
+
+    assert "corpus_diff" in em.queries()
+    assert "corpus_diff" in em.oracle_sql()

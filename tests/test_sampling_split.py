@@ -108,3 +108,48 @@ def test_weighted_sample_rank_margin_vs_ulp(spark):
     # |key| is O(1e-2); one ulp of the subtraction operands is
     # ~1e-18 — require 9 orders of headroom
     assert gap > 1e-9, gap
+
+
+def test_aes_selection_probability_tracks_weights():
+    """A-ES math property (engine-independent replica, no Spark):
+    over many salts, an item with weight w is selected into the
+    top-k with frequency increasing in w, and a 10x-weight item is
+    selected far more often than a 1x item. Uses the same md5 key
+    construction as the operator."""
+    import hashlib
+    import math
+
+    n, k, trials = 40, 8, 400
+    weights = {i: (10.0 if i < 4 else 1.0) for i in range(n)}
+    hits = {i: 0 for i in range(n)}
+    for t in range(trials):
+        keys = []
+        for i in range(n):
+            h = hashlib.md5(f"s{t}|{i}".encode()).hexdigest()
+            u = (int(h[:15], 16) + 1) / float(2**60)
+            keys.append((math.log(u) / weights[i], i))
+        keys.sort(reverse=True)
+        for _, i in keys[:k]:
+            hits[i] += 1
+    heavy = sum(hits[i] for i in range(4)) / (4 * trials)
+    light = sum(hits[i] for i in range(4, n)) / ((n - 4) * trials)
+    # expected inclusion: heavy ~0.77, light ~0.14 at these params
+    assert heavy > 3 * light
+    assert 0.6 < heavy < 0.95
+    assert 0.05 < light < 0.3
+
+
+def test_group_split_bucket_uniformity():
+    """The md5 bucket coin is uniform over group keys (chi-square-ish
+    bound, pure Python): 10k synthetic keys → train fraction within
+    1.5 points of 90%."""
+    import hashlib
+
+    n = 10_000
+    train = 0
+    for i in range(n):
+        g = hashlib.md5(f"group-{i}".encode()).hexdigest()
+        b = int(hashlib.md5(f"sp1{g}".encode()).hexdigest()[:8], 16) % 10000
+        if b < 9000:
+            train += 1
+    assert abs(train / n - 0.9) < 0.015

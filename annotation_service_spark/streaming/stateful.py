@@ -264,3 +264,84 @@ def streaming_funnel(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def start_rollup_maintenance(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    window_width: str = "6 hours",
+    dims: tuple[str, ...] = ("event_type",),
+    available_now: bool = True,
+):
+    """Continuous materialized-rollup maintenance — the streaming
+    driver of ``operators/rollup.py::merge_rollups``: each
+    micro-batch is reduced to its rollup partial (buckets × dims
+    rows) and merged into the standing state table, so the aggregate
+    is always fresh without ever rescanning history. The batch gate
+    ``incremental_rollup`` proves merge == full recompute; this
+    wrapper adds the delivery contract.
+
+    Idempotency under at-least-once foreachBatch: state versions are
+    named by epoch and a CURRENT pointer records the last APPLIED
+    epoch — a replayed epoch (crash after data write, before/after
+    pointer publish) is detected by ``epoch_id <= last`` and skipped,
+    so a delta can never be double-merged. The pointer is published
+    by atomic rename AFTER the merged state is durably written
+    (write-ahead ordering, same discipline as refresh.py's
+    manifest). Readers resolve CURRENT → a complete immutable
+    version directory, so they never observe a half-written merge.
+    """
+    import os
+    import tempfile
+
+    from ..operators.rollup import merge_rollups, tumbling_rollup
+
+    spark = events_stream.sparkSession
+    cur_path = os.path.join(state_dir, "CURRENT")
+
+    def read_current():
+        if not os.path.exists(cur_path):
+            return None, -1
+        with open(cur_path) as fh:
+            epoch, vdir = fh.read().strip().split("\n")
+        return vdir, int(epoch)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vdir, last = read_current()
+        if epoch_id <= last:  # at-least-once replay of an applied epoch
+            return
+        delta = tumbling_rollup(batch_df, window_width, dims=dims)
+        merged = (
+            delta
+            if vdir is None
+            else merge_rollups(spark.read.parquet(vdir), delta)
+        )
+        out = os.path.join(state_dir, f"v{int(epoch_id)}")
+        merged.write.mode("overwrite").parquet(out)
+        os.makedirs(state_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=state_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"{int(epoch_id)}\n{out}")
+        os.replace(tmp, cur_path)
+
+    writer = events_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_rollup_state(spark, state_dir: str) -> DataFrame | None:
+    """Resolve the CURRENT pointer to the standing rollup table."""
+    import os
+
+    cur_path = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(cur_path):
+        return None
+    with open(cur_path) as fh:
+        _, vdir = fh.read().strip().split("\n")
+    return spark.read.parquet(vdir)

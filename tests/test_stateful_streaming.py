@@ -246,3 +246,78 @@ def test_streaming_curation_filters_and_redacts(spark, tmp_path):
     assert "<EMAIL>" in r.text and "bob@example.com" not in r.text
     assert r.n_pii == 1
     assert r.quality >= 0.4
+
+
+def test_streaming_rollup_maintenance_matches_batch(spark, tmp_path):
+    """Streaming rollup maintenance (foreachBatch + merge_rollups)
+    over multiple micro-batches ends at exactly the batch recompute,
+    and a restart from the same checkpoint does not double-merge."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.operators.rollup import tumbling_rollup
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (base + dt.timedelta(minutes=17 * i)).isoformat(),
+                "event_type": "click" if i % 3 else "view",
+                "value": round(0.5 + i * 0.25, 2),
+            }
+        )
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for fi in range(3):
+        with open(src / f"f{fi}.json", "w") as fh:
+            for r in rows[fi::3]:
+                fh.write(_json.dumps(r) + "\n")
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ck"
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = stateful.start_rollup_maintenance(
+            stream, str(state), str(ckpt), window_width="1 hour"
+        )
+        q.awaitTermination(120)
+
+    run()
+    got_df = stateful.current_rollup_state(spark, str(state))
+    key = lambda df: {  # noqa: E731
+        (r.window_start, r.event_type): (r.n_events, r.sum_v_milli)
+        for r in df.collect()
+    }
+    got = key(got_df)
+    full = key(
+        tumbling_rollup(
+            spark.createDataFrame(
+                [
+                    (
+                        r["event_id"],
+                        dt.datetime.fromisoformat(r["ts"]),
+                        r["event_type"],
+                        r["value"],
+                    )
+                    for r in rows
+                ],
+                schema,
+            ),
+            "1 hour",
+        )
+    )
+    assert got == full
+    # restart on the drained checkpoint: no new epochs, state unchanged
+    run()
+    assert key(stateful.current_rollup_state(spark, str(state))) == full

@@ -134,6 +134,10 @@ SF1_QUERIES = [
     "vocab_topk",
     "text_normalize",
     "posting_lists",
+    "bm25_rank",
+    "weighted_sample",
+    "group_split",
+    "corpus_diff",
 ]
 
 SF1_REPLICAS = 10

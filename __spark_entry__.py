@@ -1544,6 +1544,21 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-source content digest of the corpus
+    (operators/profile.py::table_digest) — the anti-entropy check two
+    engines/replicas can run independently and compare: BIT_XOR of a
+    60-bit md5-derived row hash + row count, map-side combinable,
+    overflow-free, row-order-blind."""
+    from annotation_service_spark.operators.profile import table_digest
+
+    return table_digest(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text"],
+        group_cols=["source"],
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset diff between two corpus versions
     (operators/profile.py::table_diff — the release audit). Version
@@ -1809,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "trailing_window": q_trailing_window,
         "corpus_diff": q_corpus_diff,
+        "table_digest": q_table_digest,
     }
 
 
@@ -3540,6 +3556,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
+        "table_digest": """
+            SELECT source,
+                   CAST(bit_xor(CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || chr(31) || text),
+                       1, 15) AS BIGINT)) AS BIGINT) AS digest,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY source
+        """,
         "corpus_diff": """
             WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
             b AS (

@@ -98,3 +98,40 @@ def table_diff(
         )
         .select(F.col("_k").alias(key_col), status.alias("status"))
     )
+
+
+def table_digest(
+    df: DataFrame,
+    compare_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-independent content digest per group (or one global
+    row) — the anti-entropy primitive: two replicas/engines hold the
+    same rows iff their digests match, computed without moving any
+    payload or sorting anything.
+
+    digest = BIT_XOR over rows of a 60-bit integer derived from
+    md5 of the concatenated columns. XOR is commutative/associative
+    and cannot overflow, so the aggregation is map-side combinable,
+    merge-able across partitions/engines, and indifferent to row
+    order — unlike a SUM (overflow at scale) or any ordered hash.
+    (Caveat inherent to XOR digests: a row appearing an EVEN number
+    of times cancels out; pair with n_rows, which this emits.)
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *[F.col(c) for c in compare_cols])),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    aggs = [
+        F.expr("bit_xor(_h)").alias("digest"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    base = df.select(*(group_cols or []), h.alias("_h"))
+    if group_cols:
+        return base.groupBy(*group_cols).agg(*aggs)
+    return base.agg(*aggs)

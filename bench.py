@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "trailing_window",
     "corpus_diff",
+    "table_digest",
 ]
 
 # documents-only operators re-run at the 10x scale point

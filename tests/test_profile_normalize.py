@@ -114,3 +114,31 @@ def test_corpus_diff_registered():
 
     assert "corpus_diff" in em.queries()
     assert "corpus_diff" in em.oracle_sql()
+
+
+def test_table_digest_order_and_partition_invariant(spark):
+    """The digest must be identical under row reordering and
+    different partitionings, and differ when any row changes."""
+    from annotation_service_spark.operators.profile import table_digest
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, t string"
+    )
+    shuffled = (
+        spark.createDataFrame([(3, "z"), (1, "x"), (2, "y")], "id long, t string")
+        .repartition(7)
+    )
+    d1 = table_digest(a, ["id", "t"]).collect()[0]
+    d2 = table_digest(shuffled, ["id", "t"]).collect()[0]
+    assert (d1.digest, d1.n_rows) == (d2.digest, d2.n_rows)
+    mut = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "Z")], "id long, t string"
+    )
+    assert table_digest(mut, ["id", "t"]).collect()[0].digest != d1.digest
+
+
+def test_table_digest_registered():
+    import __spark_entry__ as em
+
+    assert "table_digest" in em.queries()
+    assert "table_digest" in em.oracle_sql()

@@ -161,3 +161,50 @@ def test_trailing_window_registered():
 
     assert "trailing_window" in em.queries()
     assert "trailing_window" in em.oracle_sql()
+
+
+def test_trailing_window_randomized_differential(spark):
+    """Random event sets vs a brute-force pure-Python replica: for
+    every event, trail_n/trail_v_milli must equal the O(n^2) scan
+    over its user's events within the inclusive trailing hour."""
+    import math
+    import random
+
+    rng = random.Random(20260814)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = base_us
+        for _ in range(40):
+            t += rng.randint(1, 90) * 60_000_000  # 1-90 min steps
+            rows.append((eid, u, t, round(rng.uniform(0, 50), 2)))
+            eid += 1
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.operators.timeseries import (
+        trailing_window_sum,
+    )
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, value double"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "value",
+    )
+    got = {
+        r.event_id: (r.trail_n, r.trail_v_milli)
+        for r in trailing_window_sum(df).collect()
+    }
+    H = 3_600_000_000
+    for eid_, u, t, v in rows:
+        peers = [
+            (tt, vv)
+            for (_, uu, tt, vv) in rows
+            if uu == u and t - H <= tt <= t
+        ]
+        exp_n = len(peers)
+        exp_s = sum(int(math.floor(vv * 1000)) for (_, vv) in peers)
+        assert got[eid_] == (exp_n, exp_s), eid_

@@ -1544,6 +1544,29 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set-operator class: customers with orders in
+    1995 INTERSECT those with 1996 orders (retained), minus (EXCEPT)
+    those who ever placed an urgent order — tagged and unioned. Both
+    engines implement set ops as hash semi/anti joins on the full row;
+    keys here are customer ids (uniform, bucketed layout co-locates).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate"))
+    c95 = orders.where(y == 1995).select("o_custkey")
+    c96 = orders.where(y == 1996).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    retained = c95.intersect(c96)
+    calm = retained.subtract(urgent)
+    return retained.select(
+        "o_custkey", F.lit("retained").alias("cohort")
+    ).unionByName(
+        calm.select("o_custkey", F.lit("retained_calm").alias("cohort"))
+    )
+
+
 def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-source content digest of the corpus
     (operators/profile.py::table_digest) — the anti-entropy check two
@@ -1825,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window": q_trailing_window,
         "corpus_diff": q_corpus_diff,
         "table_digest": q_table_digest,
+        "set_ops": q_set_ops,
     }
 
 
@@ -3556,6 +3580,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
+        "set_ops": """
+            WITH c95 AS (SELECT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1995),
+            c96 AS (SELECT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 1996),
+            urgent AS (SELECT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT'),
+            retained AS (SELECT o_custkey FROM c95
+                         INTERSECT SELECT o_custkey FROM c96),
+            calm AS (SELECT o_custkey FROM retained
+                     EXCEPT SELECT o_custkey FROM urgent)
+            SELECT o_custkey, 'retained' AS cohort FROM retained
+            UNION ALL
+            SELECT o_custkey, 'retained_calm' AS cohort FROM calm
+        """,
         "table_digest": """
             SELECT source,
                    CAST(bit_xor(CAST('0x' || substr(

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "trailing_window",
     "corpus_diff",
     "table_digest",
+    "set_ops",
 ]
 
 # documents-only operators re-run at the 10x scale point

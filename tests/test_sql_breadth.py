@@ -127,3 +127,35 @@ def test_having_subquery_topn(spark):
 def test_registered_in_contract(name):
     assert name in em.queries()
     assert name in em.oracle_sql()
+
+
+def test_set_ops_cohort_invariants(spark):
+    """retained_calm ⊆ retained; no calm customer has an urgent
+    order; every retained customer has orders in both years."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = em.q_set_ops(spark, sf).collect()
+    retained = {r.o_custkey for r in out if r.cohort == "retained"}
+    calm = {r.o_custkey for r in out if r.cohort == "retained_calm"}
+    assert calm <= retained
+    orders = em._t(spark, sf, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("y"),
+        "o_orderpriority",
+    ).collect()
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for c in retained:
+        ys = {r.y for r in by_cust[c]}
+        assert {1995, 1996} <= ys
+    for c in calm:
+        assert all(r.o_orderpriority != "1-URGENT" for r in by_cust[c])
+
+
+def test_set_ops_registered():
+    import __spark_entry__ as em
+
+    assert "set_ops" in em.queries() and "set_ops" in em.oracle_sql()

@@ -1544,6 +1544,31 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (wide→long melt) of the lineitem measures into
+    (keys, measure, v_milli) — the relational melt every metrics/
+    feature pipeline needs before a long-form groupBy. Values are
+    fixed-pointed FIRST so the melted column is a single exact BIGINT
+    type. Unpivot is a per-row generator (like Expand) — zero
+    shuffles, output = rows × measures."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            F.floor(F.col(c).cast("double") * 1000)
+            .cast("long")
+            .alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ],
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "v_milli",
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT set-operator class: customers with orders in
     1995 INTERSECT those with 1996 orders (retained), minus (EXCEPT)
@@ -1849,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "table_digest": q_table_digest,
         "set_ops": q_set_ops,
+        "unpivot_measures": q_unpivot_measures,
     }
 
 
@@ -3580,6 +3606,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
+        "unpivot_measures": """
+            WITH m AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(floor(CAST(l_quantity AS DOUBLE) * 1000)
+                            AS BIGINT) AS l_quantity,
+                       CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000)
+                            AS BIGINT) AS l_extendedprice,
+                       CAST(floor(CAST(l_discount AS DOUBLE) * 1000)
+                            AS BIGINT) AS l_discount,
+                       CAST(floor(CAST(l_tax AS DOUBLE) * 1000)
+                            AS BIGINT) AS l_tax
+                FROM lineitem
+            )
+            UNPIVOT m ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME measure VALUE v_milli
+        """,
         "set_ops": """
             WITH c95 AS (SELECT o_custkey FROM orders
                          WHERE year(o_orderdate) = 1995),

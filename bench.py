@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "table_digest",
     "set_ops",
+    "unpivot_measures",
 ]
 
 # documents-only operators re-run at the 10x scale point

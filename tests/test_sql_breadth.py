@@ -159,3 +159,49 @@ def test_set_ops_registered():
     import __spark_entry__ as em
 
     assert "set_ops" in em.queries() and "set_ops" in em.oracle_sql()
+
+
+def test_unpivot_roundtrip_and_shape(spark):
+    """Melted output has rows x measures entries; re-pivoting the
+    long form recovers the wide values exactly."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    wide_n = em._t(spark, sf, "lineitem").count()
+    out = em.q_unpivot_measures(spark, sf)
+    assert out.count() == wide_n * 4
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    # so the roundtrip compares per-key SUMS (melt preserves totals)
+    back = (
+        out.groupBy("l_orderkey", "l_linenumber")
+        .pivot("measure", ["l_quantity", "l_discount"])
+        .agg(F.sum("v_milli"))
+    )
+    orig = (
+        em._t(spark, sf, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity").cast("double") * 1000).cast("long")
+            ).alias("q"),
+            F.sum(
+                F.floor(F.col("l_discount").cast("double") * 1000).cast("long")
+            ).alias("d"),
+        )
+    )
+    j = back.join(orig, ["l_orderkey", "l_linenumber"])
+    assert (
+        j.where(
+            (F.col("l_quantity") != F.col("q"))
+            | (F.col("l_discount") != F.col("d"))
+        ).count()
+        == 0
+    )
+
+
+def test_unpivot_registered():
+    import __spark_entry__ as em
+
+    assert "unpivot_measures" in em.queries()
+    assert "unpivot_measures" in em.oracle_sql()

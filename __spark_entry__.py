@@ -1671,6 +1671,25 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k weighted sampling per stratum
+    (curation.weighted_sample_per_stratum): 10 docs per source,
+    probability ∝ length, same deterministic A-ES key as the global
+    gate but selected by a per-stratum row_number window (one
+    stratum-keyed shuffle)."""
+    from annotation_service_spark.operators.curation import (
+        weighted_sample_per_stratum,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (F.length("text") + 1).cast("double").alias("weight"),
+    )
+    return weighted_sample_per_stratum(
+        docs, k=10, weight_col="weight", stratum_col="source", salt="wss1"
+    )
+
+
 def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the embedding 3-NN cosine graph
     (operators/graph.py) — graph-centrality representativeness
@@ -1875,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_digest": q_table_digest,
         "set_ops": q_set_ops,
         "unpivot_measures": q_unpivot_measures,
+        "weighted_sample_stratified": q_weighted_sample_stratified,
     }
 
 
@@ -3606,6 +3626,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
+        "weighted_sample_stratified": """
+            SELECT doc_id, source, weight FROM (
+                SELECT doc_id, source,
+                       CAST(length(text) + 1 AS DOUBLE) AS weight,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ln((CAST('0x' || substr(md5('wss1' ||
+                                     CAST(doc_id AS VARCHAR)), 1, 15)
+                                     AS BIGINT) + 1)
+                                     / 1152921504606846976.0)
+                                    / CAST(length(text) + 1 AS DOUBLE) DESC,
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
         "unpivot_measures": """
             WITH m AS (
                 SELECT l_orderkey, l_linenumber,

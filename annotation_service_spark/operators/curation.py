@@ -272,3 +272,55 @@ def group_split(
     return docs.select(
         "*", g.alias("split_group"), expr.alias("split")
     )
+
+
+def weighted_sample_per_stratum(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-k weighted sampling WITHOUT replacement PER STRATUM —
+    the per-language/per-source quota shape of multilingual curation
+    ("best k docs from every source, weight-proportional"). Same
+    A-ES key as ``weighted_sample`` (ln(u)/w on the deterministic
+    md5 uniform), selected with a row_number window per stratum
+    instead of a global top-k.
+
+    Scale: one shuffle keyed by stratum. Stratum skew is bounded by
+    the window's top-k short-circuit (rank computation streams; only
+    k rows per stratum survive), but a single colossal stratum still
+    serializes its ordered scan — for that shape, pre-filter with a
+    cheap per-stratum threshold pass or fall back to the global form
+    per stratum. Output: (id, stratum, weight) of the selected rows.
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + F.lit(1)
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_key").desc(), F.col(id_col)
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.col(stratum_col), F.col(weight_col),
+            key.alias("_key"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_key", "_rn")
+    )

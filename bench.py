@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "table_digest",
     "set_ops",
     "unpivot_measures",
+    "weighted_sample_stratified",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -30,7 +30,7 @@ QUERIES = [
     "text_normalize", "attribution_join", "json_extract", "gap_fill",
     "grouping_sets", "posting_lists",
     "bm25_rank", "weighted_sample", "group_split", "knn_pagerank",
-    "incremental_rollup", "trailing_window", "corpus_diff", "table_digest", "set_ops", "unpivot_measures",
+    "incremental_rollup", "trailing_window", "corpus_diff", "table_digest", "set_ops", "unpivot_measures", "weighted_sample_stratified",
 ]
 
 

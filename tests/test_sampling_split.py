@@ -153,3 +153,30 @@ def test_group_split_bucket_uniformity():
         if b < 9000:
             train += 1
     assert abs(train / n - 0.9) < 0.015
+
+
+def test_weighted_sample_per_stratum_quota_and_determinism(spark):
+    from annotation_service_spark.operators.curation import (
+        weighted_sample_per_stratum,
+    )
+
+    docs = _docs(spark).select(
+        "doc_id", "source", (F.length("text") + 1).cast("double").alias("w")
+    )
+    out = weighted_sample_per_stratum(
+        docs, 5, "w", stratum_col="source"
+    ).collect()
+    from collections import Counter
+
+    per = Counter(r.source for r in out)
+    n_strata = docs.select("source").distinct().count()
+    assert len(per) == n_strata and set(per.values()) == {5}
+    again = weighted_sample_per_stratum(
+        docs, 5, "w", stratum_col="source"
+    ).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_stratified_gate_registered():
+    assert "weighted_sample_stratified" in em.queries()
+    assert "weighted_sample_stratified" in em.oracle_sql()

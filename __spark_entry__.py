@@ -1808,30 +1808,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry. ORDER MATTERS: the correctness driver verifies the
+    FIRST ~50 entries (rows+schema+value-hash vs the DuckDB oracle), so the
+    newest / riskiest gates go first (VERDICT r3 top item), then a rotation
+    of core stable gates fills the window, then the long-stable remainder
+    (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
-        "tpch_q1": q_tpch_q1,
-        "asof_select": q_asof_select,
-        "range_lookup": q_range_lookup,
-        "interval_flatten": q_interval_flatten,
-        "interval_merge": q_interval_merge,
-        "merge_annotators": q_merge_annotators,
+        # -- round-4 gates (newest, must sit in the driver window) --------
+        # -- round-3 gates that fell outside the r3 driver window ----------
+        "kmeans_fixed": q_kmeans_fixed,
+        "knn_pagerank": q_knn_pagerank,
+        "bm25_rank": q_bm25_rank,
+        "scd_asof": q_scd_asof,
+        "trailing_window": q_trailing_window,
+        "set_ops": q_set_ops,
+        "unpivot_measures": q_unpivot_measures,
+        "weighted_sample_stratified": q_weighted_sample_stratified,
+        "incremental_rollup": q_incremental_rollup,
+        "corpus_diff": q_corpus_diff,
+        "table_digest": q_table_digest,
+        "group_split": q_group_split,
+        "weighted_sample": q_weighted_sample,
+        "having_subquery": q_having_subquery,
+        "nation_volume": q_nation_volume,
+        "case_pivot": q_case_pivot,
+        "scalar_subquery": q_scalar_subquery,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "text_normalize": q_text_normalize,
+        "profile_table": q_profile_table,
+        "posting_lists": q_posting_lists,
+        "grouping_sets": q_grouping_sets,
+        "gap_fill": q_gap_fill,
+        "json_extract": q_json_extract,
+        "attribution_join": q_attribution_join,
+        "event_rollup_hopping": q_event_rollup_hopping,
+        "embedding_gram": q_embedding_gram,
+        "distinct_users": q_distinct_users,
+        "event_rollup": q_event_rollup,
+        "event_topk_windowed": q_event_topk_windowed,
+        "cms_counts": q_cms_counts,
+        "unigram_nll": q_unigram_nll,
+        "vocab_topk": q_vocab_topk,
+        "temperature_mix": q_temperature_mix,
+        "dedup_incremental": q_dedup_incremental,
+        # -- rotation: core stable gates filling the rest of the window ----
         "annotate": q_annotate,
+        "range_lookup": q_range_lookup,
+        "asof_select": q_asof_select,
+        "tpch_q1": q_tpch_q1,
+        "interval_flatten": q_interval_flatten,
+        "merge_annotators": q_merge_annotators,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "pipeline_full": q_pipeline_full,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "legacy_annotate": q_legacy_annotate,
+        "skew_join": q_skew_join,
+        # ==== ~driver window boundary (50) — below: long-stable gates =====
+        "interval_merge": q_interval_merge,
         "sessionize": q_sessionize,
         "histogram": q_histogram,
         "asn_decode": q_asn_decode,
         "response_keys": q_response_keys,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
         "group_quantiles": q_group_quantiles,
-        "pipeline_full": q_pipeline_full,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_gemm_topk": q_ann_gemm_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_metrics": q_text_metrics,
@@ -1841,14 +1889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "topk_per_group": q_topk_per_group,
         "annotate_multisnapshot": q_annotate_multisnapshot,
-        "legacy_annotate": q_legacy_annotate,
         "corpus_curation": q_corpus_curation,
         "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
-        "skew_join": q_skew_join,
         "skew_agg": q_skew_agg,
         "pii_redact": q_pii_redact,
-        "multimodal_pipeline": q_multimodal_pipeline,
         "dedup_keep_best": q_dedup_keep_best,
         "quality_quantile_mix": q_quality_quantile_mix,
         "event_cube": q_event_cube,
@@ -1859,42 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
         "span_dedup_apply": q_span_dedup_apply,
-        "dedup_incremental": q_dedup_incremental,
-        "temperature_mix": q_temperature_mix,
-        "vocab_topk": q_vocab_topk,
-        "unigram_nll": q_unigram_nll,
-        "cms_counts": q_cms_counts,
-        "event_topk_windowed": q_event_topk_windowed,
-        "scd_asof": q_scd_asof,
-        "event_rollup": q_event_rollup,
-        "distinct_users": q_distinct_users,
-        "embedding_gram": q_embedding_gram,
-        "event_rollup_hopping": q_event_rollup_hopping,
-        "kmeans_fixed": q_kmeans_fixed,
-        "attribution_join": q_attribution_join,
-        "json_extract": q_json_extract,
-        "gap_fill": q_gap_fill,
-        "grouping_sets": q_grouping_sets,
-        "posting_lists": q_posting_lists,
-        "profile_table": q_profile_table,
-        "text_normalize": q_text_normalize,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "scalar_subquery": q_scalar_subquery,
-        "case_pivot": q_case_pivot,
-        "nation_volume": q_nation_volume,
-        "having_subquery": q_having_subquery,
-        "bm25_rank": q_bm25_rank,
-        "weighted_sample": q_weighted_sample,
-        "group_split": q_group_split,
-        "knn_pagerank": q_knn_pagerank,
-        "incremental_rollup": q_incremental_rollup,
-        "trailing_window": q_trailing_window,
-        "corpus_diff": q_corpus_diff,
-        "table_digest": q_table_digest,
-        "set_ops": q_set_ops,
-        "unpivot_measures": q_unpivot_measures,
-        "weighted_sample_stratified": q_weighted_sample_stratified,
     }
 
 

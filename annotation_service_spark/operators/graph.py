@@ -49,25 +49,45 @@ def knn_edges(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "gemm",
+    **ann_kwargs,
 ) -> DataFrame:
     """Directed k-NN edges (src, dst): each vector points at its k
     nearest neighbors by round-6 cosine (ties toward the smaller
-    neighbor id — the ANN family's portable ordering). Uses the GEMM
-    exact path (per-partition BLAS + expression re-score — output
-    bit-identical to the brute-force expression form, see
-    similarity.py); swap in ``ann_lsh_topk``/``ann_ivf_topk`` for
-    the approximate edge build when even one dense pass per query
-    batch is too much."""
-    from annotation_service_spark.operators.similarity import (
-        ann_bruteforce_topk_gemm,
-    )
+    neighbor id — the ANN family's portable ordering).
 
-    top = ann_bruteforce_topk_gemm(
+    ``method`` selects the neighbor-search strategy (the reference's
+    pluggable-source pattern, geoloader/geoloader.go:228-262):
+
+    - ``"gemm"``  — exact: per-partition BLAS + expression re-score
+      (bit-identical to the brute-force expression form). The re-score
+      broadcasts the normalized QUERY matrix, and with every node a
+      query that is a full-corpus driver materialization — the oracle
+      regime, NOT the 100 TB path.
+    - ``"lsh"``   — banded random-hyperplane candidates + exact
+      re-rank. Pure banded self-equi-join: the corpus is never
+      collected or broadcast — the default scale path.
+    - ``"ivf"``   — inverted-file probe join + exact re-rank; equally
+      collect-free (only k centroids cross the driver).
+
+    Extra ``ann_kwargs`` (n_planes/bands/n_centroids/...) pass through
+    to the chosen builder."""
+    from annotation_service_spark.operators import similarity as sim
+
+    builders = {
+        "gemm": sim.ann_bruteforce_topk_gemm,
+        "lsh": sim.ann_lsh_topk,
+        "ivf": sim.ann_ivf_topk,
+    }
+    if method not in builders:
+        raise ValueError(f"unknown knn_edges method {method!r}; use gemm|lsh|ivf")
+    top = builders[method](
         embeddings,
         id_col=id_col,
         vec_col=vec_col,
         query_filter=F.lit(True),
         k=k,
+        **ann_kwargs,
     )
     return top.select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
 
@@ -128,11 +148,16 @@ def knn_pagerank(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "gemm",
+    **ann_kwargs,
 ) -> DataFrame:
-    """Representativeness score per vector: PageRank over the exact
-    k-NN cosine graph. (vec_id, pr_score) in fixed-point units."""
+    """Representativeness score per vector: PageRank over the k-NN
+    cosine graph. (vec_id, pr_score) in fixed-point units.
+    ``method="gemm"`` is the exact/oracle regime; ``"lsh"``/``"ivf"``
+    are the collect-free 100 TB edge builds (see ``knn_edges``)."""
     return pagerank_fixed(
-        knn_edges(embeddings, k, id_col, vec_col), iterations
+        knn_edges(embeddings, k, id_col, vec_col, method=method, **ann_kwargs),
+        iterations,
     ).withColumnRenamed("node", id_col)
 
 

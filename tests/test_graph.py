@@ -61,6 +61,55 @@ def test_cycle_graph_uniform_fixed_point(spark):
     assert set(got.values()) == {g.PR_SCALE}
 
 
+def test_lsh_and_ivf_edge_builds_recall_vs_gemm(spark):
+    """VERDICT r3 #2: the collect-free edge strategies (banded LSH
+    self-join / IVF probe join) must recover most of the exact GEMM
+    k-NN edges on the gate data, with the same structural invariants
+    (no self-loops, out-degree ≤ k)."""
+    from collections import Counter
+
+    emb = em._t(spark, SF, "embeddings")
+    exact = {(r.src, r.dst) for r in g.knn_edges(emb, k=3, method="gemm").collect()}
+    for method, kw in (
+        ("lsh", dict(n_planes=16, bands=8)),
+        ("ivf", dict(n_centroids=4, n_probe=2)),
+    ):
+        got = {
+            (r.src, r.dst)
+            for r in g.knn_edges(emb, k=3, method=method, **kw).collect()
+        }
+        assert all(s != d for s, d in got)
+        deg = Counter(s for s, _ in got)
+        assert max(deg.values()) <= 3
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.5, (method, recall)
+
+
+def test_knn_pagerank_lsh_matches_sequential_replica(spark):
+    """The scale path composes end-to-end: PageRank over LSH-built
+    edges equals the sequential integer replay of those same edges."""
+    emb = em._t(spark, SF, "embeddings")
+    edges_df = g.knn_edges(emb, k=3, method="lsh", n_planes=16, bands=8)
+    edge_list = [(r.src, r.dst) for r in edges_df.collect()]
+    got = {
+        r.vec_id: r.pr_score
+        for r in g.knn_pagerank(
+            emb, method="lsh", n_planes=16, bands=8
+        ).collect()
+    }
+    assert got == g.pagerank_reference(edge_list, iterations=3)
+
+
+def test_knn_edges_unknown_method_raises(spark):
+    emb = em._t(spark, SF, "embeddings")
+    try:
+        g.knn_edges(emb, method="faiss")
+    except ValueError as exc:
+        assert "gemm|lsh|ivf" in str(exc)
+    else:
+        raise AssertionError("expected ValueError")
+
+
 def test_registered_in_contract():
     assert "knn_pagerank" in em.queries()
     assert "knn_pagerank" in em.oracle_sql()

@@ -49,11 +49,21 @@ def concat_chunk_map(
     Scale: one window per partition group (the shuffle is by the
     group key; groups are independent corpus shards). Empty docs
     (0 tokens) occupy no span and map to the block of their offset.
+
+    With no ``partition_by`` (one global concatenation order) the
+    cumsum is TWO-PHASE (VERDICT r3 #3 — the old form was a
+    single-partition Window, a one-task bottleneck): rows are
+    range-sharded on ``id_col`` by approximate quantiles, each shard
+    windows its own contiguous id range in parallel, and the
+    shard-level token totals (a ≤n_shards-row collect) become
+    broadcast prefix offsets added below the window. Identical
+    output, no SinglePartition exchange in the plan.
     """
     part = list(partition_by)
-    w = Window.partitionBy(*part or [F.lit(1)]).orderBy(id_col)
+    if not part:
+        return _concat_chunk_global(docs, block_size, token_col, id_col)
+    w = Window.partitionBy(*part).orderBy(id_col)
     end = F.sum(token_col).over(w)
-    start = (end - F.col(token_col)).alias("start_off")
     first = F.floor((end - F.col(token_col)) / block_size)
     last = F.when(
         F.col(token_col) > 0, F.floor((end - 1) / block_size)
@@ -65,6 +75,61 @@ def concat_chunk_map(
         (end - F.col(token_col)).alias("start_off"),
         first.cast("long").alias("first_block"),
         last.cast("long").alias("last_block"),
+    )
+
+
+def _concat_chunk_global(
+    docs: DataFrame,
+    block_size: int,
+    token_col: str,
+    id_col: str,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Two-phase global prefix sum over ``id_col`` order (numeric ids).
+
+    Phase 1 range-shards rows by approximate ``id_col`` quantiles
+    (shard i holds a contiguous id range, so a shard-local cumsum is a
+    contiguous slice of the global one). Phase 2 aggregates per-shard
+    token totals — n_shards rows to the driver — and turns their
+    running sum into broadcast prefix offsets. The classic distributed
+    scan decomposition: global_prefix(r) = offset(shard(r)) +
+    local_prefix(r)."""
+    spark = docs.sparkSession
+    if n_shards is None:
+        n_shards = max(2, spark.sparkContext.defaultParallelism)
+    qs = [i / n_shards for i in range(1, n_shards)]
+    bounds = sorted(set(docs.approxQuantile(id_col, qs, 0.001)))
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
+    src = docs.select(id_col, token_col).withColumn(
+        "__shard", shard.cast("int")
+    )
+    totals = (
+        src.groupBy("__shard").agg(F.sum(token_col).alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__shard"]):
+        offsets[r["__shard"]] = acc
+        acc += r["t"] or 0
+    off_df = spark.createDataFrame(
+        [(s, o) for s, o in offsets.items()], "__shard int, __off long"
+    )
+    w = Window.partitionBy("__shard").orderBy(id_col)
+    end = F.col("__off") + F.sum(token_col).over(w)
+    first = F.floor((end - F.col(token_col)) / block_size)
+    last = F.when(
+        F.col(token_col) > 0, F.floor((end - 1) / block_size)
+    ).otherwise(first)
+    return (
+        src.join(F.broadcast(off_df), "__shard")
+        .select(
+            id_col,
+            token_col,
+            (end - F.col(token_col)).alias("start_off"),
+            first.cast("long").alias("first_block"),
+            last.cast("long").alias("last_block"),
+        )
     )
 
 

@@ -2,10 +2,11 @@
 
 Media travel as opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extraction / resize / frame-sampling are
-Arrow-batched ``mapInPandas`` stages. Two REAL pure-Python codecs are
-built in — binary PPM (P6) images and PCM WAV audio — dispatched by
-magic bytes; formats needing external codec libraries (JPEG, MP3, …
-not in this environment) fall back to a STUBBED decode: with
+Arrow-batched ``mapInPandas`` stages. Three REAL pure-Python codecs
+are built in — binary PPM (P6) images, 8-bit non-interlaced PNG, and
+PCM WAV audio — dispatched by magic bytes; formats needing external
+codec libraries (JPEG, MP3, … not in this environment) fall back to a
+STUBBED decode: with
 ``deterministic_fake=True`` it derives stable pseudo-features from
 the bytes (md5-seeded), otherwise it raises NotImplementedError. The
 Spark-side plumbing — schemas, batch iteration, partitioning, UDF
@@ -94,6 +95,103 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return img.reshape(height, width, 3)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL codec: PNG, 8-bit depth, non-interlaced (grayscale / RGB /
+    palette / gray+alpha / RGBA) → uint8 array (height, width,
+    channels); palette images come back expanded to RGB. Pure stdlib
+    ``zlib`` + numpy, implementing chunk walk + scanline defiltering
+    per the public PNG spec (RFC 2083 §6): filters None/Sub/Up/
+    Average/Paeth. Sub and Up defilter vectorized (mod-256 cumsum /
+    array add); Average/Paeth are the sequential recurrences the spec
+    defines."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG zlib stream: {exc}") from None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG pixel-data size")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: per-channel-lane running sum mod 256
+            cur = (
+                np.cumsum(line.reshape(w, channels), axis=0) & 0xFF
+            ).reshape(stride)
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential recurrence
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL codec: PCM WAV → (float64 samples in [-1, 1] averaged
     across channels, sample_rate). Stdlib ``wave`` + numpy."""
@@ -148,6 +246,15 @@ def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndar
             return _segment_means(gray, n)
         except (ValueError, IndexError):
             pass  # magic collision or corrupt PPM → unknown format
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            img = decode_png(payload)
+            if img.shape[2] in (2, 4):  # drop the alpha channel
+                img = img[:, :, :-1]
+            gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
+            return _segment_means(gray, n)
+        except (ValueError, IndexError, OSError):
+            pass  # magic collision, corrupt, or unsupported PNG → unknown
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             x, _rate = decode_wav(payload)

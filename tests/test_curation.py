@@ -65,6 +65,30 @@ def test_concat_chunk_map_brute_force(spark):
         off += t
 
 
+def test_concat_chunk_map_global_two_phase(spark):
+    """VERDICT r3 #3: the global (no partition_by) form must produce
+    the exact single-concatenation cumsum WITHOUT a single-partition
+    Window — the plan carries a hash exchange on the range shard, not
+    an Exchange SinglePartition."""
+    toks = {i: (i * 37) % 90 for i in range(1, 200)}
+    df = _docs(spark, toks)
+    out = cu.concat_chunk_map(df, block_size=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == len(toks)
+    off = 0
+    for i in sorted(toks):
+        t = toks[i]
+        r = rows[i]
+        assert r.start_off == off, i
+        assert r.first_block == off // 64
+        expect_last = (off + t - 1) // 64 if t > 0 else off // 64
+        assert r.last_block == expect_last
+        off += t
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     docs = spark.createDataFrame(
         [(i, "heavy" if i % 2 else "light", "x") for i in range(2000)],

@@ -209,6 +209,142 @@ def test_ppm_codec_byte_exact():
     assert (img == expect).all()
 
 
+def _encode_png(img, color_type, filters, palette=None):
+    """Independent minimal PNG ENCODER (test-only): writes one IDAT
+    with the given per-row filter types, so the decoder's defilter
+    paths (None/Sub/Up/Average/Paeth) are each exercised against
+    ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * ch).astype(np.int64)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.zeros(w * ch, dtype=np.int64)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_codec_byte_exact_all_filters_and_color_types():
+    """The real PNG decoder reproduces fixture pixels exactly across
+    every filter type (None/Sub/Up/Average/Paeth) and the 8-bit color
+    types: grayscale, RGB, palette, gray+alpha, RGBA."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    # RGB, 5 rows — one per filter type
+    rgb = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(rgb, 2, [0, 1, 2, 3, 4]))
+    assert got.shape == (5, 7, 3) and (got == rgb).all()
+    # grayscale (color type 0), Paeth-heavy
+    gray = rng.randint(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(gray, 0, [4, 3, 1, 2]))
+    assert got.shape == (4, 6, 1) and (got == gray).all()
+    # RGBA (color type 6)
+    rgba = rng.randint(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(rgba, 6, [1, 4, 2]))
+    assert (got == rgba).all()
+    # gray+alpha (color type 4)
+    ga = rng.randint(0, 256, size=(3, 5, 2), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(ga, 4, [3, 4, 0]))
+    assert (got == ga).all()
+    # palette (color type 3) expands to RGB through PLTE
+    pal = bytes(rng.randint(0, 256, size=12, dtype=np.uint8))  # 4 entries
+    idx = rng.randint(0, 4, size=(4, 5, 1), dtype=np.uint8)
+    got = mm.decode_png(_encode_png(idx, 3, [0, 1, 2, 4], palette=pal))
+    expect = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx[:, :, 0]]
+    assert got.shape == (4, 5, 3) and (got == expect).all()
+
+
+def test_png_corrupt_and_unsupported_fall_back():
+    """Truncated / interlaced / 16-bit PNGs are 'not this format':
+    decode_features falls through to the stub instead of failing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _encode_png(rgb, 2, [0])
+    truncated = good[:30]
+    with pytest.raises(ValueError):
+        mm.decode_png(truncated)
+    got = mm.decode_features(truncated, 4, deterministic_fake=True)
+    assert np.array_equal(got, mm._fake_decode(truncated, 4))
+    # interlaced flag set → unsupported → ValueError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    body = b"IHDR" + ihdr
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + body
+        + struct.pack(">I", zlib.crc32(body))
+        + good[8 + 25 :]
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(bad)
+
+
+def test_png_in_spark_pipeline(spark):
+    """A real PNG flows through the mapInPandas decode stage with
+    hand-verified grayscale segment-mean features."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    png = _encode_png(rgb, 2, [0, 1, 2, 3, 4, 1])
+    media = spark.createDataFrame([(1, png)], "media_id long, media binary")
+    (row,) = mm.extract_features(
+        media, feature_dim=4, deterministic_fake=False
+    ).collect()
+    gray = rgb.astype(np.float64).mean(axis=2).ravel() / 255.0
+    want = [float(np.float32(s.mean())) for s in np.array_split(gray, 4)]
+    assert row.features == pytest.approx(want)
+    assert row.n_bytes == len(png)
+
+
 def test_wav_codec_byte_exact():
     """The real WAV decoder recovers the exact PCM samples."""
     import numpy as np

@@ -1,0 +1,62 @@
+"""Physical-plan guards for the heaviest gates (VERDICT r3 #6): plan
+regressions — an accidental cartesian product, a fact-side broadcast,
+a single-partition window — should fail CI here instead of waiting for
+a judge bench at scale. Value-level correctness is driver-gated
+against DuckDB; these pin the PHYSICAL shape that survives 100x.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as em
+from annotation_service_spark.operators import graph as g
+
+SF = "/root/testdata/sf0.001"
+
+EQUI_JOINS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_no_blowups(p: str) -> None:
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pipeline_full_plan(spark):
+    """Composite curation pipeline: every join is an equi-join keyed
+    on content hashes / doc ids, no cross products, and the dedup
+    windows partition by cluster keys (no single-partition window)."""
+    p = _plan(em.q_pipeline_full(spark, SF))
+    _assert_no_blowups(p)
+    assert any(j in p for j in EQUI_JOINS)
+    assert "Window" in p and "SinglePartition" not in p
+
+
+def test_dedup_keep_best_plan(spark):
+    """Keep-best eviction: per-cluster rank windows (keyed by cluster
+    id), the cluster map joins hash-style, nothing single-partition."""
+    p = _plan(em.q_dedup_keep_best(spark, SF))
+    _assert_no_blowups(p)
+    assert "Window" in p and "SinglePartition" not in p
+
+
+def test_scd_asof_plan(spark):
+    """SCD2 as-of at dimension scale: union + per-key carry-forward
+    window — NO broadcast of either side, no range/cross join, and
+    the window is keyed (no single-partition sort)."""
+    p = _plan(em.q_scd_asof(spark, SF))
+    _assert_no_blowups(p)
+    assert "Window" in p and "SinglePartition" not in p
+
+
+def test_knn_pagerank_plan_and_lsh_edge_join(spark):
+    """PageRank iterations: node-keyed equi-joins only. The LSH edge
+    build (the 100 TB path) must plan its band candidate join as an
+    equi-join — never a nested-loop/cartesian over the corpus."""
+    _assert_no_blowups(_plan(em.q_knn_pagerank(spark, SF)))
+    emb = em._t(spark, SF, "embeddings")
+    p = _plan(g.knn_edges(emb, k=3, method="lsh", n_planes=16, bands=8))
+    _assert_no_blowups(p)
+    assert any(j in p for j in EQUI_JOINS)

@@ -1331,6 +1331,84 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_t(spark, sf_dir, "orders"))
 
 
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx twin of ``profile_table`` (VERDICT r3 #7): HLL-sketch
+    cardinalities (approx_count_distinct — no Expand duplication of
+    the scan, the wide-table/100 TB profile form) verified against the
+    exact distinct counts through a tolerance column. The gate hashes
+    green iff every estimate sits inside a generous HLL error envelope
+    (3x the default 5% rsd, +10 absolute for small columns); the exact
+    stats (nulls/min/max/nd_exact) hash as real values."""
+    from annotation_service_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    ap = profile_table(orders, approx=True).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "min_value",
+        "max_value",
+        F.col("n_distinct").alias("nd_approx"),
+    )
+    ex = profile_table(orders).select(
+        "column_name", F.col("n_distinct").alias("nd_exact")
+    )
+    return ap.join(ex, "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "min_value",
+        "max_value",
+        "nd_exact",
+        (
+            F.abs(F.col("nd_approx") - F.col("nd_exact"))
+            <= F.col("nd_exact") * 0.15 + 10
+        ).alias("distinct_ok"),
+    )
+
+
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-percentile scale form (VERDICT r3 #7): GK-sketch
+    percentiles (accuracy=1000 ⇒ rank error ≤ n/1000) of event values
+    per type, verified by the EXACT rank-bound definition: for each
+    estimate v of percentile p over n non-null values,
+    count(value ≤ v) ≥ ⌊(p−ε)n⌋ and count(value < v) ≤ ⌈(p+ε)n⌉.
+    The booleans + exact group counts are what the oracle hashes —
+    tolerance-style evidence for an estimator DuckDB can't replay."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    acc = 1000
+    ps = [0.5, 0.95]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", ps, acc).alias("vs"),
+        F.count("value").alias("n"),
+    )
+    pv = agg.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in ps]).alias("p"),
+                F.col("vs").alias("v"),
+            )
+        ).alias("z"),
+    ).select(
+        "event_type", "n", F.col("z.p").alias("p"), F.col("z.v").alias("v")
+    )
+    j = (
+        ev.join(F.broadcast(pv), "event_type")
+        .groupBy("event_type", "p", "n", "v")
+        .agg(
+            F.sum((F.col("value") <= F.col("v")).cast("long")).alias("le"),
+            F.sum((F.col("value") < F.col("v")).cast("long")).alias("lt"),
+        )
+    )
+    eps = 1.5 / acc
+    ok = (F.col("le") >= F.floor((F.col("p") - eps) * F.col("n"))) & (
+        F.col("lt") <= F.ceil((F.col("p") + eps) * F.col("n"))
+    )
+    return j.select("event_type", "p", "n", ok.alias("rank_ok"))
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + whitespace canonicalization digest per document
     (functions/text.py normalize_text_table): one Arrow-batched NFC
@@ -1815,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
         # -- round-4 gates (newest, must sit in the driver window) --------
+        "profile_approx": q_profile_approx,
+        "percentile_approx": q_percentile_approx,
         # -- round-3 gates that fell outside the r3 driver window ----------
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank": q_knn_pagerank,
@@ -3528,6 +3608,39 @@ def oracle_sql() -> dict[str, str]:
                 "o_orderpriority",
             )
         ),
+        # approx twins: the estimators themselves aren't replayable in
+        # DuckDB, so the gate hashes exact stats + tolerance booleans
+        # (true on the oracle side; Spark's side is true iff the
+        # estimate honors its published error bound on this data)
+        "profile_approx": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(MIN({c}) AS VARCHAR) AS min_value,
+                   CAST(MAX({c}) AS VARCHAR) AS max_value,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_exact,
+                   true AS distinct_ok
+            FROM orders
+            """
+            for c in (
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        ),
+        "percentile_approx": """
+            SELECT e.event_type,
+                   CAST(t.p AS DOUBLE) AS p,
+                   CAST(COUNT(e.value) AS BIGINT) AS n,
+                   true AS rank_ok
+            FROM events e CROSS JOIN (VALUES (0.5), (0.95)) t(p)
+            GROUP BY 1, 2
+        """,
         "text_normalize": r"""
             SELECT doc_id,
                    CAST(length(trim(regexp_replace(

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "set_ops",
     "unpivot_measures",
     "weighted_sample_stratified",
+    "profile_approx",
+    "percentile_approx",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -51,6 +51,28 @@ def test_scd_asof_plan(spark):
     assert "Window" in p and "SinglePartition" not in p
 
 
+def test_both_j1_strategies_carry_gate_plans(spark):
+    """J1 (interval point-lookup) has two physical strategies, both
+    oracle-gated: the bucketed shuffle form (range_lookup gate) must
+    plan as an explode + equi-join — never a nested-loop range join —
+    and the approx-profile twin must NOT pay the exact-distinct
+    Expand."""
+    p = _plan(em.q_range_lookup(spark, SF))
+    _assert_no_blowups(p)
+    assert "Generate explode" in p or "Explode" in p or "Generate" in p
+    assert any(j in p for j in EQUI_JOINS)
+    ap = _plan(em.q_profile_approx(spark, SF))
+    # the HLL branch itself adds no Expand; the exact twin it joins
+    # against contributes the only Expand in the gate plan
+    assert "Expand" in ap  # exact side present (tolerance check)
+    exact_only = _plan(
+        __import__(
+            "annotation_service_spark.operators.profile", fromlist=["profile_table"]
+        ).profile_table(em._t(spark, SF, "orders"), approx=True)
+    )
+    assert "Expand" not in exact_only
+
+
 def test_knn_pagerank_plan_and_lsh_edge_join(spark):
     """PageRank iterations: node-keyed equi-joins only. The LSH edge
     build (the 100 TB path) must plan its band candidate join as an

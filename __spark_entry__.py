@@ -586,6 +586,179 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan + conjunctive
+    filter + 1-row agg — the predicate-pushdown benchmark (every
+    filter reaches the parquet scan; zero joins, zero shuffles beyond
+    the 1-row partial-agg merge). Boundary comparisons are done in
+    DECIMAL on both engines so float ulps can't flip a row."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(12,2)"
+    disc = F.col("l_discount").cast(dec)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (disc >= F.lit("0.02").cast(dec))
+            & (disc <= F.lit("0.06").cast(dec))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(dec) * disc)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: the deepest join tree in the
+    suite — lineitem ⨝ part ⨝ orders ⨝ customer ⨝ nation(cust) ⨝
+    region + supplier ⨝ nation(supp), two roles for the nation dim.
+    Only the fixed-size nation/region dims carry broadcast hints;
+    part/customer/orders/lineitem grow with SF and are left to AQE
+    (broadcast at small actual size, SortMergeJoin at scale)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    eu_cust = cust.join(
+        F.broadcast(
+            nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        ),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    ord_f = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    supn = sup.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        sup["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    j = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(ord_f, li["l_orderkey"] == ord_f["o_orderkey"])
+        .join(eu_cust, ord_f["o_custkey"] == eu_cust["c_custkey"])
+        .join(supn, li["l_suppkey"] == supn["s_suppkey"])
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).cast("double").alias("nation_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            (F.coalesce(F.col("nation_rev"), F.lit(0.0)) / F.col("total_rev")).alias("mkt_share"),
+            "total_rev",
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: lineitem ⨝ part with a conditional
+    aggregate (CASE inside SUM) over one ship month — the classic
+    numerator/denominator-in-one-pass pattern. Decimal sums cast to
+    double only at the division."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (F.lit(100.0) * F.coalesce(F.col("promo_rev"), F.lit(0.0)) / F.col("total_rev")).alias("promo_pct"),
+            "total_rev",
+            "n_items",
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING over a fact groupBy
+    feeding a join back to orders/customer — the aggregate-then-join
+    pattern (the 300-qty filter shrinks the fact to dozens of rows
+    BEFORE any join, so the joins are broadcast-cheap at every SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    dec = "decimal(12,2)"
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(dec)).alias("qty"))
+        .where(F.col("qty") > F.lit("300").cast(dec))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(dec).cast("double").alias("o_totalprice"),
+            F.col("qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (adapted to this schema's columns:
+    brand/size/quantity in place of container/shipmode): a DISJUNCTION
+    of three conjunctive band predicates across both join sides — the
+    stress test for OR-predicate handling (Catalyst keeps the partkey
+    equi-join and evaluates the residual OR post-join rather than
+    falling into a nested loop; plan-guarded)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    q = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .where(clause)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand by retail price (window top-k pattern)."""
     part = _t(spark, sf_dir, "part")
@@ -1895,6 +2068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 gates (newest, must sit in the driver window) --------
         "profile_approx": q_profile_approx,
         "percentile_approx": q_percentile_approx,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         # -- round-3 gates that fell outside the r3 driver window ----------
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank": q_knn_pagerank,
@@ -3073,6 +3251,87 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
                            AND s.s_nationkey = n.n_nationkey
             GROUP BY 1, 2
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(l_discount AS DECIMAL(12,2)) >= CAST(0.02 AS DECIMAL(12,2))
+              AND CAST(l_discount AS DECIMAL(12,2)) <= CAST(0.06 AS DECIMAL(12,2))
+              AND l_quantity < 24
+        """,
+        "tpch_q8": """
+            WITH j AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                       (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS rev,
+                       sn.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN region r ON cn.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                          THEN rev END) AS DOUBLE), 0.0)
+                   / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+                   CAST(SUM(rev) AS DOUBLE) AS total_rev
+            FROM j GROUP BY o_year
+        """,
+        "tpch_q14": """
+            SELECT 100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                            (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                       END) AS DOUBLE), 0.0)
+                   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                          AS DOUBLE) AS promo_pct,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                            (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE) AS total_rev,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                       > CAST(300 AS DECIMAL(12,2))
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS o_totalprice,
+                   CAST(b.qty AS DOUBLE) AS sum_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "tpch_q19": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                            (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "topk_per_group": """
             SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INTEGER) AS rk

@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "weighted_sample_stratified",
     "profile_approx",
     "percentile_approx",
+    "tpch_q6",
+    "tpch_q8",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -73,6 +73,18 @@ def test_both_j1_strategies_carry_gate_plans(spark):
     assert "Expand" not in exact_only
 
 
+def test_tpch_q6_pushdown_and_q19_keeps_equijoin(spark):
+    """Q6: every conjunct reaches the parquet scan (PushedFilters on
+    shipdate/quantity — zero joins). Q19: the disjunctive residual
+    must NOT break the partkey equi-join into a nested loop."""
+    p6 = _plan(em.q_tpch_q6(spark, SF))
+    assert "PushedFilters: [" in p6 and "l_shipdate" in p6.split("PushedFilters")[1][:400]
+    assert not any(j in p6 for j in EQUI_JOINS)  # no joins at all
+    p19 = _plan(em.q_tpch_q19(spark, SF))
+    _assert_no_blowups(p19)
+    assert any(j in p19 for j in EQUI_JOINS)
+
+
 def test_knn_pagerank_plan_and_lsh_edge_join(spark):
     """PageRank iterations: node-keyed equi-joins only. The LSH edge
     build (the 100 TB path) must plan its band candidate join as an

@@ -1415,6 +1415,38 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs tf-idf cosine over 3-gram shingles
+    (operators/ranking.py tfidf_shingle_pairs): near-dup detection
+    without embeddings via a df-pruned posting-list self-join — the
+    Bayardo all-pairs-similarity shape. Every shuffle keys on shingle
+    strings or doc ids; max_df bounds the worst-case candidate count."""
+    from annotation_service_spark.operators.ranking import tfidf_shingle_pairs
+
+    return tfidf_shingle_pairs(
+        _t(spark, sf_dir, "documents"), n=3, max_df=1000, min_sim=0.5
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk index with overlap (chunk_size=200,
+    overlap=50 over n_chars): the RAG/pretraining chunker's span map
+    (operators/curation.py chunk_spans) — pure sequence+explode row
+    expressions, integer span math on both engines."""
+    return cu.chunk_spans(
+        _t(spark, sf_dir, "documents"), chunk_size=200, overlap=50
+    )
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram NLL with Laplace smoothing under the corpus's
+    own bigram counts (functions/text.py bigram_nll_table) — the
+    sequence-aware perplexity filter signal."""
+    return txt.bigram_nll_table(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2073,6 +2105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tfidf_pairs": q_tfidf_pairs,
+        "doc_chunks": q_doc_chunks,
+        "bigram_nll": q_bigram_nll,
         # -- round-3 gates that fell outside the r3 driver window ----------
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank": q_knn_pagerank,
@@ -3773,6 +3808,82 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
             GROUP BY token
             HAVING count(*) >= 5
+        """,
+        "tfidf_pairs": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+                FROM w0 WHERE len(ws) >= 3
+            ),
+            tf AS (SELECT id, s, CAST(count(*) AS DOUBLE) AS tf
+                   FROM sh GROUP BY 1, 2),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            dfq AS (
+                SELECT s, count(*) AS df,
+                       ln((n_docs + 1.0)/(count(*) + 1.0)) + 1.0 AS idf
+                FROM tf, nd GROUP BY s, n_docs HAVING count(*) <= 1000
+            ),
+            w AS (SELECT id, s, df, tf * idf AS w FROM tf JOIN dfq USING (s)),
+            norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+            dots AS (
+                SELECT a.id AS doc_a, b.id AS doc_b, sum(a.w * b.w) AS dot
+                FROM w a JOIN w b ON a.s = b.s AND a.id < b.id
+                WHERE a.df >= 2 AND b.df >= 2
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(dot/(na.nrm*nb.nrm) * 1000000.0 + 0.5)/1000000.0 AS sim
+            FROM dots
+            JOIN norms na ON na.id = doc_a
+            JOIN norms nb ON nb.id = doc_b
+            WHERE floor(dot/(na.nrm*nb.nrm) * 1000000.0 + 0.5)/1000000.0 >= 0.5
+        """,
+        "doc_chunks": """
+            WITH n AS (
+                SELECT doc_id, n_chars,
+                       greatest(1, (n_chars - 50 + 149) // 150) AS nc
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 150 AS BIGINT) AS chunk_start,
+                   CAST(least(i * 150 + 200, n_chars) AS BIGINT) AS chunk_end
+            FROM (SELECT doc_id, n_chars, unnest(range(0, nc)) AS i FROM n)
+        """,
+        "bigram_nll": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i]||' '||ws[i+1])) AS bg
+                FROM w0 WHERE len(ws) >= 2
+            ),
+            cab AS (SELECT bg, count(*) AS c_ab FROM big GROUP BY 1),
+            ca AS (SELECT string_split(bg, ' ')[1] AS a, sum(c_ab) AS c_a
+                   FROM cab GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM
+                  (SELECT unnest(ws) AS t FROM w0)),
+            p AS (
+                SELECT bg, (c_ab + 1.0) / (c_a + v.v) AS p
+                FROM cab JOIN ca ON string_split(cab.bg, ' ')[1] = ca.a, v
+            )
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   floor(-avg(log2(p.p)) * 1000000 + 0.5)/1000000 AS nll_bits
+            FROM big JOIN p USING (bg)
+            GROUP BY id
         """,
         "grouping_sets": """
             SELECT event_type,

@@ -461,3 +461,69 @@ def normalize_text_table(df, id_col: str = "doc_id", text_col: str = "text"):
         F.length(norm).cast("long").alias("norm_len"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+def bigram_nll_table(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document BIGRAM negative log-likelihood with add-one
+    (Laplace) smoothing under the corpus's own bigram counts — the
+    sequence-aware upgrade of ``unigram_nll_table``: repetitive
+    boilerplate scores improbably low, shuffled-word salad improbably
+    high, signals the unigram model cannot see.
+
+      p(b|a)  = (c(a,b) + 1) / (c(a·) + V),  V = |vocab|
+      nll     = mean over the doc's bigrams of -log2 p(b|a)
+
+    Returns (id, n_bigrams, nll_bits); docs with < 2 tokens have no
+    bigrams and drop out (mirrored by the oracle's len ≥ 2 guard).
+
+    Scale shape: bigram expansion is a zip_with over the token array
+    (per-row expression); c(a,b) and c(a·) are map-side-combinable
+    groupBys keyed by content strings; V is a 1-row broadcast; the
+    probability lookup is one equi-join on the bigram. Same 1e-6
+    rounding convention as unigram_nll for the log2 ulps.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ws = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams).alias("bg")
+    )
+    cab = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = cab.groupBy(F.split("bg", " ")[0].alias("a")).agg(
+        F.sum("c_ab").alias("c_a")
+    )
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    p = (
+        cab.withColumn("a", F.split("bg", " ")[0])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            ((F.col("c_ab") + F.lit(1.0)) / (F.col("c_a") + F.col("v"))).alias(
+                "p"
+            ),
+        )
+    )
+    return (
+        big.join(p, "bg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            round_fixed(-F.avg(F.log2("p")), 6).alias("nll_bits"),
+        )
+    )

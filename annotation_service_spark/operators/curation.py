@@ -389,3 +389,49 @@ def weighted_sample_per_stratum(
         .where(F.col("_rn") <= k)
         .drop("_key", "_rn")
     )
+
+
+def chunk_spans(
+    docs: DataFrame,
+    chunk_size: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Sliding-window chunk spans with overlap — the RAG/pretraining
+    chunker's INDEX: one row per (doc, chunk) with [chunk_start,
+    chunk_end) offsets, where chunk i starts at i·(chunk_size−overlap)
+    and n_chunks = max(1, ceil((len−overlap)/stride)), so consecutive
+    chunks share ``overlap`` units and the final chunk is clipped to
+    the doc length. Pure sequence+explode row expressions — zero
+    shuffles, zero UDFs; the span math is INTEGER on both engines
+    (ceil via (a+b−1) div b) so the gate is exact, not rounded."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    n = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"({len_col} - {overlap} + {stride - 1}) div {stride}").cast(
+            "long"
+        ),
+    )
+    return (
+        docs.select(id_col, F.col(len_col), n.alias("__n"))
+        .select(
+            id_col,
+            len_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+            F.least(
+                F.col("chunk_idx") * stride + chunk_size, F.col(len_col)
+            )
+            .cast("long")
+            .alias("chunk_end"),
+        )
+    )

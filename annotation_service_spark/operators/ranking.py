@@ -230,3 +230,89 @@ def bm25_oracle_select(
         FROM s
         WHERE CAST(floor(({score}) * {float(SCORE_SCALE)!r}) AS BIGINT) > 0
     """
+
+
+def tfidf_shingle_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 1000,
+    min_sim: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sparse all-pairs cosine similarity over tf-idf-weighted word
+    n-gram shingles — text near-duplicate/plagiarism detection WITHOUT
+    embeddings, via a posting-list self-join (the Bayardo et al.
+    all-pairs-similarity shape, public WWW'07 algorithm).
+
+    Semantics: each doc is the sparse vector of its n-gram shingles
+    with weight tf·idf, idf = ln((N+1)/(df+1)) + 1, restricted to
+    shingles with df ≤ ``max_df`` (common-term pruning — both a
+    denoiser and THE scale bound). Emits (doc_a, doc_b, sim) for
+    doc_a < doc_b with rounded cosine ≥ ``min_sim``.
+
+    Scale design (100 TB):
+    - the candidate join is an equi-join on the shingle string —
+      content-hashed keys, uniform by construction;
+    - ``max_df`` caps every posting list, so worst-case pairs per
+      shingle ≤ max_df² and total candidates ∝ corpus × avg_df, never
+      |docs|²;
+    - shingles with df = 1 are skipped in the join (they cannot form
+      a pair) but DO count toward norms, so the cosine is exact for
+      the df ≤ max_df vector space;
+    - everything is built-in expressions: explode → two groupBys
+      (doc-, then term-keyed) → join → pair groupBy.
+    """
+    from annotation_service_spark.functions.text import round_fixed
+    from annotation_service_spark.operators.dedup import word_ngrams
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("s"),
+    )
+    tf = sh.groupBy("id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tf.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "s",
+            "df",
+            (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    w = tf.join(dfreq, "s").select(
+        "id", "s", "df", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    pairable = w.where(F.col("df") >= 2).select("id", "s", "w")
+    a = pairable.select(
+        F.col("id").alias("doc_a"), "s", F.col("w").alias("wa")
+    )
+    b = pairable.select(
+        F.col("id").alias("doc_b"), "s", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(norms.select(F.col("id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round_fixed(
+                F.col("dot") / (F.col("na") * F.col("nb")), round_digits
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= min_sim)
+    )

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "tpch_q14",
     "tpch_q18",
     "tpch_q19",
+    "tfidf_pairs",
+    "doc_chunks",
+    "bigram_nll",
 ]
 
 # documents-only operators re-run at the 10x scale point

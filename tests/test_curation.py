@@ -126,3 +126,36 @@ def test_redact_pii_unit(spark):
     assert "a@b.co" not in out[0].redacted and "10.0.0.1" not in out[0].redacted
     assert out[1].n_emails == 0 and out[1].n_phones == 0 and out[1].n_ips == 0
     assert out[1].redacted.startswith("no pii here")
+
+
+def test_chunk_spans_edges(spark):
+    """Span invariants: full coverage with exact overlap, clipped final
+    chunk, degenerate single-chunk docs (len <= chunk_size, len = 0)."""
+    df = spark.createDataFrame(
+        [(1, 300), (2, 350), (3, 351), (4, 120), (5, 0)],
+        "doc_id long, n_chars long",
+    )
+    rows = cu.chunk_spans(df, chunk_size=200, overlap=50).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_start, r.chunk_end))
+    for d in by_doc:
+        by_doc[d].sort()
+    assert by_doc[1] == [(0, 0, 200), (1, 150, 300)]
+    assert by_doc[2] == [(0, 0, 200), (1, 150, 350)]
+    assert by_doc[3] == [(0, 0, 200), (1, 150, 350), (2, 300, 351)]
+    assert by_doc[4] == [(0, 0, 120)]
+    assert by_doc[5] == [(0, 0, 0)]
+    # consecutive chunks overlap by exactly `overlap` (except clipped tails)
+    for d, spans in by_doc.items():
+        for (_, s1, e1), (_, s2, _) in zip(spans, spans[1:]):
+            assert s2 == s1 + 150 and e1 - s2 in range(0, 51)
+
+def test_chunk_spans_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+    try:
+        cu.chunk_spans(df, chunk_size=50, overlap=50)
+    except ValueError as exc:
+        assert "exceed" in str(exc)
+    else:
+        raise AssertionError("expected ValueError")

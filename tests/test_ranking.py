@@ -122,3 +122,36 @@ def test_randomized_differential_vs_pure_python(spark):
             if micro > 0:
                 exp[i] = micro
         assert got[c] == exp, f"corpus {c}"
+
+
+def test_tfidf_shingle_pairs_hand_case(spark):
+    """Two near-identical docs share most shingles (high sim); an
+    unrelated doc pairs with neither; df=1 shingles count toward norms
+    but never generate candidates."""
+    from annotation_service_spark.operators.ranking import tfidf_shingle_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words about spark query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.sim for r in
+           tfidf_shingle_pairs(docs, min_sim=0.0).collect()}
+    assert set(got) == {(1, 2)}
+    assert 0.5 < got[(1, 2)] < 1.0
+
+
+def test_tfidf_max_df_prunes_common_shingles(spark):
+    """A shingle present in EVERY doc is dropped by max_df, removing
+    the only shared term — no pairs survive."""
+    from annotation_service_spark.operators.ranking import tfidf_shingle_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared prefix unique{i} tail{i} word{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert tfidf_shingle_pairs(docs, min_sim=0.0, max_df=3).count() == 0
+    assert tfidf_shingle_pairs(docs, min_sim=0.0, max_df=1000).count() > 0

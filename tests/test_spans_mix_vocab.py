@@ -409,3 +409,27 @@ def test_merge_rollups_three_way_associative(spark):
     flat = key(merge_rollups(p1, p2, p3).collect())
     nested = key(merge_rollups(merge_rollups(p1, p2), p3).collect())
     assert flat == nested
+
+
+def test_bigram_nll_hand_case(spark):
+    """Repetitive bigrams score lower NLL than novel ones; one-token
+    docs drop out; the smoothed probability replays by hand."""
+    import math
+
+    from annotation_service_spark.functions.text import bigram_nll_table
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in bigram_nll_table(docs).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no bigrams
+    assert rows[1].n_bigrams == 5 and rows[2].n_bigrams == 3
+    assert rows[1].nll_bits < rows[2].nll_bits
+    # hand replay: V = |{a,b,c,d,x}| = 5; corpus counts c(a b)=4,
+    # c(b a)=2, c(a ·)=4, c(b ·)=3; doc1 = 3x(a b) + 2x(b a)
+    v = 5.0
+    p_ab = (4 + 1) / (4 + v)
+    p_ba = (2 + 1) / (3 + v)
+    expect1 = -(3 * math.log2(p_ab) + 2 * math.log2(p_ba)) / 5
+    assert abs(rows[1].nll_bits - expect1) < 1e-6

@@ -1447,6 +1447,78 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid LINEAR interpolation between surrounding
+    observations (operators/timeseries.py linear_interp_daily) — the
+    continuous-signal resampler next to gap_fill's LOCF step fill.
+    Same 4-op IEEE double sequence on both engines + 1e-6 rounding."""
+    from annotation_service_spark.operators.timeseries import (
+        linear_interp_daily,
+    )
+
+    return linear_interp_daily(_t(spark, sf_dir, "events"))
+
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution per user via the min_by/max_by
+    ARGMIN aggregate class (no window, no self-join — one map-side-
+    combinable groupBy carrying (key, value) pairs). Deterministic
+    because (user_id, ts) is unique in the corpus; ordering key is
+    exact integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", us).alias("first_touch"),
+        F.max_by("event_type", us).alias("last_touch"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate class: per event type, sample stddev /
+    covariance / Pearson correlation of value vs hour-of-day — the
+    profiling moments a feature pipeline computes. All are single-pass
+    map-side-combinable moment sums; 1e-6 rounding absorbs sum-order
+    ulps."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.hour("ts").cast("double").alias("h"),
+    )
+    return ev.groupBy("event_type").agg(
+        txt.round_fixed(F.stddev_samp("v"), 6).alias("sd_v"),
+        txt.round_fixed(F.covar_samp("v", "h"), 6).alias("cov_vh"),
+        txt.round_fixed(F.corr("v", "h"), 6).alias("corr_vh"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows (F.session_window, 30-min gap) — the
+    Structured-Streaming-capable sessionizer (same operator runs on a
+    stream with watermarked state; tests/test_streaming_extra.py pins
+    streaming==batch). Spark defines session end = last event + gap;
+    the oracle replays that with gaps-and-islands SQL — two different
+    algorithms, same rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("sum_v_milli"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_v_milli",
+        )
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2106,8 +2178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tfidf_pairs": q_tfidf_pairs,
-        "doc_chunks": q_doc_chunks,
         "bigram_nll": q_bigram_nll,
+        "linear_interp": q_linear_interp,
+        "session_rollup": q_session_rollup,
         # -- round-3 gates that fell outside the r3 driver window ----------
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank": q_knn_pagerank,
@@ -2145,7 +2218,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "temperature_mix": q_temperature_mix,
         "dedup_incremental": q_dedup_incremental,
-        # -- rotation: core stable gates filling the rest of the window ----
+        # remaining round-4 gates — with these, the window holds exactly
+        # 14 round-4 + 36 round-3 gates
+        "doc_chunks": q_doc_chunks,
+        "first_touch": q_first_touch,
+        "stats_agg": q_stats_agg,
+        # ==== ~driver window boundary (50) ================================
+        # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
         "asof_select": q_asof_select,
@@ -2160,7 +2239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "legacy_annotate": q_legacy_annotate,
         "skew_join": q_skew_join,
-        # ==== ~driver window boundary (50) — below: long-stable gates =====
         "interval_merge": q_interval_merge,
         "sessionize": q_sessionize,
         "histogram": q_histogram,
@@ -3844,6 +3922,105 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.id = doc_a
             JOIN norms nb ON nb.id = doc_b
             WHERE floor(dot/(na.nrm*nb.nrm) * 1000000.0 + 0.5)/1000000.0 >= 0.5
+        """,
+        # window-formulation replica of the linear interpolation (the
+        # same IEEE double op sequence, so values are bit-identical)
+        "linear_interp": """
+            WITH obs AS (
+                SELECT user_id, date_trunc('day', ts) AS bucket, ts,
+                       event_id, floor(value*1000)/1000.0 AS v
+                FROM events
+            ),
+            latest AS (
+                SELECT user_id, bucket, v, true AS hit FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, bucket
+                        ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM obs
+                ) WHERE rk = 1
+            ),
+            span AS (SELECT date_trunc('day', min(ts)) AS lo,
+                            date_trunc('day', max(ts)) AS hi FROM events),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+                FROM (SELECT DISTINCT user_id FROM events), span
+            ),
+            j AS (
+                SELECT g.user_id, g.bucket, l.v,
+                       coalesce(l.hit, false) AS observed
+                FROM grid g LEFT JOIN latest l
+                  ON g.user_id = l.user_id AND g.bucket = l.bucket
+            ),
+            e AS (
+                SELECT *,
+                    last_value(v IGNORE NULLS) OVER
+                        (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                    last_value(CASE WHEN observed THEN bucket END IGNORE NULLS) OVER
+                        (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                    first_value(v IGNORE NULLS) OVER
+                        (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                    first_value(CASE WHEN observed THEN bucket END IGNORE NULLS) OVER
+                        (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+                FROM j
+            )
+            SELECT user_id, CAST(bucket AS DATE) AS grid_date,
+                   floor((CASE WHEN observed THEN v
+                               WHEN pv IS NULL THEN NULL
+                               WHEN nv IS NULL THEN pv
+                               ELSE pv + (nv - pv) *
+                                    (CAST(date_diff('day', pd, bucket) AS DOUBLE)
+                                     / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                          END) * 1000000 + 0.5) / 1000000 AS v_interp,
+                   observed
+            FROM e
+        """,
+        "first_touch": """
+            SELECT user_id,
+                   arg_min(event_type, epoch_us(ts)) AS first_touch,
+                   arg_max(event_type, epoch_us(ts)) AS last_touch,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "stats_agg": """
+            SELECT event_type,
+                   floor(stddev_samp(value) * 1000000 + 0.5)/1000000 AS sd_v,
+                   floor(covar_samp(value, CAST(hour(ts) AS DOUBLE))
+                         * 1000000 + 0.5)/1000000 AS cov_vh,
+                   floor(corr(value, CAST(hour(ts) AS DOUBLE))
+                         * 1000000 + 0.5)/1000000 AS corr_vh,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        # gaps-and-islands replay of Spark's native session_window
+        # semantics (session end = last event + gap)
+        "session_rollup": """
+            WITH s AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM s
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_v_milli
+            FROM g GROUP BY user_id, grp
         """,
         "doc_chunks": """
             WITH n AS (

@@ -145,3 +145,94 @@ def trailing_window_sum(
         .cast("long")
         .alias("trail_v_milli"),
     )
+
+
+def linear_interp_daily(
+    obs: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+    id_col: str = "event_id",
+    milli_scale: int = 1000,
+) -> DataFrame:
+    """Daily grid per key with LINEAR interpolation between the
+    surrounding observations — the resampler for continuous signals
+    where LOCF (``gap_fill_daily``) is a step-function bias.
+
+    v(g) = v_prev + (v_next − v_prev) · (g − day_prev)/(day_next −
+    day_prev); flat-extrapolates after the last observation, NULL
+    before the first. Observation values are snapped to milli fixed
+    point first, and the interpolation is the same 4-op double
+    sequence on both engines (each IEEE op correctly rounded ⇒
+    bit-identical), with 1e-6 rounding as belt-and-braces.
+
+    Scale shape: identical to ``gap_fill_daily`` — latest-per-bucket
+    window, broadcast span, grid explode, then TWO ordered window
+    passes per key (backward last + forward first, both
+    ignorenulls). State per key is one value in each direction.
+    """
+    t = F.col(ts).cast("timestamp")
+    day = F.date_trunc("day", t)
+    prepared = obs.select(
+        F.col(key),
+        day.alias("bucket"),
+        t.alias("_ts"),
+        F.col(id_col).alias("_id"),
+        (F.floor(F.col(val) * milli_scale).cast("long") / F.lit(float(milli_scale))).alias("v"),
+    )
+    w_latest = Window.partitionBy(key, "bucket").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    latest = (
+        prepared.withColumn("rk", F.row_number().over(w_latest))
+        .where(F.col("rk") == 1)
+        .select(key, "bucket", "v", F.lit(True).alias("_hit"))
+    )
+    span = obs.agg(
+        F.date_trunc("day", F.min(t)).alias("lo"),
+        F.date_trunc("day", F.max(t)).alias("hi"),
+    )
+    keys = obs.select(key).distinct()
+    grid = keys.crossJoin(F.broadcast(span)).select(
+        key,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(latest, [key, "bucket"], "left").withColumn(
+        "observed", F.coalesce(F.col("_hit"), F.lit(False))
+    )
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("observed"), F.col("bucket"))
+    e = (
+        joined.withColumn("pv", F.last("v", ignorenulls=True).over(w_back))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(w_back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_fwd))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(w_fwd))
+    )
+    frac = F.datediff("bucket", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    interp = (
+        F.when(F.col("observed"), F.col("v"))
+        .when(F.col("pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    from annotation_service_spark.functions.text import round_fixed
+
+    return e.select(
+        key,
+        F.col("bucket").cast("date").alias("grid_date"),
+        round_fixed(interp, 6).alias("v_interp"),
+        "observed",
+    )

@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "tfidf_pairs",
     "doc_chunks",
     "bigram_nll",
+    "linear_interp",
+    "first_touch",
+    "stats_agg",
+    "session_rollup",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -208,3 +208,35 @@ def test_trailing_window_randomized_differential(spark):
         exp_n = len(peers)
         exp_s = sum(int(math.floor(vv * 1000)) for (_, vv) in peers)
         assert got[eid_] == (exp_n, exp_s), eid_
+
+
+def test_linear_interp_hand_case(spark):
+    """Two observations 4 days apart: interior days interpolate
+    linearly, days before the first are NULL, days after the last
+    carry flat; observed days return their own value."""
+    from annotation_service_spark.operators.timeseries import (
+        linear_interp_daily,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-03 10:00:00", 10.0, 1),
+            (1, "2024-01-07 09:00:00", 30.0, 2),
+            (2, "2024-01-01 00:00:00", 5.0, 3),
+            (2, "2024-01-09 00:00:00", 5.0, 4),
+        ],
+        "user_id long, ts string, value double, event_id long",
+    )
+    rows = {
+        (r.user_id, str(r.grid_date)): (r.v_interp, r.observed)
+        for r in linear_interp_daily(df).collect()
+    }
+    # grid spans 2024-01-01 .. 2024-01-09 for both users
+    assert rows[(1, "2024-01-01")] == (None, False)  # before first obs
+    assert rows[(1, "2024-01-03")] == (10.0, True)
+    assert rows[(1, "2024-01-04")] == (15.0, False)  # 10 + 20*(1/4)
+    assert rows[(1, "2024-01-06")] == (25.0, False)
+    assert rows[(1, "2024-01-07")] == (30.0, True)
+    assert rows[(1, "2024-01-09")] == (30.0, False)  # flat tail
+    # constant series stays constant through the gap
+    assert rows[(2, "2024-01-05")] == (5.0, False)

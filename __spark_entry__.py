@@ -1519,6 +1519,45 @@ def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile assignment per language (NTILE window)
+    — the quantile-bucketizer used for curriculum/mixture binning.
+    Standard SQL ntile semantics (first buckets take the remainder);
+    (n_chars, doc_id) ordering makes ties deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (Levenshtein — the record-linkage
+    primitive): distance between each doc's 40-char prefix and the
+    NEXT doc's within the same source (lead window — one shuffle keyed
+    by source). JVM levenshtein on both engines."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("head")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("next_head", F.lead("head").over(w))
+        .where(F.col("next_head").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.levenshtein("head", "next_head").cast("long").alias("edit_dist"),
+            (
+                F.levenshtein("head", "next_head")
+                <= F.greatest(F.length("head"), F.length("next_head")) * 0.3
+            ).alias("is_fuzzy_match"),
+        )
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2224,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_touch": q_first_touch,
         "stats_agg": q_stats_agg,
         # ==== ~driver window boundary (50) ================================
+        "ntile_deciles": q_ntile_deciles,
+        "fuzzy_match": q_fuzzy_match,
         # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
@@ -4021,6 +4062,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
                        AS sum_v_milli
             FROM g GROUP BY user_id, grp
+        """,
+        "ntile_deciles": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(ntile(10) OVER (PARTITION BY lang
+                        ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+            FROM documents
+        """,
+        "fuzzy_match": """
+            WITH h AS (
+                SELECT doc_id, source, substr(text, 1, 40) AS head,
+                       lead(substr(text, 1, 40)) OVER (
+                           PARTITION BY source ORDER BY doc_id) AS next_head
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST(levenshtein(head, next_head) AS BIGINT) AS edit_dist,
+                   levenshtein(head, next_head)
+                       <= greatest(length(head), length(next_head)) * 0.3
+                       AS is_fuzzy_match
+            FROM h WHERE next_head IS NOT NULL
         """,
         "doc_chunks": """
             WITH n AS (

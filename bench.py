@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "first_touch",
     "stats_agg",
     "session_rollup",
+    "ntile_deciles",
+    "fuzzy_match",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -68,10 +68,12 @@ def dedup_exact(
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, ngram: int
+    df: DataFrame, id_col: str, text_col: str, ngram: int, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle) distinct pairs — the feature relation shared by
-    minhash / jaccard / simhash paths.
+    """(id, shingle) pairs — the feature relation shared by the
+    minhash / jaccard / simhash paths (``distinct=True``, their set
+    semantics) and the tf-idf path (``distinct=False``: one row per
+    OCCURRENCE, so a downstream count gives tf).
 
     Implementation: posexplode tokens once, then window ``lead``s
     assemble the n-gram. NOT ``explode(word_ngrams(...))`` — Spark
@@ -84,17 +86,18 @@ def shingle_table(
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
     if ngram == 1:
-        return tok.select("id", F.col("tok").alias("s")).distinct()
+        out = tok.select("id", F.col("tok").alias("s"))
+        return out.distinct() if distinct else out
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, ngram)]
-    return (
+    out = (
         tok.select("id", F.concat_ws(" ", *parts).alias("s"), parts[-1].alias("_last"))
         .where(F.col("_last").isNotNull())
         .select("id", "s")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 MOD_40 = 1 << 40

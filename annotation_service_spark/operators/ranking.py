@@ -265,12 +265,13 @@ def tfidf_shingle_pairs(
       (doc-, then term-keyed) → join → pair groupBy.
     """
     from annotation_service_spark.functions.text import round_fixed
-    from annotation_service_spark.operators.dedup import word_ngrams
+    from annotation_service_spark.operators.dedup import shingle_table
 
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("s"),
-    )
+    # occurrence-level shingles via posexplode + window leads — NOT
+    # explode(word_ngrams(...)), whose generator re-evaluates the
+    # interpreted HOF child per emitted row (O(n_grams^2) per doc; see
+    # shingle_table's docstring — 3x on the gate corpus)
+    sh = shingle_table(docs, id_col, text_col, n, distinct=False)
     tf = sh.groupBy("id", "s").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = (
@@ -287,8 +288,15 @@ def tfidf_shingle_pairs(
             ).alias("idf"),
         )
     )
-    w = tf.join(dfreq, "s").select(
-        "id", "s", "df", (F.col("tf") * F.col("idf")).alias("w")
+    # materialize the weight postings ONCE: norms, and both sides of
+    # the pair join, consume this table — without truncation the
+    # shingle explode + two groupBys re-execute for every consumer
+    # (measured 2.5x on the gate corpus). Same build-once pattern as
+    # the PageRank adjacency (operators/graph.py).
+    w = (
+        tf.join(dfreq, "s")
+        .select("id", "s", "df", (F.col("tf") * F.col("idf")).alias("w"))
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     pairable = w.where(F.col("df") >= 2).select("id", "s", "w")

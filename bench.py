@@ -158,6 +158,8 @@ SF1_QUERIES = [
     "weighted_sample",
     "group_split",
     "corpus_diff",
+    "tfidf_pairs",
+    "bigram_nll",
 ]
 
 SF1_REPLICAS = 10

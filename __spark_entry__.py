@@ -1558,6 +1558,51 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: rollup to months, then lag
+    arithmetic over the AGGREGATED series (the BI trend pattern —
+    the window runs on month-cardinality rows, not the fact table).
+    Decimal sums; delta in exact decimal, pct rounded 1e-6."""
+    orders = _t(spark, sf_dir, "orders")
+    dec = "decimal(14,2)"
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(dec)).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        (F.col("rev") - prev).cast("double").alias("mom_delta"),
+        txt.round_fixed(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_pct"),
+    )
+
+
+def q_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() tie semantics per brand on retail price
+    (ties are real in the data): gap-ranking and dense-ranking are
+    pinned against each other and the oracle — the remaining window
+    ranking class next to row_number (topk_per_group) and ntile."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+    ).where(F.col("price_rank") <= 5)
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2265,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== ~driver window boundary (50) ================================
         "ntile_deciles": q_ntile_deciles,
         "fuzzy_match": q_fuzzy_match,
+        "mom_revenue": q_mom_revenue,
+        "price_ranks": q_price_ranks,
         # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
@@ -4062,6 +4109,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
                        AS sum_v_milli
             FROM g GROUP BY user_id, grp
+        """,
+        "mom_revenue": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT month,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   n_orders,
+                   CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                       AS mom_delta,
+                   floor(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                         / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000 AS mom_pct
+            FROM m
+        """,
+        "price_ranks": """
+            SELECT p_partkey, p_brand, p_retailprice,
+                   CAST(price_rank AS BIGINT) AS price_rank,
+                   CAST(price_dense_rank AS BIGINT) AS price_dense_rank
+            FROM (
+                SELECT p_partkey, p_brand, p_retailprice,
+                       rank() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC) AS price_rank,
+                       dense_rank() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC) AS price_dense_rank
+                FROM part
+            ) WHERE price_rank <= 5
         """,
         "ntile_deciles": """
             SELECT doc_id, lang, n_chars,

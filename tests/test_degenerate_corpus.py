@@ -74,3 +74,40 @@ def test_scalar_tables_degenerate(spark):
     assert top[0]["cnt"] >= top[-1]["cnt"]
     kept = temperature_mix(docs, alpha=0.5, salt="x")
     assert kept.count() == 6  # single stratum -> rate 1
+
+
+def test_round4_ops_degenerate(spark):
+    """tfidf pairs / bigram NLL / chunk spans on the weird corpus:
+    no crashes, sane shapes (empty + tokenless docs drop out where
+    the semantics say so)."""
+    from annotation_service_spark.functions.text import bigram_nll_table
+    from annotation_service_spark.operators.curation import chunk_spans
+    from annotation_service_spark.operators.ranking import (
+        tfidf_shingle_pairs,
+    )
+
+    docs = _weird_docs(spark).withColumn("n_chars", F.length("text"))
+    # docs 5 and 6 are exact duplicates -> identical shingle vectors
+    pairs = {
+        (r.doc_a, r.doc_b): r.sim
+        for r in tfidf_shingle_pairs(docs, min_sim=0.0).collect()
+    }
+    assert set(pairs) == {(5, 6)}
+    assert pairs[(5, 6)] == 1.0
+    nll = {r.id: r for r in bigram_nll_table(docs).collect()}
+    assert set(nll) == {5, 6}  # only docs with >= 2 tokens
+    assert nll[5].nll_bits == nll[6].nll_bits
+    spans = chunk_spans(docs, chunk_size=5, overlap=2)
+    got = {r.doc_id for r in spans.collect()}
+    assert got == {1, 2, 3, 4, 5, 6}  # every doc gets >= 1 chunk
+    zero = [r for r in spans.collect() if r.doc_id == 1]
+    assert zero == [zero[0]] and zero[0].chunk_end == 0
+
+
+def test_tfidf_empty_corpus(spark):
+    from annotation_service_spark.operators.ranking import (
+        tfidf_shingle_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_shingle_pairs(empty).count() == 0

@@ -1603,6 +1603,29 @@ def q_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("price_rank") <= 5)
 
 
+def q_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE relational PIVOT (df.groupBy().pivot(values=...)) —
+    long→wide event counts/sums per user-day across event types. The
+    explicit values list keeps it single-pass (no distinct-values
+    pre-scan) and schema-stable at any scale; complements the manual
+    CASE pivot (case_pivot) and UNPIVOT (unpivot_measures) gates."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        )
+        .groupBy("user_id", "day")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_milli").alias("v"),
+        )
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2312,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "mom_revenue": q_mom_revenue,
         "price_ranks": q_price_ranks,
+        "native_pivot": q_native_pivot,
         # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
@@ -4139,6 +4163,24 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY p_retailprice DESC) AS price_dense_rank
                 FROM part
             ) WHERE price_rank <= 5
+        """,
+        # NULL-for-absent-cell parity: Spark pivot leaves missing
+        # (group, value) cells NULL, so the oracle uses sum(CASE ...)
+        # (NULL over the empty set), not count FILTER (which gives 0)
+        "native_pivot": """
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click_n,
+                   CAST(SUM(CASE WHEN event_type='click'
+                            THEN CAST(floor(value*1000) AS BIGINT) END) AS BIGINT) AS click_v,
+                   CAST(SUM(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS view_n,
+                   CAST(SUM(CASE WHEN event_type='view'
+                            THEN CAST(floor(value*1000) AS BIGINT) END) AS BIGINT) AS view_v,
+                   CAST(SUM(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS purchase_n,
+                   CAST(SUM(CASE WHEN event_type='purchase'
+                            THEN CAST(floor(value*1000) AS BIGINT) END) AS BIGINT) AS purchase_v
+            FROM events
+            GROUP BY 1, 2
         """,
         "ntile_deciles": """
             SELECT doc_id, lang, n_chars,

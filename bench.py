@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "session_rollup",
     "ntile_deciles",
     "fuzzy_match",
+    "mom_revenue",
+    "price_ranks",
+    "native_pivot",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -31,6 +31,12 @@ QUERIES = [
     "grouping_sets", "posting_lists",
     "bm25_rank", "weighted_sample", "group_split", "knn_pagerank",
     "incremental_rollup", "trailing_window", "corpus_diff", "table_digest", "set_ops", "unpivot_measures", "weighted_sample_stratified",
+    # round 4
+    "profile_approx", "percentile_approx", "tpch_q6", "tpch_q8",
+    "tpch_q14", "tpch_q18", "tpch_q19", "tfidf_pairs", "doc_chunks",
+    "bigram_nll", "linear_interp", "first_touch", "stats_agg",
+    "session_rollup", "ntile_deciles", "fuzzy_match", "mom_revenue",
+    "price_ranks", "native_pivot",
 ]
 
 

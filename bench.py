@@ -165,6 +165,28 @@ SF1_QUERIES = [
     "bigram_nll",
 ]
 
+# events-family operators re-run at a 10x-events scale point: replicas
+# add DISJOINT user populations (user_id offset per replica), so
+# groups/sessions/grids scale horizontally — per-group work constant,
+# group count x10, the honest scale shape for keyed windows/rollups
+SF1_EVENT_QUERIES = [
+    "event_rollup",
+    "event_rollup_hopping",
+    "event_topk_windowed",
+    "sessionize",
+    "session_rollup",
+    "gap_fill",
+    "linear_interp",
+    "trailing_window",
+    "rolling_avg",
+    "funnel",
+    "cohort_retention",
+    "attribution_join",
+    "first_touch",
+    "stats_agg",
+    "distinct_users",
+]
+
 SF1_REPLICAS = 10
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -210,6 +232,41 @@ def ensure_sf1_documents(spark, base_sf_dir: str) -> str:
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return out
+
+
+def ensure_sf1_events(spark, base_sf_dir: str, out: str) -> None:
+    """Materialize a 10x events table (once) into ``out``: replica i
+    offsets user_id/event_id into a disjoint id space; timestamps are
+    unchanged so time-bucket cardinality is constant and scaling is
+    purely horizontal across keys."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out, "_BUILT_EVENTS")
+    if os.path.exists(marker):
+        return
+    from annotation_service_spark.sources.testdata import load_table
+
+    ev = load_table(spark, base_sf_dir, "events")
+    parts = []
+    for i in range(SF1_REPLICAS):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
 
 
 def main() -> None:
@@ -291,6 +348,23 @@ def main() -> None:
     except Exception as exc:  # never let the scale block sink the bench
         sf1_timings = {"error": str(exc)[:200]}
 
+    # 10x-events scale point: disjoint user populations per replica —
+    # keyed windows/rollups/sessions scale horizontally (group count
+    # x10, per-group work constant)
+    sf1_ev_timings: dict[str, float] = {}
+    try:
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
+        )
+        ensure_sf1_events(spark, sf_dir, sf1_dir)
+        for name in SF1_EVENT_QUERIES:
+            spark.catalog.clearCache()
+            sf1_ev_timings[name] = round(run(name, sf1_dir), 3)
+            gc.collect()
+        spark.catalog.clearCache()
+    except Exception as exc:
+        sf1_ev_timings = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # VERDICT r3 #4 (process): the r3 single ~4.5 KB JSON line outgrew the
@@ -301,6 +375,7 @@ def main() -> None:
         "queries_warm": warm,
         "annotate_probe_sweep": sweep,
         "sf1_docs_10x": sf1_timings,
+        "sf1_events_10x": sf1_ev_timings,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -1626,6 +1626,35 @@ def q_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semijoin reduction (operators/sketch.py
+    bloom_build/bloom_might_contain): the probe side (lineitem) is
+    prefiltered by a 2^17-bit / 5-hash bloom of the urgent orders'
+    keys BEFORE the join shuffle — the runtime-filtering optimization
+    for builds too big to broadcast as hash tables. The ORACLE IS THE
+    PLAIN JOIN: the gate hashes green iff the reduction is
+    result-preserving (a bloom admits false positives — dropped again
+    by the join — but never false negatives)."""
+    from annotation_service_spark.operators import sketch as sk
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    bloom = sk.bloom_build(orders, "o_orderkey", n_bits=1 << 17)
+    pref = sk.bloom_might_contain(li, "l_orderkey", bloom, n_bits=1 << 17)
+    return pref.join(orders, pref["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        F.col("l_quantity").cast("long").alias("quantity"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2336,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mom_revenue": q_mom_revenue,
         "price_ranks": q_price_ranks,
         "native_pivot": q_native_pivot,
+        "bloom_join": q_bloom_join,
         # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
@@ -4167,6 +4197,15 @@ def oracle_sql() -> dict[str, str]:
         # NULL-for-absent-cell parity: Spark pivot leaves missing
         # (group, value) cells NULL, so the oracle uses sum(CASE ...)
         # (NULL over the empty set), not count FILTER (which gives 0)
+        # the oracle is the PLAIN join: green iff the bloom prefilter
+        # is result-preserving (no false negatives by construction)
+        "bloom_join": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate,
+                   CAST(l.l_quantity AS BIGINT) AS quantity
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+        """,
         "native_pivot": """
             SELECT user_id,
                    CAST(date_trunc('day', ts) AS DATE) AS day,

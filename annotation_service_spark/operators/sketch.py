@@ -22,6 +22,8 @@ in any engine.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,4 +86,89 @@ def count_min_estimate(
         cells.join(sketch, ["row", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def bloom_build(
+    build: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 11,
+) -> bytes:
+    """Distributed Bloom-filter build: each Arrow batch folds its keys
+    into a local ``n_bits`` bitmap (k = ``n_hashes`` positions per key
+    via seeded xxhash64 — computed JVM-side, numpy sets the bits);
+    one bitmap row per batch comes back and the driver ORs them. The
+    driver never sees keys — only ≤ n_batches bitmaps of n_bits/8
+    bytes (128 KiB at the 1M-bit default).
+
+    This is the semijoin-reduction sketch for joins whose build side
+    is too big to broadcast AS A HASH TABLE but whose bit-set is tiny:
+    ship the bloom to the probe scan and drop non-joining rows before
+    the shuffle. No false negatives (join-result-preserving); false
+    positives only cost wasted shuffle rows (rate ≈ (1-e^{-kn/m})^k).
+    """
+    hashed = build.select(
+        *[
+            (F.abs(F.xxhash64(F.col(key_col), F.lit(seed + i))) % n_bits)
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+    def fold(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            pos = pdf.to_numpy(dtype=np.int64).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = hashed.mapInPandas(fold, "bm binary").collect()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r.bm, dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    key_col: str,
+    bloom: bytes,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 11,
+):
+    """Filter ``probe`` to rows whose key might be in the bloom —
+    the probe-side prefilter of the semijoin reduction. The bitmap
+    travels once per executor (task-closure broadcast); membership is
+    a vectorized numpy gather over the same JVM-computed hash columns,
+    so build and probe agree bit-for-bit."""
+    bm = np.frombuffer(bloom, dtype=np.uint8)
+
+    harr = F.array(
+        *[
+            (F.abs(F.xxhash64(F.col(key_col), F.lit(seed + i))) % n_bits).cast(
+                "long"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+    @F.pandas_udf("boolean")
+    def member(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=bool)
+        pos = np.vstack(hs.to_numpy()).astype(np.int64)  # (n, k)
+        hit = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=1))
+
+    return probe.withColumn("__hs", harr).where(member(F.col("__hs"))).drop(
+        "__hs"
     )

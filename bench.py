@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "mom_revenue",
     "price_ranks",
     "native_pivot",
+    "bloom_join",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -129,3 +129,25 @@ def test_count_min_streaming_update(spark, tmp_path):
     }
     assert got == batch
     assert len(got) <= 3 * 64
+
+
+def test_bloom_semijoin_reduction_properties(spark):
+    """No false negatives (every build key passes), measurable
+    selectivity (most non-keys are dropped), and the empirical
+    false-positive rate stays near the (1-e^{-kn/m})^k design point."""
+    import math
+
+    from annotation_service_spark.operators import sketch as sk
+
+    build = spark.range(0, 2000).selectExpr("id * 7 AS k")
+    n_bits, k = 1 << 16, 5
+    bloom = sk.bloom_build(build, "k", n_bits=n_bits, n_hashes=k)
+    # every member passes
+    kept = sk.bloom_might_contain(build, "k", bloom, n_bits=n_bits, n_hashes=k)
+    assert kept.count() == 2000
+    # non-members: ids in a disjoint range
+    probe = spark.range(1_000_000, 1_050_000).selectExpr("id AS k")
+    fp = sk.bloom_might_contain(probe, "k", bloom, n_bits=n_bits, n_hashes=k).count()
+    rate = fp / 50_000
+    design = (1 - math.exp(-k * 2000 / n_bits)) ** k
+    assert rate < max(4 * design, 0.01), (rate, design)

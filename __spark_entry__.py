@@ -1655,6 +1655,22 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_orderkey, l_partkey)
+    — the multi-column data-skipping layout (sources/storage.py
+    zorder_layout): min/max-normalize each key to 16 bits (1-row
+    stats broadcast) and bit-interleave JVM-side; the write pass
+    range-partitions + sorts by z_key so min/max file stats prune on
+    EITHER column. The oracle replays the identical integer bit
+    arithmetic."""
+    from annotation_service_spark.sources.storage import zorder_layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    return zorder_layout(li, "l_orderkey", "l_partkey", bits=16)
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2366,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_ranks": q_price_ranks,
         "native_pivot": q_native_pivot,
         "bloom_join": q_bloom_join,
+        "zorder_layout": q_zorder_layout,
         # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
@@ -4197,6 +4214,26 @@ def oracle_sql() -> dict[str, str]:
         # NULL-for-absent-cell parity: Spark pivot leaves missing
         # (group, value) cells NULL, so the oracle uses sum(CASE ...)
         # (NULL over the empty set), not count FILTER (which gives 0)
+        "zorder_layout": """
+            WITH s AS (
+                SELECT CAST(min(l_orderkey) AS BIGINT) AS xmin,
+                       CAST(max(l_orderkey) AS BIGINT) AS xmax,
+                       CAST(min(l_partkey) AS BIGINT) AS ymin,
+                       CAST(max(l_partkey) AS BIGINT) AS ymax
+                FROM lineitem
+            ),
+            n AS (
+                SELECT l_orderkey, l_partkey, l_linenumber,
+                       CAST(floor((l_orderkey - xmin) * 65535
+                            / greatest(1, xmax - xmin)) AS BIGINT) AS nx,
+                       CAST(floor((l_partkey - ymin) * 65535
+                            / greatest(1, ymax - ymin)) AS BIGINT) AS ny
+                FROM lineitem, s
+            )
+            SELECT l_orderkey, l_partkey, l_linenumber,
+                   CAST((((nx >> 0) & 1) << 0) + (((ny >> 0) & 1) << 1) + (((nx >> 1) & 1) << 2) + (((ny >> 1) & 1) << 3) + (((nx >> 2) & 1) << 4) + (((ny >> 2) & 1) << 5) + (((nx >> 3) & 1) << 6) + (((ny >> 3) & 1) << 7) + (((nx >> 4) & 1) << 8) + (((ny >> 4) & 1) << 9) + (((nx >> 5) & 1) << 10) + (((ny >> 5) & 1) << 11) + (((nx >> 6) & 1) << 12) + (((ny >> 6) & 1) << 13) + (((nx >> 7) & 1) << 14) + (((ny >> 7) & 1) << 15) + (((nx >> 8) & 1) << 16) + (((ny >> 8) & 1) << 17) + (((nx >> 9) & 1) << 18) + (((ny >> 9) & 1) << 19) + (((nx >> 10) & 1) << 20) + (((ny >> 10) & 1) << 21) + (((nx >> 11) & 1) << 22) + (((ny >> 11) & 1) << 23) + (((nx >> 12) & 1) << 24) + (((ny >> 12) & 1) << 25) + (((nx >> 13) & 1) << 26) + (((ny >> 13) & 1) << 27) + (((nx >> 14) & 1) << 28) + (((ny >> 14) & 1) << 29) + (((nx >> 15) & 1) << 30) + (((ny >> 15) & 1) << 31) AS BIGINT) AS z_key
+            FROM n
+        """,
         # the oracle is the PLAIN join: green iff the bloom prefilter
         # is result-preserving (no false negatives by construction)
         "bloom_join": """

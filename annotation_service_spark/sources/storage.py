@@ -163,3 +163,82 @@ def compact_parquet(
     for root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton / Z-order interleave of two normalized non-negative int
+    columns (``bits`` bits each) into one clustering key — the
+    multi-column data-skipping layout (public Morton-code technique,
+    the idea behind lakehouse OPTIMIZE ZORDER BY): sorting by the
+    interleaved key keeps rows close in BOTH dimensions, so min/max
+    file statistics prune on either predicate column.
+
+    Pure JVM bit expressions (2·bits shift/and/or terms, one codegen
+    span); the identical integer arithmetic runs in the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+def normalize_to_bits(v, vmin, vmax, bits: int = 16):
+    """Min/max scale a non-negative int column onto [0, 2^bits):
+    floor((v - vmin)·(2^bits − 1) / max(1, vmax − vmin)). The product
+    stays ≪ 2^53, so the double quotient is exact enough that floor is
+    engine-portable (a non-integer rational with denominator < 2^20
+    can't sit within half an ulp of an integer)."""
+    from pyspark.sql import functions as F
+
+    span = F.greatest(F.lit(1).cast("long"), (vmax - vmin).cast("long"))
+    return F.floor(
+        (v - vmin).cast("long") * F.lit((1 << bits) - 1) / span
+    ).cast("long")
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 16,
+    n_files: int = 32,
+) -> DataFrame:
+    """Attach ``z_key`` (Morton code of the min/max-normalized pair)
+    and range-repartition+sort by it — the write-side layout pass.
+    Stats (min/max of each column) come from one 1-row aggregate
+    broadcast below the key expression; the only shuffle is the range
+    partitioner's."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(col_x).cast("long").alias("__xmin"),
+        F.max(col_x).cast("long").alias("__xmax"),
+        F.min(col_y).cast("long").alias("__ymin"),
+        F.max(col_y).cast("long").alias("__ymax"),
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "z_key",
+            zorder_key(
+                normalize_to_bits(
+                    F.col(col_x), F.col("__xmin"), F.col("__xmax"), bits
+                ),
+                normalize_to_bits(
+                    F.col(col_y), F.col("__ymin"), F.col("__ymax"), bits
+                ),
+                bits,
+            ),
+        )
+        .drop("__xmin", "__xmax", "__ymin", "__ymax")
+    )
+    return keyed.repartitionByRange(n_files, "z_key").sortWithinPartitions(
+        "z_key"
+    )

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "price_ranks",
     "native_pivot",
     "bloom_join",
+    "zorder_layout",
 ]
 
 # documents-only operators re-run at the 10x scale point

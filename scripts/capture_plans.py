@@ -36,7 +36,7 @@ QUERIES = [
     "tpch_q14", "tpch_q18", "tpch_q19", "tfidf_pairs", "doc_chunks",
     "bigram_nll", "linear_interp", "first_touch", "stats_agg",
     "session_rollup", "ntile_deciles", "fuzzy_match", "mom_revenue",
-    "price_ranks", "native_pivot",
+    "price_ranks", "native_pivot", "bloom_join", "zorder_layout",
 ]
 
 

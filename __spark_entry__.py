@@ -759,6 +759,34 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: revenue view → scalar max over the
+    view → equi-select the achiever(s) — the aggregate-of-aggregate
+    pattern where the comparison must stay in EXACT decimal (a double
+    max would tie-break on ulps). The view is supplier-cardinality,
+    so the max 'subquery' is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    view = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = view.agg(F.max("total_rev").alias("mx"))
+    return (
+        view.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(sup, F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand by retail price (window top-k pattern)."""
     part = _t(spark, sf_dir, "part")
@@ -2383,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_pivot": q_native_pivot,
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
+        "tpch_q15": q_tpch_q15,
         # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
@@ -3591,6 +3620,22 @@ def oracle_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON b.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                           (CAST(1 AS DECIMAL(4,2))
+                            - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_rev AS DOUBLE) AS total_rev
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
         """,
         "tpch_q19": """
             SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

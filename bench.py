@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "native_pivot",
     "bloom_join",
     "zorder_layout",
+    "tpch_q15",
 ]
 
 # documents-only operators re-run at the 10x scale point

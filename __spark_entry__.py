@@ -1683,6 +1683,26 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE composition of knn_pagerank: edges built via the
+    collect-free banded-LSH self-join (knn_edges(method="lsh") —
+    the corpus is never materialized on the driver), PageRank over
+    them. The oracle independently replays the LSH bands, the cosine
+    re-rank, AND the integer recurrence (_pagerank_lsh_oracle) — so
+    the 100 TB path carries the same hash-green evidence as the GEMM
+    oracle regime."""
+    from annotation_service_spark.operators.graph import knn_pagerank
+
+    return knn_pagerank(
+        _t(spark, sf_dir, "embeddings"),
+        k=3,
+        iterations=3,
+        method="lsh",
+        n_planes=16,
+        bands=8,
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_orderkey, l_partkey)
     — the multi-column data-skipping layout (sources/storage.py
@@ -2364,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 gates that fell outside the r3 driver window ----------
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank": q_knn_pagerank,
+        "knn_pagerank_lsh": q_knn_pagerank_lsh,
         "bm25_rank": q_bm25_rank,
         "scd_asof": q_scd_asof,
         "trailing_window": q_trailing_window,
@@ -2402,8 +2423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 14 round-4 + 36 round-3 gates
         "doc_chunks": q_doc_chunks,
         "first_touch": q_first_touch,
-        "stats_agg": q_stats_agg,
         # ==== ~driver window boundary (50) ================================
+        "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
         "fuzzy_match": q_fuzzy_match,
         "mom_revenue": q_mom_revenue,
@@ -2622,13 +2643,15 @@ def _ann_cosine_oracle(k: int = 3) -> str:
     """
 
 
-def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -> str:
-    """DuckDB replay of ``ann_lsh_topk``: the seeded hyperplanes are
-    embedded as SQL literals (they are plan literals on the Spark
-    side too — similarity.py:_hyperplanes), signature = sum of
+def _lsh_cand_ctes(
+    n_planes: int, bands: int, seed: int, queries_where: str | None
+) -> str:
+    """Shared CTE chain (v → planes → proj → sig → bands → cand) of
+    the LSH replays: hyperplane literals, signature = sum of
     bit-weights where the projection is positive, band keys by
-    shift+mask, candidates by band equi-join, exact round-6 cosine
-    re-rank. repr() round-trips each float64 exactly."""
+    shift+mask, candidates by band equi-join. ``queries_where``
+    restricts the query side (None = every vector is a query, the
+    k-NN-graph regime). repr() round-trips each float64 exactly."""
     from annotation_service_spark.operators.similarity import _hyperplanes
 
     dim = _oracle_embedding_dim()
@@ -2646,8 +2669,12 @@ def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -
         f"SELECT vec_id, {b} AS band, (sig >> {(bands - 1 - b) * bpb}) & {mask} AS key FROM sig"
         for b in range(bands)
     )
-    return f"""
-        WITH {_V_CTE},
+    qb = (
+        f"SELECT * FROM bands WHERE {queries_where}"
+        if queries_where
+        else "SELECT * FROM bands"
+    )
+    return f"""{_V_CTE},
         planes(w, p) AS (VALUES {plane_rows}),
         proj AS (
             SELECT v.vec_id, pl.w,
@@ -2659,14 +2686,79 @@ def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -
             FROM proj GROUP BY vec_id
         ),
         bands AS ({band_selects}),
-        qb AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+        qb AS ({qb}),
         cand AS (
             SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
             FROM bands c JOIN qb q ON c.band = q.band AND c.key = q.key
             WHERE c.vec_id <> q.vec_id
-        ),
+        )"""
+
+
+def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -> str:
+    """DuckDB replay of ``ann_lsh_topk`` (query side = vec_id % 50),
+    exact round-6 cosine re-rank of the banded candidates."""
+    return f"""
+        WITH {_lsh_cand_ctes(n_planes, bands, seed, "vec_id % 50 = 0")},
         {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
     """
+
+
+def _pagerank_lsh_oracle(
+    n_planes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    iterations: int = 3,
+    seed: int = 7,
+) -> str:
+    """FULLY independent DuckDB replay of the SCALE path
+    ``knn_pagerank(method="lsh")``: LSH-banded candidate edges with
+    EVERY vector as a query (the collect-free k-NN-graph build),
+    exact cosine re-rank to top-k edges, then the integer PageRank
+    recurrence unrolled one CTE per iteration — the same replay
+    structure as ``_pagerank_oracle`` but over the approximate edge
+    set, so the driver now hash-checks the 100 TB composition, not
+    just the GEMM oracle regime."""
+    damping, scale = 85, 1_000_000
+    base = ((100 - damping) * scale) // 100
+    cte = [
+        f"""{_lsh_cand_ctes(n_planes, bands, seed, None)},
+        sc AS (
+            SELECT cand.qid, cand.nid, {_cos6('qv.e', 'cv.e')} AS cos
+            FROM cand
+            JOIN v qv ON qv.vec_id = cand.qid
+            JOIN v cv ON cv.vec_id = cand.nid
+        ),
+        e AS (
+            SELECT qid AS src, nid AS dst FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+                FROM sc) WHERE rn <= {k}
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY 1),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT node, CAST({scale} AS BIGINT) AS score FROM n)"""
+    ]
+    for i in range(iterations):
+        cte.append(f"""
+        s{i + 1} AS (
+            SELECT n.node,
+                   CAST({base} + ({damping} * COALESCE(t.m, 0)) // 100
+                        AS BIGINT) AS score
+            FROM n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(s{i}.score // deg.deg) AS BIGINT) AS m
+                FROM e
+                JOIN s{i} ON s{i}.node = e.src
+                JOIN deg ON deg.src = e.src
+                GROUP BY 1) t ON t.node = n.node)""")
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+        SELECT node AS vec_id, CAST(score AS BIGINT) AS pr_score
+        FROM s{iterations}"""
+    )
 
 
 def _bm25_oracle() -> str:
@@ -4596,6 +4688,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
+        "knn_pagerank_lsh": _pagerank_lsh_oracle(16, 8, 3, 3),
         "weighted_sample_stratified": """
             SELECT doc_id, source, weight FROM (
                 SELECT doc_id, source,

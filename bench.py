@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "bloom_join",
     "zorder_layout",
     "tpch_q15",
+    "knn_pagerank_lsh",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -1699,7 +1699,7 @@ def q_knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=3,
         method="lsh",
         n_planes=16,
-        bands=8,
+        bands=4,
     )
 
 
@@ -4688,7 +4688,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
-        "knn_pagerank_lsh": _pagerank_lsh_oracle(16, 8, 3, 3),
+        "knn_pagerank_lsh": _pagerank_lsh_oracle(16, 4, 3, 3),
         "weighted_sample_stratified": """
             SELECT doc_id, source, weight FROM (
                 SELECT doc_id, source,

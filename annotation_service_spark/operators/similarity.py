@@ -233,7 +233,7 @@ def embedding_dup_pairs(
         planes = _hyperplanes(dim, n_planes)
         bits_per_band = n_planes // bands
         mask = (1 << bits_per_band) - 1
-        sig = base.withColumn("sig", lsh_signature(F.col("ve"), planes))
+        sig = base.withColumn("sig", lsh_signature_kernel(planes)(F.col("ve")))
         band_arr = F.array(
             *[
                 F.struct(
@@ -483,13 +483,44 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     """Sign-of-projection signature as a LONG (≤ 63 planes). The
     planes become literal arrays in the plan — JVM-side dot products,
-    no Python, no shuffle."""
+    no Python, no shuffle. NOTE: at n_planes·dim ≳ 1000 terms the
+    generated code blows past the codegen budget and every stage pays
+    a multi-second janino compile (measured ~12 s/query on 16×64) —
+    ``lsh_signature_kernel`` is the hot-path form; this expression
+    form is kept as the cross-checked reference."""
     sig = F.lit(0).cast("long")
     n_planes, dim = planes.shape
     for i in range(n_planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
         proj = dot(vec, lit_plane, dim)
         sig = sig + F.when(proj > 0, F.lit(1 << (n_planes - 1 - i))).otherwise(0)
+    return sig
+
+
+def lsh_signature_kernel(planes: np.ndarray):
+    """Arrow-batched signature kernel, BIT-IDENTICAL to the
+    ``lsh_signature`` expression: the projection accumulates
+    sequentially over dimensions (left-associated IEEE adds,
+    vectorized across rows), exactly the order of the unrolled
+    expression and of DuckDB's list_sum — so sign decisions at
+    near-zero projections cannot diverge between the three forms.
+    Closure ships n_planes·dim float64s (KBs); no codegen cliff."""
+    n_planes, dim = planes.shape
+    pl = planes.astype(np.float64)
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = np.zeros(len(v), dtype=np.int64)
+        for i in range(n_planes):
+            acc = np.zeros(len(v), dtype=np.float64)
+            for j in range(dim):
+                acc = acc + v[:, j] * pl[i, j]
+            out |= (acc > 0).astype(np.int64) << (n_planes - 1 - i)
+        return pd.Series(out)
+
     return sig
 
 
@@ -515,7 +546,7 @@ def ann_lsh_topk(
     base = embeddings.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("ve"),
-        lsh_signature(as_double(F.col(vec_col)), planes).alias("sig"),
+        lsh_signature_kernel(planes)(as_double(F.col(vec_col))).alias("sig"),
     ).withColumn("nrm", F.sqrt(dot("ve", "ve", dim)))
     band_arr = F.array(
         *[
@@ -528,30 +559,48 @@ def ann_lsh_topk(
             for b in range(bands)
         ]
     )
-    banded = base.select("id", "ve", "nrm", F.explode(band_arr).alias("bb")).select(
-        "id", "ve", "nrm", "bb.band", "bb.key"
+    # the band join and the DISTINCT dedup carry ONLY (id, band, key)
+    # / (qid, nid) — never the vectors. Deduping rows that still carry
+    # two dim-wide arrays shuffles |cands|·2·dim doubles and hashes
+    # arrays (measured 55 s vs 3 s on the all-queries k-NN-graph build
+    # at sf0.1); vectors re-attach by two id equi-joins afterwards.
+    banded = base.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", "bb.band", "bb.key"
     )
     qf = query_filter if query_filter is not None else (F.col("id") % 50 == 0)
-    qb = banded.where(qf).select(
-        F.col("id").alias("qid"), F.col("ve").alias("qe"),
-        F.col("nrm").alias("qn"), "band", "key",
-    )
+    qb = banded.where(qf).select(F.col("id").alias("qid"), "band", "key")
     cand = (
         banded.join(qb, ["band", "key"])
         .where(F.col("id") != F.col("qid"))
-        .select(
-            "qid", "qe", "qn",
-            F.col("id").alias("nid"), F.col("ve").alias("ce"), F.col("nrm").alias("cn"),
-        )
+        .select("qid", F.col("id").alias("nid"))
         .distinct()
     )
-    scored = cand.select(
-        "qid",
-        "nid",
-        F.round(
-            dot("qe", "ce", dim) / (F.col("qn") * F.col("cn")),
-            round_digits,
-        ).alias("cos"),
+    vecs = base.select("id", "ve", "nrm")
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("qid"),
+                F.col("ve").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ),
+            "qid",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("nid"),
+                F.col("ve").alias("ce"),
+                F.col("nrm").alias("cn"),
+            ),
+            "nid",
+        )
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot("qe", "ce", dim) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (

@@ -2420,10 +2420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "dedup_incremental": q_dedup_incremental,
         # remaining round-4 gates — with these, the window holds exactly
-        # 14 round-4 + 36 round-3 gates
+        # 13 round-4 gates + knn_pagerank_lsh + all 36 round-3 gates
         "doc_chunks": q_doc_chunks,
         "first_touch": q_first_touch,
         # ==== ~driver window boundary (50) ================================
+        # below: replica-verified at both SFs; rotate into the window
+        # next round
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
         "fuzzy_match": q_fuzzy_match,

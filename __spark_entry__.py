@@ -1719,6 +1719,22 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(li, "l_orderkey", "l_partkey", bits=16)
 
 
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + defaulted lag per language — the remaining window
+    primitives next to rank/dense_rank/ntile/percent_rank/lead: the
+    cumulative distribution is tie-stable (peers share a value), and
+    lag(, 2, -1) pins the offset+default semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        txt.round_fixed(F.cume_dist().over(w), 6).alias("cd"),
+        F.lag("n_chars", 2, -1).over(w).cast("long").alias("lag2"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (non-hierarchical) GROUPING SETS lattice:
     (type×dow), (type), (dow) — the aggregation-lattice class beyond
@@ -2435,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "zorder_layout": q_zorder_layout,
         "tpch_q15": q_tpch_q15,
+        "cume_dist": q_cume_dist,
         # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
@@ -4396,6 +4413,15 @@ def oracle_sql() -> dict[str, str]:
                             THEN CAST(floor(value*1000) AS BIGINT) END) AS BIGINT) AS purchase_v
             FROM events
             GROUP BY 1, 2
+        """,
+        "cume_dist": """
+            SELECT doc_id, lang, n_chars,
+                   floor(cume_dist() OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id) * 1000000 + 0.5)/1000000
+                       AS cd,
+                   CAST(coalesce(lag(n_chars, 2) OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id), -1) AS BIGINT) AS lag2
+            FROM documents
         """,
         "ntile_deciles": """
             SELECT doc_id, lang, n_chars,

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "zorder_layout",
     "tpch_q15",
     "knn_pagerank_lsh",
+    "cume_dist",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -303,10 +303,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup candidates (4 bands, hamming ≤ 2)."""
+    """60-bit SimHash near-dup candidates (4 bands → 15-bit band
+    keys, 32,768 buckets/band — the scale-safe regime; the old 16-bit
+    form saturates at corpus scale), hamming ≤ 2."""
     return dd.simhash_pairs(
         _t(spark, sf_dir, "documents"),
-        ngram=3, bits=16, bands=4, max_hamming=2,
+        ngram=3, bits=60, bands=4, max_hamming=2,
     )
 
 
@@ -431,11 +433,14 @@ def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (the 100 TB scale path). The
-    seeded hyperplanes are plan literals, so the DuckDB oracle embeds
-    the same planes as SQL literals (``_lsh_oracle``) and replays the
-    signature → band join → exact re-rank pipeline; recall vs brute
-    force is additionally pytest-verified
+    """Random-hyperplane LSH ANN (the 100 TB scale path) at the
+    scale-safe defaults: 60 planes / 4 bands → 15-bit band keys
+    (32,768 buckets per band), so the candidate join stays ∝ true
+    near neighbours instead of ~n²/buckets. The seeded hyperplanes
+    are plan literals, so the DuckDB oracle embeds the same planes as
+    SQL literals (``_lsh_oracle``) and replays the signature → band
+    join → exact re-rank pipeline; recall vs brute force is
+    additionally pytest-verified
     (tests/test_dedup_similarity.py::test_ann_lsh_recall)."""
     return sim.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
@@ -1426,8 +1431,9 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency, for tokens appearing in ≥5 documents. The
     explode→distinct→collect shuffle is keyed by token (zipfian, but
     the df≥5 posting arrays are bounded by the doc-frequency cut the
-    query itself applies); sort_array makes the array deterministic
-    for hashing."""
+    query itself applies). The posting list is emitted as a canonical
+    comma-joined string (numeric sort, then cast) so the result is a
+    flat scalar column — hashable by any downstream comparator."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -1436,7 +1442,13 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("token")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
             F.count(F.lit(1)).alias("df"),
         )
         .where(F.col("df") >= 5)
@@ -1687,10 +1699,13 @@ def q_knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE composition of knn_pagerank: edges built via the
     collect-free banded-LSH self-join (knn_edges(method="lsh") —
     the corpus is never materialized on the driver), PageRank over
-    them. The oracle independently replays the LSH bands, the cosine
-    re-rank, AND the integer recurrence (_pagerank_lsh_oracle) — so
-    the 100 TB path carries the same hash-green evidence as the GEMM
-    oracle regime."""
+    them. Runs the scale-safe band regime (60 planes / 4 bands →
+    15-bit keys) so the benchmarked composition is the one you'd run
+    at 100 TB, not the exhaustive narrow-band oracle regime. The
+    oracle independently replays the LSH bands, the cosine re-rank,
+    AND the integer recurrence (_pagerank_lsh_oracle) — so the 100 TB
+    path carries the same hash-green evidence as the GEMM oracle
+    regime."""
     from annotation_service_spark.operators.graph import knn_pagerank
 
     return knn_pagerank(
@@ -1698,7 +1713,7 @@ def q_knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         iterations=3,
         method="lsh",
-        n_planes=16,
+        n_planes=60,
         bands=4,
     )
 
@@ -3187,7 +3202,7 @@ def oracle_sql() -> dict[str, str]:
             FROM planted
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 8, 0.5),
-        "dedup_simhash": _simhash_oracle(16, 4, 2),
+        "dedup_simhash": _simhash_oracle(60, 4, 2),
         "dedup_ngram_jaccard": f"""
             WITH {_shingle_cte(3)},
             sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -3571,7 +3586,7 @@ def oracle_sql() -> dict[str, str]:
         # gemm path re-scores survivors with the identical expression →
         # same result set and values as the brute-force form
         "ann_gemm_topk": _ann_cosine_oracle(3),
-        "ann_lsh_topk": _lsh_oracle(16, 8, 3),
+        "ann_lsh_topk": _lsh_oracle(60, 4, 3),
         "ann_ivf_topk": _ivf_oracle(8, 3, 3),
         "text_metrics": """
             WITH t AS (
@@ -4196,7 +4211,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT token,
-                   list_sort(list(doc_id)) AS postings,
+                   array_to_string(list_transform(list_sort(list(doc_id)),
+                                                  x -> CAST(x AS VARCHAR)),
+                                   ',') AS postings,
                    CAST(count(*) AS BIGINT) AS df
             FROM tok
             GROUP BY token
@@ -4716,7 +4733,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
-        "knn_pagerank_lsh": _pagerank_lsh_oracle(16, 4, 3, 3),
+        "knn_pagerank_lsh": _pagerank_lsh_oracle(60, 4, 3, 3),
         "weighted_sample_stratified": """
             SELECT doc_id, source, weight FROM (
                 SELECT doc_id, source,

@@ -146,6 +146,47 @@ def minhash_signatures(
     return base.groupBy("id").agg(*aggs)
 
 
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate-pair observability for MinHash LSH: the deduped
+    (id_a, id_b) table the band-bucket equi-join produces BEFORE the
+    exact-Jaccard verify. MinHash band keys are md5 digests of
+    rows_per_band 40-bit minima — an effectively unbounded keyspace,
+    so |candidates| tracks true near-dups at any corpus size (unlike
+    fixed-width hyperplane/simhash bands). Count this to measure it."""
+    rows_per_band = num_hashes // bands
+    sh = shingle_table(df, id_col, text_col, ngram)
+    sig = minhash_signatures(sh, num_hashes, include_size=True)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -377,7 +418,7 @@ def _nibble_val(hexstr: Column, pos: int) -> Column:
     return F.instr(F.lit(HEX_DIGITS), F.substring(hexstr, pos, 1)) - 1
 
 
-def simhash(text: Column, ngram: int = 3, bits: int = 16) -> Column:
+def simhash(text: Column, ngram: int = 3, bits: int = 60) -> Column:
     """SimHash over word n-gram features, pure built-in expressions.
 
     For each feature, md5 supplies ``bits`` pseudo-random bits (4 per
@@ -385,6 +426,13 @@ def simhash(text: Column, ngram: int = 3, bits: int = 16) -> Column:
     via one ``aggregate`` over the feature array, then assemble the
     fingerprint integer. JVM-side, no UDF; O(features × bits) work
     embarrassingly parallel per row.
+
+    ``bits`` defaults to 60 — the widest fingerprint whose band
+    weights 1<<(bits-1) stay positive in a signed 64-bit long (so
+    shift/mask band extraction is sign-safe on both the Spark and
+    DuckDB sides). Narrow fingerprints (e.g. 16 bits = 65,536
+    distinct values) saturate at corpus scale: hamming ≤ 2 stops
+    discriminating once millions of docs share each value.
     """
     feats = F.array_distinct(word_ngrams(text, ngram))
     hashes = F.transform(feats, lambda s: F.md5(s))
@@ -413,7 +461,7 @@ def simhash_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
-    bits: int = 16,
+    bits: int = 60,
 ) -> DataFrame:
     """Scalable SimHash: explode distinct shingles → ONE conv() turns
     the md5 prefix into a ``bits``-bit int → ±1 votes are bit shifts
@@ -441,18 +489,64 @@ def simhash_table(
     return agg.select("id", sig.alias("sh"))
 
 
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate-pair observability for SimHash: the deduped
+    (id_a, id_b) table the band equi-join produces BEFORE the
+    hamming verify. Count it to measure the regime — with the 60-bit
+    default (15-bit band keys, 32,768 buckets/band) candidates stay
+    ∝ true near-dups; 4-bit keys (16 buckets) degrade to ~n²/16."""
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    sh = simhash_table(df, id_col, text_col, ngram, bits)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sh"), (bands - 1 - b) * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", "bb.band", "bb.key"
+    )
+    left = banded.select(F.col("id").alias("id_a"), "band", "key")
+    right = banded.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
-    bits: int = 16,
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 2,
 ) -> DataFrame:
     """SimHash near-dup candidates via band equi-join (a pair within
     hamming ≤ bands-1 shares ≥1 exact band by pigeonhole), verified
-    with xor-popcount. Returns (id_a, id_b, hamming)."""
+    with xor-popcount. Returns (id_a, id_b, hamming).
+
+    Defaults are the scale-safe regime: 60-bit fingerprints / 4
+    bands → 15-bit band keys (32,768 buckets per band), so the band
+    self-join yields candidates ∝ true near-dups. Narrow forms
+    (bits=16, 4-bit keys → 16 buckets) are kept only as explicit
+    oracle regimes — at corpus scale they produce ~n²/16 pairs."""
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
     sh = simhash_table(df, id_col, text_col, ngram, bits).cache()

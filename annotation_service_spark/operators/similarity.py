@@ -524,20 +524,20 @@ def lsh_signature_kernel(planes: np.ndarray):
     return sig
 
 
-def ann_lsh_topk(
+def _lsh_base_and_candidates(
     embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_filter: Column | None = None,
-    k: int = 3,
-    n_planes: int = 16,
-    bands: int = 8,
-    seed: int = 7,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Banded random-hyperplane ANN: candidates share ≥1 signature
-    band with the query; exact cosine re-ranks. Recall rises with
-    bands (pigeonhole: hamming < bands ⇒ some band matches)."""
+    id_col: str,
+    vec_col: str,
+    query_filter: Column | None,
+    n_planes: int,
+    bands: int,
+    seed: int,
+):
+    """Shared signature→band→candidate chain of the LSH family.
+    Returns (base, cand): ``base`` carries (id, ve, sig, nrm);
+    ``cand`` is the deduped (qid, nid) candidate-pair table — the
+    quantity whose growth decides whether the composition is
+    sub-quadratic (see ``lsh_candidates``)."""
     dim = _vec_dim(embeddings, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
@@ -575,6 +575,72 @@ def ann_lsh_topk(
         .select("qid", F.col("id").alias("nid"))
         .distinct()
     )
+    return base, cand
+
+
+def lsh_candidates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+    n_planes: int = 60,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate-pair observability: the deduped (qid, nid) table the
+    banded join produces BEFORE re-ranking. Count it to measure (not
+    infer) the regime: scale-safe parameters keep |candidates| ∝
+    n_queries·k; O(1)-bucket parameters degrade toward n²/buckets.
+    The pytest guard asserts ≤ c·n·k on a planted-dup corpus at the
+    shipped defaults."""
+    _, cand = _lsh_base_and_candidates(
+        embeddings, id_col, vec_col, query_filter, n_planes, bands, seed
+    )
+    return cand
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+    k: int = 3,
+    n_planes: int = 60,
+    bands: int = 4,
+    seed: int = 7,
+    round_digits: int = 6,
+    max_candidates: int | None = None,
+) -> DataFrame:
+    """Banded random-hyperplane ANN: candidates share ≥1 signature
+    band with the query; exact cosine re-ranks. Recall rises with
+    bands (pigeonhole: hamming < bands ⇒ some band matches).
+
+    Scale note: the band keyspace is 2^(n_planes/bands) buckets per
+    band. The shipped defaults (60 planes / 4 bands → 15-bit keys,
+    32,768 buckets/band) keep the candidate join ∝ true near
+    neighbours; narrow-band forms (e.g. 16/8 → 4 buckets/band) are
+    the exhaustive *oracle regime* only — at corpus scale they
+    degenerate to ~n²/buckets pairs. 60 is the practical max bit
+    width: band weights 1<<(n_planes-1) must stay positive in a
+    signed 64-bit signature for sign-safe shift/mask band extraction
+    on both the Spark and DuckDB sides.
+
+    ``max_candidates``: optional hard guard — counts the candidate
+    table (one extra job) and raises if the banded join produced more
+    pairs, catching an accidental quadratic regime before the
+    re-rank pays for it."""
+    dim = _vec_dim(embeddings, vec_col)
+    base, cand = _lsh_base_and_candidates(
+        embeddings, id_col, vec_col, query_filter, n_planes, bands, seed
+    )
+    if max_candidates is not None:
+        n_cand = cand.count()
+        if n_cand > max_candidates:
+            raise RuntimeError(
+                f"LSH candidate guard: banded join produced {n_cand} pairs"
+                f" > max_candidates={max_candidates}; widen the band keys"
+                f" (n_planes/bands) — the current regime is quadratic."
+            )
     vecs = base.select("id", "ve", "nrm")
     scored = (
         cand.join(

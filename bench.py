@@ -391,13 +391,29 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail))
+    # Final line MUST stay small (<500 bytes): the driver captures only
+    # the tail of stdout, so the full per-query map lives in the earlier
+    # detail line and in BENCH_DETAIL.json; the headline carries only a
+    # handful of flagship timings.
+    flagship = [
+        "annotate",
+        "tpch_q1",
+        "dedup_minhash_lsh",
+        "ann_ivf_topk",
+        "pipeline_full",
+    ]
+    headline_q = {
+        k: round(timings[k], 3) for k in flagship if k in timings
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline_q,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             },
             separators=(",", ":"),

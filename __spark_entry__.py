@@ -305,10 +305,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup candidates (4 bands → 15-bit band
     keys, 32,768 buckets/band — the scale-safe regime; the old 16-bit
-    form saturates at corpus scale), hamming ≤ 2."""
+    form saturates at corpus scale) with hamming-1 band probing:
+    pigeonhole guarantees every pair within hamming ≤ 4·2−1 = 7, so
+    the hamming budget scales with the 60-bit width (7 ≈ bits/8, the
+    same bit-agreement contract the 16-bit/hamming-2 form had)."""
     return dd.simhash_pairs(
         _t(spark, sf_dir, "documents"),
-        ngram=3, bits=60, bands=4, max_hamming=2,
+        ngram=3, bits=60, bands=4, max_hamming=7, probe_bits=1,
     )
 
 
@@ -435,14 +438,16 @@ def q_ann_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the 100 TB scale path) at the
     scale-safe defaults: 60 planes / 4 bands → 15-bit band keys
-    (32,768 buckets per band), so the candidate join stays ∝ true
-    near neighbours instead of ~n²/buckets. The seeded hyperplanes
-    are plan literals, so the DuckDB oracle embeds the same planes as
-    SQL literals (``_lsh_oracle``) and replays the signature → band
-    join → exact re-rank pipeline; recall vs brute force is
-    additionally pytest-verified
+    (32,768 buckets per band) with hamming-1 multi-probe on the query
+    side, so the candidate join stays ∝ true near neighbours instead
+    of ~n²/buckets while probing restores the recall wide bands alone
+    give up. The seeded hyperplanes are plan literals, so the DuckDB
+    oracle embeds the same planes as SQL literals (``_lsh_oracle``)
+    and replays the signature → probed band join → exact re-rank
+    pipeline; recall ≥ 0.8 on planted near-dups is additionally
+    pytest-verified
     (tests/test_dedup_similarity.py::test_ann_lsh_recall)."""
-    return sim.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
+    return sim.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3, probe_bits=1)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1715,6 +1720,7 @@ def q_knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="lsh",
         n_planes=60,
         bands=4,
+        probe_bits=1,
     )
 
 
@@ -1747,6 +1753,39 @@ def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         txt.round_fixed(F.cume_dist().over(w), 6).alias("cd"),
         F.lag("n_chars", 2, -1).over(w).cast("long").alias("lag2"),
+    )
+
+
+def q_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with IGNORE NULLS — the forward-fill /
+    first-observation window shape the timeseries operators use
+    internally (operators/timeseries.py, operators/asof.py:109) but
+    never separately gated. ``value`` is masked NULL on error events
+    (deterministic on both engines), then per user ordered by
+    (ts, event_id): ``ffill`` = last non-null value so far (running
+    forward-fill), ``first_v`` = first non-null value in the whole
+    user history. One shuffle on user_id serves both frames."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(run).alias("ffill"),
+        F.first("v", ignorenulls=True).over(full).alias("first_v"),
     )
 
 
@@ -2400,9 +2439,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     of core stable gates fills the window, then the long-stable remainder
     (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
-        # -- round-4 gates (newest, must sit in the driver window) --------
+        # -- round-6 changed/new gates (riskiest diffs go first) -----------
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "knn_pagerank_lsh": q_knn_pagerank_lsh,
+        "first_last_ignore_nulls": q_first_last_ignore_nulls,
+        # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
+        "stats_agg": q_stats_agg,
+        "ntile_deciles": q_ntile_deciles,
+        "fuzzy_match": q_fuzzy_match,
+        "mom_revenue": q_mom_revenue,
+        "price_ranks": q_price_ranks,
+        "native_pivot": q_native_pivot,
+        "bloom_join": q_bloom_join,
+        "zorder_layout": q_zorder_layout,
+        "tpch_q15": q_tpch_q15,
+        "cume_dist": q_cume_dist,
+        # -- sketch family: touched by the round-6 pmod fix ---------------
+        "cms_counts": q_cms_counts,
+        "distinct_users": q_distinct_users,
         "profile_approx": q_profile_approx,
         "percentile_approx": q_percentile_approx,
+        # -- curation/bpe family: touched by the round-6 ADVICE fixes -----
+        "pack_chunks": q_pack_chunks,
+        "doc_chunks": q_doc_chunks,
+        "corpus_curation": q_corpus_curation,
+        "vocab_topk": q_vocab_topk,
+        # -- session_rollup: oracle window-order fix this round ------------
+        "session_rollup": q_session_rollup,
+        # -- rotation fill: stable gates re-proven this round --------------
         "tpch_q6": q_tpch_q6,
         "tpch_q8": q_tpch_q8,
         "tpch_q14": q_tpch_q14,
@@ -2411,11 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "bigram_nll": q_bigram_nll,
         "linear_interp": q_linear_interp,
-        "session_rollup": q_session_rollup,
-        # -- round-3 gates that fell outside the r3 driver window ----------
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank": q_knn_pagerank,
-        "knn_pagerank_lsh": q_knn_pagerank_lsh,
         "bm25_rank": q_bm25_rank,
         "scd_asof": q_scd_asof,
         "trailing_window": q_trailing_window,
@@ -2433,6 +2495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": q_scalar_subquery,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
+        # ==== ~driver window boundary (50) ================================
+        # below: hash-green in an earlier round's CORRECTNESS_r*.json and
+        # replica-verified at both SFs this round (docs/ORACLE_R6_*.log)
         "text_normalize": q_text_normalize,
         "profile_table": q_profile_table,
         "posting_lists": q_posting_lists,
@@ -2442,32 +2507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_join": q_attribution_join,
         "event_rollup_hopping": q_event_rollup_hopping,
         "embedding_gram": q_embedding_gram,
-        "distinct_users": q_distinct_users,
         "event_rollup": q_event_rollup,
         "event_topk_windowed": q_event_topk_windowed,
-        "cms_counts": q_cms_counts,
         "unigram_nll": q_unigram_nll,
-        "vocab_topk": q_vocab_topk,
         "temperature_mix": q_temperature_mix,
         "dedup_incremental": q_dedup_incremental,
-        # remaining round-4 gates — with these, the window holds exactly
-        # 13 round-4 gates + knn_pagerank_lsh + all 36 round-3 gates
-        "doc_chunks": q_doc_chunks,
         "first_touch": q_first_touch,
-        # ==== ~driver window boundary (50) ================================
-        # below: replica-verified at both SFs; rotate into the window
-        # next round
-        "stats_agg": q_stats_agg,
-        "ntile_deciles": q_ntile_deciles,
-        "fuzzy_match": q_fuzzy_match,
-        "mom_revenue": q_mom_revenue,
-        "price_ranks": q_price_ranks,
-        "native_pivot": q_native_pivot,
-        "bloom_join": q_bloom_join,
-        "zorder_layout": q_zorder_layout,
-        "tpch_q15": q_tpch_q15,
-        "cume_dist": q_cume_dist,
-        # -- rotation: core stable gates (all hash-green in r01-r03) -------
         "annotate": q_annotate,
         "range_lookup": q_range_lookup,
         "asof_select": q_asof_select,
@@ -2477,7 +2522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "pipeline_full": q_pipeline_full,
         "multimodal_pipeline": q_multimodal_pipeline,
         "legacy_annotate": q_legacy_annotate,
@@ -2487,7 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "asn_decode": q_asn_decode,
         "response_keys": q_response_keys,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
@@ -2503,8 +2546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "topk_per_group": q_topk_per_group,
         "annotate_multisnapshot": q_annotate_multisnapshot,
-        "corpus_curation": q_corpus_curation,
-        "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
         "skew_agg": q_skew_agg,
         "pii_redact": q_pii_redact,
@@ -2587,7 +2628,12 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8, thr: float = 0.5) -> s
     """
 
 
-def _simhash_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 2) -> str:
+def _simhash_oracle(
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+    probe_bits: int = 0,
+) -> str:
     votes = []
     for j in range(bits):
         nib = f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
@@ -2608,9 +2654,11 @@ def _simhash_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 2) -> str
         hsh AS (SELECT id, list(md5(s)) AS hs FROM sh GROUP BY id),
         sig AS (SELECT id, CAST({sh_expr} AS BIGINT) AS sh FROM hsh),
         bands AS ({band_selects}),
+        probes(pb) AS (VALUES {_probe_values_sql(bpb, probe_bits)}),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+            FROM bands a CROSS JOIN probes pr
+            JOIN bands b ON a.band = b.band AND xor(a.key, pr.pb) = b.key
             WHERE a.id < b.id
         )
         SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
@@ -2677,13 +2725,25 @@ def _ann_cosine_oracle(k: int = 3) -> str:
     """
 
 
+def _probe_values_sql(bpb: int, probe_bits: int) -> str:
+    """SQL literal list of xor-masks for multi-probe band keys:
+    [0] for exact-only, [0, 1, 2, 4, ...] for hamming-1 probing."""
+    masks = [0] + ([1 << j for j in range(bpb)] if probe_bits else [])
+    return ", ".join(f"({m})" for m in masks)
+
+
 def _lsh_cand_ctes(
-    n_planes: int, bands: int, seed: int, queries_where: str | None
+    n_planes: int,
+    bands: int,
+    seed: int,
+    queries_where: str | None,
+    probe_bits: int = 0,
 ) -> str:
     """Shared CTE chain (v → planes → proj → sig → bands → cand) of
     the LSH replays: hyperplane literals, signature = sum of
     bit-weights where the projection is positive, band keys by
-    shift+mask, candidates by band equi-join. ``queries_where``
+    shift+mask, candidates by band equi-join (query side expanded
+    with xor probe masks when ``probe_bits=1``). ``queries_where``
     restricts the query side (None = every vector is a query, the
     k-NN-graph regime). repr() round-trips each float64 exactly."""
     from annotation_service_spark.operators.similarity import _hyperplanes
@@ -2703,12 +2763,11 @@ def _lsh_cand_ctes(
         f"SELECT vec_id, {b} AS band, (sig >> {(bands - 1 - b) * bpb}) & {mask} AS key FROM sig"
         for b in range(bands)
     )
-    qb = (
-        f"SELECT * FROM bands WHERE {queries_where}"
-        if queries_where
-        else "SELECT * FROM bands"
-    )
+    qwhere = f"WHERE {queries_where}" if queries_where else ""
+    qb = f"""SELECT DISTINCT vec_id, band, xor(key, pr.pb) AS key
+             FROM bands CROSS JOIN probes pr {qwhere}"""
     return f"""{_V_CTE},
+        probes(pb) AS (VALUES {_probe_values_sql(bpb, probe_bits)}),
         planes(w, p) AS (VALUES {plane_rows}),
         proj AS (
             SELECT v.vec_id, pl.w,
@@ -2728,11 +2787,17 @@ def _lsh_cand_ctes(
         )"""
 
 
-def _lsh_oracle(n_planes: int = 16, bands: int = 8, k: int = 3, seed: int = 7) -> str:
+def _lsh_oracle(
+    n_planes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    seed: int = 7,
+    probe_bits: int = 0,
+) -> str:
     """DuckDB replay of ``ann_lsh_topk`` (query side = vec_id % 50),
-    exact round-6 cosine re-rank of the banded candidates."""
+    exact round-6 cosine re-rank of the (probed) banded candidates."""
     return f"""
-        WITH {_lsh_cand_ctes(n_planes, bands, seed, "vec_id % 50 = 0")},
+        WITH {_lsh_cand_ctes(n_planes, bands, seed, "vec_id % 50 = 0", probe_bits)},
         {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
     """
 
@@ -2743,6 +2808,7 @@ def _pagerank_lsh_oracle(
     k: int = 3,
     iterations: int = 3,
     seed: int = 7,
+    probe_bits: int = 0,
 ) -> str:
     """FULLY independent DuckDB replay of the SCALE path
     ``knn_pagerank(method="lsh")``: LSH-banded candidate edges with
@@ -2755,7 +2821,7 @@ def _pagerank_lsh_oracle(
     damping, scale = 85, 1_000_000
     base = ((100 - damping) * scale) // 100
     cte = [
-        f"""{_lsh_cand_ctes(n_planes, bands, seed, None)},
+        f"""{_lsh_cand_ctes(n_planes, bands, seed, None, probe_bits)},
         sc AS (
             SELECT cand.qid, cand.nid, {_cos6('qv.e', 'cv.e')} AS cos
             FROM cand
@@ -3202,7 +3268,7 @@ def oracle_sql() -> dict[str, str]:
             FROM planted
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 8, 0.5),
-        "dedup_simhash": _simhash_oracle(60, 4, 2),
+        "dedup_simhash": _simhash_oracle(60, 4, 7, probe_bits=1),
         "dedup_ngram_jaccard": f"""
             WITH {_shingle_cte(3)},
             sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -3586,7 +3652,7 @@ def oracle_sql() -> dict[str, str]:
         # gemm path re-scores survivors with the identical expression →
         # same result set and values as the brute-force form
         "ann_gemm_topk": _ann_cosine_oracle(3),
-        "ann_lsh_topk": _lsh_oracle(60, 4, 3),
+        "ann_lsh_topk": _lsh_oracle(60, 4, 3, probe_bits=1),
         "ann_ivf_topk": _ivf_oracle(8, 3, 3),
         "text_metrics": """
             WITH t AS (
@@ -4334,7 +4400,7 @@ def oracle_sql() -> dict[str, str]:
         # semantics (session end = last event + gap)
         "session_rollup": """
             WITH s AS (
-                SELECT user_id, ts, value,
+                SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                             THEN 1 ELSE 0 END AS brk
@@ -4342,7 +4408,8 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             g AS (
-                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                SELECT *, sum(brk) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
                 FROM s
             )
@@ -4445,6 +4512,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(10) OVER (PARTITION BY lang
                         ORDER BY n_chars, doc_id) AS BIGINT) AS decile
             FROM documents
+        """,
+        "first_last_ignore_nulls": """
+            WITH ev AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_type <> 'error' THEN value END AS v
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS ffill,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+                   ) AS first_v
+            FROM ev
         """,
         "fuzzy_match": """
             WITH h AS (
@@ -4733,7 +4818,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_rank": _bm25_oracle(),
         "knn_pagerank": _pagerank_oracle(3, 3),
-        "knn_pagerank_lsh": _pagerank_lsh_oracle(60, 4, 3, 3),
+        "knn_pagerank_lsh": _pagerank_lsh_oracle(60, 4, 3, 3, probe_bits=1),
         "weighted_sample_stratified": """
             SELECT doc_id, source, weight FROM (
                 SELECT doc_id, source,

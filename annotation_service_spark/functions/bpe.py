@@ -39,25 +39,25 @@ def word_freqs(
     text_col: str = "text",
     lowercase: bool = True,
     min_count: int = 1,
-    max_words: int | None = 1_000_000,
+    max_words: int | None = None,
 ) -> dict[str, int]:
     """Corpus word-frequency table (whitespace words): ONE distributed
-    map-side-combinable aggregation, collected at BOUNDED size.
+    map-side-combinable aggregation.
 
-    The web-scale vocabulary is unbounded (typos, URLs — plausibly
-    billions of distinct tokens at 100 TB), so the driver collect is
-    capped (VERDICT r3 #2): ``min_count`` drops the singleton tail
-    below a frequency floor, and ``max_words`` keeps only the top-N
-    by (count desc, word) via TakeOrdered — never a full sort or an
-    unbounded collect. This is the standard tokenizer-trainer
-    contract (cf. min_frequency in public BPE trainers): merge
-    learning is EXACT over the retained table; pair mass carried by
-    dropped tail words (each seen < min_count times, or beyond the
-    top ``max_words``) cannot promote a merge unless its total mass
-    rivals head-word pair counts, which a frequency cut precludes by
-    construction for any corpus where merges matter. Pass
-    ``min_count=1, max_words=None`` for the exact unbounded form
-    (small-corpus differential tests)."""
+    The DEFAULT is the exact, unbounded form — every distinct word
+    comes back to the driver. That is correct but only safe when the
+    vocabulary is bounded; the web-scale vocabulary is not (typos,
+    URLs — plausibly billions of distinct tokens at 100 TB), so
+    100 TB callers MUST opt into a cap explicitly: ``min_count``
+    drops the singleton tail below a frequency floor, ``max_words``
+    keeps only the top-N by (count desc, word) via TakeOrdered —
+    never a full sort or an unbounded collect (this is the standard
+    tokenizer-trainer contract, cf. min_frequency in public BPE
+    trainers). A cap APPROXIMATES the merge list: merge learning is
+    exact over the retained table, and pair mass carried by dropped
+    tail words can in principle shift a merge decision — the cap is
+    a caller-visible trade, which is why it is not a silent
+    default."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)

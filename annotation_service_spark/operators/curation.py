@@ -78,6 +78,41 @@ def concat_chunk_map(
     )
 
 
+def _range_shard_bounds(docs: DataFrame, id_col: str, n_shards: int) -> list:
+    """Range-shard boundaries over ``id_col`` for ANY orderable id
+    type. Numeric ids use approxQuantile (one sketch pass); other
+    types (string/date doc ids) use sample-based boundaries — the
+    RangePartitioner approach — since approxQuantile is
+    numeric-only. Correctness never depends on the boundary VALUES:
+    shard(r) = #bounds < id(r) is contiguous in id order for any
+    bound set; the sample only controls shard balance."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(docs.schema[id_col].dataType, NumericType):
+        qs = [i / n_shards for i in range(1, n_shards)]
+        return sorted(set(docs.approxQuantile(id_col, qs, 0.001)))
+    cap = 200 * n_shards
+    sample = [
+        r[0]
+        for r in docs.select(id_col)
+        .where(F.col(id_col).isNotNull())
+        .sample(fraction=0.01, seed=7)
+        .limit(cap)
+        .collect()
+    ]
+    if len(sample) < n_shards:  # tiny input: sampling too sparse
+        sample = [
+            r[0]
+            for r in docs.select(id_col)
+            .where(F.col(id_col).isNotNull())
+            .limit(cap)
+            .collect()
+        ]
+    sample.sort()
+    step = max(1, len(sample) // n_shards)
+    return sorted(set(sample[step::step][: n_shards - 1]))
+
+
 def _concat_chunk_global(
     docs: DataFrame,
     block_size: int,
@@ -97,8 +132,7 @@ def _concat_chunk_global(
     spark = docs.sparkSession
     if n_shards is None:
         n_shards = max(2, spark.sparkContext.defaultParallelism)
-    qs = [i / n_shards for i in range(1, n_shards)]
-    bounds = sorted(set(docs.approxQuantile(id_col, qs, 0.001)))
+    bounds = _range_shard_bounds(docs, id_col, n_shards)
     shard = F.lit(0)
     for b in bounds:
         shard = shard + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)

@@ -146,6 +146,30 @@ def minhash_signatures(
     return base.groupBy("id").agg(*aggs)
 
 
+def _minhash_banded_rows(
+    sig: DataFrame, num_hashes: int, bands: int, extra_cols: list[str]
+) -> DataFrame:
+    """Shared banding block of the MinHash family: signature table →
+    (id, *extra_cols, band, bucket) rows, one per band, bucket = md5
+    of the band's rows_per_band minima (effectively unbounded
+    keyspace)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    return sig.select(
+        "id", *extra_cols, F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", *extra_cols, "bb.band", "bb.bucket")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -159,24 +183,12 @@ def minhash_candidates(
     exact-Jaccard verify. MinHash band keys are md5 digests of
     rows_per_band 40-bit minima — an effectively unbounded keyspace,
     so |candidates| tracks true near-dups at any corpus size (unlike
-    fixed-width hyperplane/simhash bands). Count this to measure it."""
-    rows_per_band = num_hashes // bands
+    fixed-width hyperplane/simhash bands). Count this to measure it;
+    tests/test_candidate_bounds.py pins the bound on a planted-dup
+    corpus."""
     sh = shingle_table(df, id_col, text_col, ngram)
-    sig = minhash_signatures(sh, num_hashes, include_size=True)
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
-            )
-        )
-    banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    sig = minhash_signatures(sh, num_hashes).cache()
+    banded = _minhash_banded_rows(sig, num_hashes, bands, [])
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -203,27 +215,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard). With r=num_hashes/bands, candidate
     probability is 1-(1-j^r)^b (~0.9 at j=0.5 for 16/8).
     """
-    rows_per_band = num_hashes // bands
     sh = shingle_table(df, id_col, text_col, ngram).cache()
     sig = minhash_signatures(sh, num_hashes, include_size=True)
 
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
-            )
-        )
     # the per-doc shingle count n rides the band rows (2 extra longs
     # per row), so the Jaccard denominator needs NO extra aggregation
     # or re-join later — the sizes come out of the candidate join.
-    banded = sig.select(
-        "id", "n", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "n", "bb.band", "bb.bucket")
+    banded = _minhash_banded_rows(sig, num_hashes, bands, ["n"])
 
     left = banded.select(
         F.col("id").alias("id_a"), F.col("n").alias("na"), "band", "bucket"
@@ -489,64 +487,27 @@ def simhash_table(
     return agg.select("id", sig.alias("sh"))
 
 
-def simhash_candidates(
+def _simhash_band_candidates(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ngram: int = 3,
-    bits: int = 60,
-    bands: int = 4,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    bits: int,
+    bands: int,
+    probe_bits: int,
+    carry_sig: bool,
 ) -> DataFrame:
-    """Candidate-pair observability for SimHash: the deduped
-    (id_a, id_b) table the band equi-join produces BEFORE the
-    hamming verify. Count it to measure the regime — with the 60-bit
-    default (15-bit band keys, 32,768 buckets/band) candidates stay
-    ∝ true near-dups; 4-bit keys (16 buckets) degrade to ~n²/16."""
-    bits_per_band = bits // bands
-    mask = (1 << bits_per_band) - 1
-    sh = simhash_table(df, id_col, text_col, ngram, bits)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("sh"), (bands - 1 - b) * bits_per_band)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sh.select("id", F.explode(band_arr).alias("bb")).select(
-        "id", "bb.band", "bb.key"
-    )
-    left = banded.select(F.col("id").alias("id_a"), "band", "key")
-    right = banded.select(F.col("id").alias("id_b"), "band", "key")
-    return (
-        left.join(right, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    """Shared banding block of the SimHash family: fingerprint →
+    band keys (shift+mask) → self-equi-join → deduped (id_a, id_b)
+    candidates, optionally carrying both fingerprints for the
+    hamming verify (``carry_sig``). With ``probe_bits=1`` the LEFT
+    side of the self-join also probes every band key within hamming
+    1 of its own, so a pair is a candidate when SOME band differs by
+    ≤ probe_bits bits — by pigeonhole that guarantees detection of
+    every pair with total hamming ≤ bands·(probe_bits+1)−1 while the
+    band keyspace stays the full 2^(bits/bands)."""
+    from annotation_service_spark.operators.similarity import _probe_keys
 
-
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ngram: int = 3,
-    bits: int = 60,
-    bands: int = 4,
-    max_hamming: int = 2,
-) -> DataFrame:
-    """SimHash near-dup candidates via band equi-join (a pair within
-    hamming ≤ bands-1 shares ≥1 exact band by pigeonhole), verified
-    with xor-popcount. Returns (id_a, id_b, hamming).
-
-    Defaults are the scale-safe regime: 60-bit fingerprints / 4
-    bands → 15-bit band keys (32,768 buckets per band), so the band
-    self-join yields candidates ∝ true near-dups. Narrow forms
-    (bits=16, 4-bit keys → 16 buckets) are kept only as explicit
-    oracle regimes — at corpus scale they produce ~n²/16 pairs."""
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
     sh = simhash_table(df, id_col, text_col, ngram, bits).cache()
@@ -561,16 +522,79 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = sh.select("id", "sh", F.explode(band_arr).alias("bb")).select(
-        "id", "sh", "bb.band", "bb.key"
+    sig_cols = ["sh"] if carry_sig else []
+    banded = sh.select("id", *sig_cols, F.explode(band_arr).alias("bb")).select(
+        "id", *sig_cols, "bb.band", "bb.key"
     )
-    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
-    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
-    cand = (
+    left = banded.select(
+        F.col("id").alias("id_a"),
+        *([F.col("sh").alias("sh_a")] if carry_sig else []),
+        "band",
+        F.explode(_probe_keys(F.col("key"), bits_per_band, probe_bits)).alias(
+            "key"
+        ),
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"),
+        *([F.col("sh").alias("sh_b")] if carry_sig else []),
+        "band",
+        "key",
+    )
+    out_cols = ["id_a", "id_b"] + (["sh_a", "sh_b"] if carry_sig else [])
+    return (
         left.join(right, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select(*out_cols)
         .distinct()
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Candidate-pair observability for SimHash: the deduped
+    (id_a, id_b) table the band equi-join produces BEFORE the
+    hamming verify. Count it to measure the regime — with the 60-bit
+    default (15-bit band keys, 32,768 buckets/band, hamming-1
+    probing) candidates stay ∝ true near-dups; 4-bit keys (16
+    buckets) degrade to ~n²/16. Bounded by
+    tests/test_candidate_bounds.py on a planted-dup corpus."""
+    return _simhash_band_candidates(
+        df, id_col, text_col, ngram, bits, bands, probe_bits, carry_sig=False
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 7,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """SimHash near-dup candidates via multi-probe band equi-join,
+    verified with xor-popcount. Returns (id_a, id_b, hamming).
+
+    Defaults are the scale-safe regime: 60-bit fingerprints / 4
+    bands → 15-bit band keys (32,768 buckets per band) with
+    hamming-1 band probing, so the self-join yields candidates ∝
+    true near-dups AND pigeonhole guarantees every pair with total
+    hamming ≤ bands·(probe_bits+1)−1 = 7 is caught — the hamming
+    budget scales with fingerprint width (7 ≈ bits/8, the same
+    ~88% bit-agreement contract the old 16-bit/hamming-2 form had).
+    Narrow forms (bits=16, 4-bit keys → 16 buckets) are kept only as
+    explicit oracle regimes — at corpus scale they produce ~n²/16
+    pairs."""
+    cand = _simhash_band_candidates(
+        df, id_col, text_col, ngram, bits, bands, probe_bits, carry_sig=True
     )
     return cand.select(
         "id_a",

@@ -214,55 +214,55 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     round_digits: int = 6,
     use_lsh: bool = False,
-    n_planes: int = 16,
-    bands: int = 8,
+    n_planes: int = 60,
+    bands: int = 4,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cosine ≥ threshold and id_a < id_b.
 
     ``use_lsh=False`` is the exact all-pairs form (|corpus|² cosines —
     the oracle-checkable ground truth, fine up to ~10^5 rows);
-    ``use_lsh=True`` restricts pairs to LSH band-bucket candidates
-    first — the 100 TB path, verified against the exact form by the
-    recall test."""
+    ``use_lsh=True`` restricts pairs to LSH band candidates first —
+    the 100 TB path, sharing the ANN family's probed wide-band
+    machinery (15-bit keys + hamming-1 multi-probe; the band join
+    carries only ids, vectors re-attach by two id equi-joins),
+    verified against the exact form by the recall test."""
     dim = _vec_dim(embeddings, vec_col)
-    base = embeddings.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
-    ).withColumn("nrm", F.sqrt(dot("ve", "ve", dim)))
     if use_lsh:
-        planes = _hyperplanes(dim, n_planes)
-        bits_per_band = n_planes // bands
-        mask = (1 << bits_per_band) - 1
-        sig = base.withColumn("sig", lsh_signature_kernel(planes)(F.col("ve")))
-        band_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("sig"), (bands - 1 - b) * bits_per_band)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
-                for b in range(bands)
-            ]
+        lsh_base, cand_ids = _lsh_base_and_candidates(
+            embeddings, id_col, vec_col, F.lit(True),
+            n_planes, bands, 7, probe_bits,
         )
-        banded = sig.select("id", "ve", "nrm", F.explode(band_arr).alias("bb")).select(
-            "id", "ve", "nrm", "bb.band", "bb.key"
-        )
-        left = banded.select(
-            F.col("id").alias("id_a"), F.col("ve").alias("va"),
-            F.col("nrm").alias("na"), "band", "key",
-        )
-        right = banded.select(
-            F.col("id").alias("id_b"), F.col("ve").alias("vb"),
-            F.col("nrm").alias("nb"), "band", "key",
-        )
+        vecs = lsh_base.select("id", "ve", "nrm")
         cand = (
-            left.join(right, ["band", "key"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb", "na", "nb")
-            .distinct()
+            cand_ids.where(F.col("qid") < F.col("nid"))
+            .join(
+                vecs.select(
+                    F.col("id").alias("qid"),
+                    F.col("ve").alias("va"),
+                    F.col("nrm").alias("na"),
+                ),
+                "qid",
+            )
+            .join(
+                vecs.select(
+                    F.col("id").alias("nid"),
+                    F.col("ve").alias("vb"),
+                    F.col("nrm").alias("nb"),
+                ),
+                "nid",
+            )
+            .select(
+                F.col("qid").alias("id_a"),
+                F.col("nid").alias("id_b"),
+                "va", "vb", "na", "nb",
+            )
         )
     else:
+        base = embeddings.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
+        ).withColumn("nrm", F.sqrt(dot("ve", "ve", dim)))
         a = base.select(
             F.col("id").alias("id_a"), F.col("ve").alias("va"), F.col("nrm").alias("na")
         )
@@ -524,6 +524,19 @@ def lsh_signature_kernel(planes: np.ndarray):
     return sig
 
 
+def _probe_keys(key: Column, bits_per_band: int, probe_bits: int) -> Column:
+    """Multi-probe key set: the exact band key plus every key within
+    hamming ≤ probe_bits of it. Only probe_bits ∈ {0, 1} are
+    implemented (hamming-1 probing is the standard recall/cost point:
+    it multiplies query-side band rows by 1+bits_per_band while the
+    random-collision rate stays ∝ 2^-bits_per_band)."""
+    if probe_bits == 0:
+        return F.array(key)
+    if probe_bits != 1:
+        raise ValueError("probe_bits must be 0 or 1")
+    return F.array(key, *[key.bitwiseXOR(F.lit(1 << j)) for j in range(bits_per_band)])
+
+
 def _lsh_base_and_candidates(
     embeddings: DataFrame,
     id_col: str,
@@ -532,12 +545,18 @@ def _lsh_base_and_candidates(
     n_planes: int,
     bands: int,
     seed: int,
+    probe_bits: int = 0,
 ):
     """Shared signature→band→candidate chain of the LSH family.
     Returns (base, cand): ``base`` carries (id, ve, sig, nrm);
     ``cand`` is the deduped (qid, nid) candidate-pair table — the
     quantity whose growth decides whether the composition is
-    sub-quadratic (see ``lsh_candidates``)."""
+    sub-quadratic (see ``lsh_candidates``). With ``probe_bits=1`` the
+    QUERY side probes all band keys within hamming 1 of its own
+    (multi-probe LSH), so a candidate matches when some band differs
+    by ≤1 bit — recall of moderate-similarity neighbours rises from
+    p^b to p^b + b·p^(b-1)(1-p) per band while the keyspace stays the
+    full 2^b (scale-safe: random collisions grow only (1+b)×)."""
     dim = _vec_dim(embeddings, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
@@ -568,7 +587,16 @@ def _lsh_base_and_candidates(
         "id", "bb.band", "bb.key"
     )
     qf = query_filter if query_filter is not None else (F.col("id") % 50 == 0)
-    qb = banded.where(qf).select(F.col("id").alias("qid"), "band", "key")
+    qb = (
+        banded.where(qf)
+        .select(
+            F.col("id").alias("qid"),
+            "band",
+            F.explode(_probe_keys(F.col("key"), bits_per_band, probe_bits)).alias(
+                "key"
+            ),
+        )
+    )
     cand = (
         banded.join(qb, ["band", "key"])
         .where(F.col("id") != F.col("qid"))
@@ -586,15 +614,18 @@ def lsh_candidates(
     n_planes: int = 60,
     bands: int = 4,
     seed: int = 7,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Candidate-pair observability: the deduped (qid, nid) table the
     banded join produces BEFORE re-ranking. Count it to measure (not
     infer) the regime: scale-safe parameters keep |candidates| ∝
     n_queries·k; O(1)-bucket parameters degrade toward n²/buckets.
-    The pytest guard asserts ≤ c·n·k on a planted-dup corpus at the
-    shipped defaults."""
+    The pytest guard (tests/test_candidate_bounds.py) asserts the
+    count stays ≤ c·n_queries on a planted-dup corpus at the shipped
+    defaults."""
     _, cand = _lsh_base_and_candidates(
-        embeddings, id_col, vec_col, query_filter, n_planes, bands, seed
+        embeddings, id_col, vec_col, query_filter, n_planes, bands, seed,
+        probe_bits,
     )
     return cand
 
@@ -610,20 +641,27 @@ def ann_lsh_topk(
     seed: int = 7,
     round_digits: int = 6,
     max_candidates: int | None = None,
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Banded random-hyperplane ANN: candidates share ≥1 signature
-    band with the query; exact cosine re-ranks. Recall rises with
-    bands (pigeonhole: hamming < bands ⇒ some band matches).
+    """Banded random-hyperplane ANN with hamming-1 multi-probe:
+    candidates are within 1 bit of some query band key; exact cosine
+    re-ranks.
 
     Scale note: the band keyspace is 2^(n_planes/bands) buckets per
     band. The shipped defaults (60 planes / 4 bands → 15-bit keys,
-    32,768 buckets/band) keep the candidate join ∝ true near
-    neighbours; narrow-band forms (e.g. 16/8 → 4 buckets/band) are
-    the exhaustive *oracle regime* only — at corpus scale they
-    degenerate to ~n²/buckets pairs. 60 is the practical max bit
-    width: band weights 1<<(n_planes-1) must stay positive in a
-    signed 64-bit signature for sign-safe shift/mask band extraction
-    on both the Spark and DuckDB sides.
+    32,768 buckets/band, ``probe_bits=1``) keep the candidate join ∝
+    true near neighbours — a random pair collides with probability
+    (1+15)/32768 per band — while multi-probe restores the recall
+    that wide bands alone give up (per band, a neighbour with bit
+    agreement p is caught with p¹⁵ + 15·p¹⁴(1−p) instead of p¹⁵;
+    recall ≥ 0.8 on planted near-dups is pinned by
+    tests/test_dedup_similarity.py::test_ann_lsh_recall). Narrow-band
+    forms (e.g. 16/8 → 4 buckets/band) are the exhaustive *oracle
+    regime* only — at corpus scale they degenerate to ~n²/buckets
+    pairs. 60 is the practical max bit width: band weights
+    1<<(n_planes-1) must stay positive in a signed 64-bit signature
+    for sign-safe shift/mask band extraction on both the Spark and
+    DuckDB sides.
 
     ``max_candidates``: optional hard guard — counts the candidate
     table (one extra job) and raises if the banded join produced more
@@ -631,7 +669,8 @@ def ann_lsh_topk(
     re-rank pays for it."""
     dim = _vec_dim(embeddings, vec_col)
     base, cand = _lsh_base_and_candidates(
-        embeddings, id_col, vec_col, query_filter, n_planes, bands, seed
+        embeddings, id_col, vec_col, query_filter, n_planes, bands, seed,
+        probe_bits,
     )
     if max_candidates is not None:
         n_cand = cand.count()

@@ -109,9 +109,12 @@ def bloom_build(
     the shuffle. No false negatives (join-result-preserving); false
     positives only cost wasted shuffle rows (rate ≈ (1-e^{-kn/m})^k).
     """
+    # pmod, not abs()%: abs(Long.MIN_VALUE) stays negative in two's
+    # complement, so abs(h) % n can yield a negative bit position
+    # (out-of-range numpy index); pmod is total on the full int64 range
     hashed = build.select(
         *[
-            (F.abs(F.xxhash64(F.col(key_col), F.lit(seed + i))) % n_bits)
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(n_bits))
             .cast("long")
             .alias(f"h{i}")
             for i in range(n_hashes)
@@ -154,9 +157,9 @@ def bloom_might_contain(
 
     harr = F.array(
         *[
-            (F.abs(F.xxhash64(F.col(key_col), F.lit(seed + i))) % n_bits).cast(
-                "long"
-            )
+            F.pmod(
+                F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(n_bits)
+            ).cast("long")
             for i in range(n_hashes)
         ]
     )

@@ -89,6 +89,33 @@ def test_concat_chunk_map_global_two_phase(spark):
         off += t
 
 
+def test_concat_chunk_map_global_string_ids(spark):
+    """ADVICE r5: the global two-phase cumsum must work for
+    NON-NUMERIC doc ids (approxQuantile is numeric-only; string ids
+    fall back to sample-based range boundaries). Zero-padded ids make
+    string order == numeric order, so the sequential expectation is
+    the same cumsum."""
+    toks = {i: (i * 37) % 90 for i in range(1, 120)}
+    df = spark.createDataFrame(
+        [(f"doc-{i:05d}", t) for i, t in toks.items()],
+        "doc_id string, n_tokens int",
+    )
+    out = cu.concat_chunk_map(df, block_size=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == len(toks)
+    off = 0
+    for i in sorted(toks):
+        t = toks[i]
+        r = rows[f"doc-{i:05d}"]
+        assert r.start_off == off, i
+        assert r.first_block == off // 64
+        expect_last = (off + t - 1) // 64 if t > 0 else off // 64
+        assert r.last_block == expect_last
+        off += t
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     docs = spark.createDataFrame(
         [(i, "heavy" if i % 2 else "light", "x") for i in range(2000)],

@@ -58,14 +58,30 @@ def test_minhash_lsh_agrees_with_exact(spark, docs_df):
 
 
 def test_simhash_near_dup(spark, docs_df):
-    pairs = dd.simhash_pairs(docs_df, max_hamming=3).collect()
+    """The 60-bit default contract: 4 bands × 15-bit keys with
+    hamming-1 probing guarantees detection of every pair with total
+    hamming ≤ 4·2−1 = 7 (pigeonhole); the planted one-word edit
+    (1,2) lands at hamming 7 — exactly at the guaranteed radius."""
+    pairs = dd.simhash_pairs(docs_df).collect()
     got = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert got[(1, 4)] == 0  # identical text → identical simhash
-    assert (1, 2) in got     # near-dup within hamming budget
+    assert (1, 2) in got     # near-dup within the scaled hamming budget
+    assert got[(1, 2)] <= 7
+    assert all(3 not in p for p in got)  # unrelated doc never pairs
     sigs = docs_df.select(dd.simhash(F.col("text")).alias("s")).collect()
-    assert all(0 <= r.s < 2**16 for r in sigs if r.s is not None)
+    assert all(0 <= r.s < 2**60 for r in sigs if r.s is not None)
     # doc 5 has <3 words → no features → NULL fingerprint
     assert sum(1 for r in sigs if r.s is None) == 1
+    # column-expression form agrees with the scalable table form
+    tbl = {r.id: r.sh for r in dd.simhash_table(docs_df).collect()}
+    col = {
+        r.doc_id: r.s
+        for r in docs_df.select(
+            "doc_id", dd.simhash(F.col("text")).alias("s")
+        ).collect()
+        if r.s is not None
+    }
+    assert col == tbl
 
 
 def test_simhash_empty_features(spark):
@@ -91,16 +107,40 @@ def test_ann_bruteforce_topk(spark):
     assert len(by_q[50]) == 2
 
 
-def test_ann_lsh_recall(spark):
-    """LSH top-k must recover most of brute-force top-k (recall ≥ 0.8
-    on random vectors with 16 planes / 8 two-bit bands)."""
+def _planted_ann_corpus(n_queries=8, dim=16, n_noise=120, seed=3):
+    """Planted-near-dup ANN corpus: each query (vec_id % 50 == 0, the
+    ANN family's default query side) gets 3 planted neighbours at
+    cos ≈ 0.97 amid gaussian noise vectors — the regime LSH is FOR
+    (on i.i.d. random vectors the 'nearest' neighbour is barely more
+    similar than anyone else, so no scale-safe hash can find it)."""
     import random
 
-    rng = random.Random(3)
-    vecs = [
-        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)
-    ]
-    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rng = random.Random(seed)
+    vecs = []
+    for q in range(n_queries):
+        qid = q * 50
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        vecs.append((qid, base))
+        for j in range(3):
+            vecs.append(
+                (qid * 1000 + j + 1, [b + rng.gauss(0, 0.12) for b in base])
+            )
+    vid = 900_000
+    for _ in range(n_noise):
+        vid += 1
+        if vid % 50 == 0:
+            vid += 1
+        vecs.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+    return [(i, [float(x) for x in v]) for i, v in vecs]
+
+
+def test_ann_lsh_recall(spark):
+    """LSH top-k must recover ≥ 0.8 of brute-force top-k on planted
+    near-dups at the shipped scale-safe defaults (60 planes / 4
+    15-bit bands, hamming-1 multi-probe). Measured 1.0 at seed 3."""
+    df = spark.createDataFrame(
+        _planted_ann_corpus(), "vec_id long, embedding array<float>"
+    )
     bf = {(r.qid, r.nid) for r in sim.ann_bruteforce_topk(df, k=3).collect()}
     lsh = {(r.qid, r.nid) for r in sim.ann_lsh_topk(df, k=3).collect()}
     recall = len(bf & lsh) / len(bf)

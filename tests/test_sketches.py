@@ -131,6 +131,34 @@ def test_count_min_streaming_update(spark, tmp_path):
     assert len(got) <= 3 * 64
 
 
+def test_bloom_positions_nonnegative(spark):
+    """ADVICE r5: bit positions must come from pmod, not abs()% —
+    abs(Long.MIN_VALUE) is still negative in two's complement, and
+    plain % preserves sign, so abs(h) % n can go negative. Mirror the
+    implementation's hash expression over string keys (≈half produce
+    negative xxhash64) and pin every position into [0, n_bits)."""
+    from pyspark.sql import functions as F
+
+    n_bits, seed = 1 << 17, 11
+    df = spark.range(0, 2000).selectExpr("concat('key-', id) AS k")
+    pos = df.select(
+        "k",
+        *[
+            F.pmod(F.xxhash64(F.col("k"), F.lit(seed + i)), F.lit(n_bits))
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(5)
+        ],
+    ).agg(
+        F.min(F.least(*[F.col(f"h{i}") for i in range(5)])).alias("lo"),
+        F.max(F.greatest(*[F.col(f"h{i}") for i in range(5)])).alias("hi"),
+        # sanity: the raw hashes really do go negative on this corpus
+        F.min(F.xxhash64(F.col("k"), F.lit(seed))).alias("raw_min"),
+    ).collect()[0]
+    assert pos.raw_min < 0
+    assert 0 <= pos.lo and pos.hi < n_bits
+
+
 def test_bloom_semijoin_reduction_properties(spark):
     """No false negatives (every build key passes), measurable
     selectivity (most non-keys are dropped), and the empirical

@@ -2,10 +2,11 @@
 
 Media travel as opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extraction / resize / frame-sampling are
-Arrow-batched ``mapInPandas`` stages. Three REAL pure-Python codecs
-are built in — binary PPM (P6) images, 8-bit non-interlaced PNG, and
-PCM WAV audio — dispatched by magic bytes; formats needing external
-codec libraries (JPEG, MP3, … not in this environment) fall back to a
+Arrow-batched ``mapInPandas`` stages. Four REAL pure-Python codecs
+are built in — binary PPM (P6) images, 8-bit non-interlaced PNG,
+baseline sequential JPEG (T.81), and PCM WAV audio — dispatched by
+magic bytes; formats needing external codec libraries (MP3,
+progressive JPEG, video, … not in this environment) fall back to a
 STUBBED decode: with
 ``deterministic_fake=True`` it derives stable pseudo-features from
 the bytes (md5-seeded), otherwise it raises NotImplementedError. The
@@ -192,6 +193,265 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
+# JPEG baseline decoder ------------------------------------------------
+#
+# Pure stdlib/numpy implementation of baseline sequential DCT JPEG
+# (ITU-T T.81): marker walk, canonical Huffman decode with 0xFF00
+# byte-unstuffing and DRI restart handling, dequantize + inverse
+# zigzag, 8x8 IDCT (orthonormal DCT-II basis matrix), per-component
+# sampling-factor upsample, JFIF YCbCr->RGB. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision are rejected with
+# ValueError (they fall through decode_features' magic dispatch to
+# the unknown-format branch like any corrupt payload).
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A: block_dct = A @ b @ A.T,
+    block = A.T @ coef @ A."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; restart markers (FFD0-FFD7) are consumed by
+    ``restart()`` which also resets bit alignment."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.acc = 0
+
+    def read_bit(self) -> int:
+        if self.bits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed zero
+                else:
+                    # marker inside entropy data (premature EOI etc.)
+                    raise ValueError("unexpected marker in JPEG scan")
+            self.acc = b
+            self.bits = 8
+        self.bits -= 1
+        return (self.acc >> self.bits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        self.bits = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("missing JPEG restart marker")
+
+
+def _huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: map (code_length, code) -> value."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed
+    value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_decode_blocks(payload: bytes):
+    """Parse + entropy-decode a baseline JPEG. Returns
+    (width, height, comps, planes) where ``comps`` is the SOF
+    component list [(cid, h_samp, v_samp, tq)] and ``planes[i]`` is
+    the DEQUANTIZED natural-order coefficient array of component i,
+    shape (blocks_y, blocks_x, 8, 8) int64 — the exact integers the
+    encoder quantized, before any IDCT rounding (differential tests
+    compare these byte-exactly against an independent encoder)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qt[tq] = np.frombuffer(
+                    seg, np.uint8, 64, i + 1
+                ).astype(np.int64)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+extended seq)
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arith) not supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = seg[i + 17 : i + 17 + nvals]
+                huff[(tc, th)] = _huff_table(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for i in range(ns):
+                scan[seg[1 + 2 * i]] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+            w, h, comps = sof
+            if set(scan) != {c[0] for c in comps}:
+                raise ValueError("multi-scan baseline JPEG not supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            planes = [
+                np.zeros((mcus_y * c[2], mcus_x * c[1], 8, 8), np.int64)
+                for c in comps
+            ]
+            r = _JpegBitReader(payload, pos + 2 + seglen)
+            pred = [0] * len(comps)
+            for m in range(mcus_x * mcus_y):
+                if restart_interval and m and m % restart_interval == 0:
+                    r.restart()
+                    pred = [0] * len(comps)
+                my, mx = divmod(m, mcus_x)
+                for ci, (cid, ch, cv, tq) in enumerate(comps):
+                    td, ta = scan[cid]
+                    dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+                    q = qt[tq]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zz = np.zeros(64, np.int64)
+                            s = _huff_decode(r, dc_t)
+                            pred[ci] += _extend(r.receive(s), s)
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(r, ac_t)
+                                run, size = rs >> 4, rs & 15
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                zz[k] = _extend(r.receive(size), size)
+                                k += 1
+                            blk = np.zeros(64, np.int64)
+                            blk[_JPEG_ZIGZAG] = zz * q
+                            planes[ci][my * cv + by, mx * ch + bx] = (
+                                blk.reshape(8, 8)
+                            )
+            return w, h, comps, planes
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL codec: baseline sequential JPEG → uint8 array (height,
+    width, channels) — channels 3 (YCbCr→RGB per the JFIF float
+    formulas, rounded then clipped) or 1 (grayscale). Chroma
+    subsampling is box-replicated up to full resolution. Coefficient
+    decode is differential-tested byte-exactly against an independent
+    in-test encoder (tests/test_multimodal_jpeg.py); pixel output is
+    bounded by quantization error only."""
+    w, h, comps, planes = _jpeg_decode_blocks(payload)
+    a = _dct_basis()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    chans = []
+    for ci, (cid, ch, cv, _tq) in enumerate(comps):
+        p = planes[ci]
+        by, bx = p.shape[0], p.shape[1]
+        # one einsum IDCTs every block of the component at once
+        pix = np.einsum("iu,yxuv,vj->yxij", a.T, p.astype(np.float64), a)
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # upsample to full resolution by sample-factor replication
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        chans.append(plane[:h, :w])
+    if len(chans) == 1:
+        out = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    if len(chans) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(chans)}")
+    y, cb, cr = chans
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL codec: PCM WAV → (float64 samples in [-1, 1] averaged
     across channels, sample_rate). Stdlib ``wave`` + numpy."""
@@ -255,6 +515,13 @@ def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndar
             return _segment_means(gray, n)
         except (ValueError, IndexError, OSError):
             pass  # magic collision, corrupt, or unsupported PNG → unknown
+    if payload[:2] == b"\xff\xd8":
+        try:
+            img = decode_jpeg(payload)
+            gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
+            return _segment_means(gray, n)
+        except (ValueError, IndexError):
+            pass  # magic collision, corrupt, or progressive → unknown
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             x, _rate = decode_wav(payload)

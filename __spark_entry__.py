@@ -450,6 +450,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3, probe_bits=1)
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized ANN re-rank over the probed-LSH candidates
+    (operators/similarity.py ann_quantized_topk): the 4x-memory
+    re-rank path for candidate joins that dominate executor memory at
+    10^8+ vectors. The quantized dot is an exact integer, so the
+    DuckDB oracle replays quantization + banding + integer re-rank
+    bit-for-bit; recall vs the float re-rank is pytest-pinned."""
+    return sim.ann_quantized_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, probe_bits=1
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs form (the
     oracle-checkable ground truth; the LSH/IVF variants are the scale
@@ -2444,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "knn_pagerank_lsh": q_knn_pagerank_lsh,
         "first_last_ignore_nulls": q_first_last_ignore_nulls,
+        "ann_quantized_topk": q_ann_quantized_topk,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -2494,10 +2507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_pivot": q_case_pivot,
         "scalar_subquery": q_scalar_subquery,
         "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
         # ==== ~driver window boundary (50) ================================
         # below: hash-green in an earlier round's CORRECTNESS_r*.json and
         # replica-verified at both SFs this round (docs/ORACLE_R6_*.log)
+        "semi_join": q_semi_join,
         "text_normalize": q_text_normalize,
         "profile_table": q_profile_table,
         "posting_lists": q_posting_lists,
@@ -2799,6 +2812,50 @@ def _lsh_oracle(
     return f"""
         WITH {_lsh_cand_ctes(n_planes, bands, seed, "vec_id % 50 = 0", probe_bits)},
         {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
+    """
+
+
+def _quantized_ann_oracle(
+    n_planes: int = 60,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 7,
+    probe_bits: int = 1,
+) -> str:
+    """DuckDB replay of ``ann_quantized_topk``: probed LSH candidates,
+    then symmetric int8 quantization (scale = max|x|/127, round
+    half-away — both engines' double round) and the EXACT integer dot
+    re-rank. Every arithmetic step is either bit-identical double ops
+    or integer ops, so the gate hash-checks the full composition."""
+    return f"""
+        WITH {_lsh_cand_ctes(n_planes, bands, seed, "vec_id % 50 = 0", probe_bits)},
+        am AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS amax
+            FROM v
+        ),
+        qq AS (
+            SELECT vec_id,
+                   CASE WHEN amax > 0
+                        THEN list_transform(
+                            e, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                   END AS qv
+            FROM am
+        ),
+        s AS (
+            SELECT cand.qid, cand.nid,
+                   CAST(list_sum(list_transform(
+                        range(1, len(qa.qv) + 1),
+                        i -> qa.qv[i] * qb.qv[i])) AS BIGINT) AS qdot
+            FROM cand
+            JOIN qq qa ON qa.vec_id = cand.qid
+            JOIN qq qb ON qb.vec_id = cand.nid
+        )
+        SELECT qid, nid, qdot
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY qdot DESC, nid) AS rn FROM s)
+        WHERE rn <= {k}
     """
 
 
@@ -3653,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         # same result set and values as the brute-force form
         "ann_gemm_topk": _ann_cosine_oracle(3),
         "ann_lsh_topk": _lsh_oracle(60, 4, 3, probe_bits=1),
+        "ann_quantized_topk": _quantized_ann_oracle(60, 4, 3, probe_bits=1),
         "ann_ivf_topk": _ivf_oracle(8, 3, 3),
         "text_metrics": """
             WITH t AS (

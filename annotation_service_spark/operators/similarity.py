@@ -715,6 +715,62 @@ def ann_lsh_topk(
     )
 
 
+def ann_quantized_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+    k: int = 3,
+    n_planes: int = 60,
+    bands: int = 4,
+    seed: int = 7,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Memory-efficient ANN: probed-LSH candidates re-ranked by the
+    INT8-quantized dot product (qdot = Σ qa_i·qb_i, an exact integer
+    — both engines agree bit-for-bit, so the gate hash-checks the
+    whole composition). The candidate working set carries one int8
+    vector + one float scale per row instead of the float64 array —
+    the 4x-memory reduction path for re-rank joins whose candidate
+    table dominates executor memory at 10^8+ vectors. Returns (qid,
+    nid, qdot); ranking by raw integer dot is the standard
+    symmetric-quantization surrogate for cosine when vectors are
+    near-unit-norm (recall vs the float re-rank is pytest-pinned).
+    """
+    dim = _vec_dim(embeddings, vec_col)
+    _, cand = _lsh_base_and_candidates(
+        embeddings, id_col, vec_col, query_filter, n_planes, bands, seed,
+        probe_bits,
+    )
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+
+    def idot(a: str, b: str) -> Column:
+        s = F.lit(0).cast("long")
+        for i in range(dim):
+            s = s + F.element_at(F.col(a), i + 1).cast("long") * F.element_at(
+                F.col(b), i + 1
+            ).cast("long")
+        return s
+
+    scored = (
+        cand.join(
+            q.select(F.col(id_col).alias("qid"), F.col("qvec").alias("qa")),
+            "qid",
+        )
+        .join(
+            q.select(F.col(id_col).alias("nid"), F.col("qvec").alias("qb")),
+            "nid",
+        )
+        .select("qid", "nid", idot("qa", "qb").alias("qdot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "qdot")
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "ann_gemm_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantized_topk",
     "dedup_embedding_cosine",
     "first_last_ignore_nulls",
     "text_metrics",
@@ -211,6 +212,7 @@ SF1_EVENT_QUERIES = [
 SF1_EMB_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantized_topk",
     "knn_pagerank_lsh",
 ]
 

@@ -37,6 +37,9 @@ QUERIES = [
     "bigram_nll", "linear_interp", "first_touch", "stats_agg",
     "session_rollup", "ntile_deciles", "fuzzy_match", "mom_revenue",
     "price_ranks", "native_pivot", "bloom_join", "zorder_layout",
+    # round 6
+    "ann_lsh_topk", "dedup_simhash", "knn_pagerank_lsh",
+    "first_last_ignore_nulls", "tpch_q15", "cume_dist",
 ]
 
 

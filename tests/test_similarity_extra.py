@@ -102,6 +102,20 @@ def test_gemm_topk_matches_expression_form(spark, vec_df):
     assert gemm == bf
 
 
+def test_ann_quantized_topk_recall(spark):
+    """The int8-re-rank ANN composition keeps >= 0.8 of the float
+    LSH top-k on planted near-dups (same corpus as the LSH recall
+    test, so any loss is attributable to quantization alone)."""
+    from tests.test_dedup_similarity import _planted_ann_corpus
+
+    df = spark.createDataFrame(
+        _planted_ann_corpus(), "vec_id long, embedding array<float>"
+    )
+    fl = {(r.qid, r.nid) for r in sim.ann_lsh_topk(df, k=3).collect()}
+    qz = {(r.qid, r.nid) for r in sim.ann_quantized_topk(df, k=3).collect()}
+    assert len(fl & qz) / len(fl) >= 0.8, (len(fl & qz), len(fl))
+
+
 def test_quantize_embeddings_error_and_recall(spark):
     """int8 quantization: per-component reconstruction error is
     <= scale/2, and brute-force top-10 by quantized dot products

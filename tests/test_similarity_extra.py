@@ -102,6 +102,51 @@ def test_gemm_topk_matches_expression_form(spark, vec_df):
     assert gemm == bf
 
 
+def test_embedding_dup_pairs_gemm_prefilter_exact(spark, vec_df):
+    """The GEMM-prefiltered exact form must be VALUE-identical to the
+    naive crossJoin expression form (same sequential re-score
+    expression; the prefilter's 1e-3 margin only removes pairs the
+    threshold would drop anyway)."""
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.operators.similarity import (
+        as_double,
+        dot,
+    )
+
+    thr = 0.3  # low threshold → many survivors, stresses the margin
+    dim = len(vec_df.select("embedding").first()[0])
+    base = vec_df.select(
+        F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("ve")
+    ).withColumn("nrm", F.sqrt(dot("ve", "ve", dim)))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("ve").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("ve").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    naive = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
+            .alias("cos"),
+        )
+        .where(F.col("cos") >= thr)
+        .collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.cos
+        for r in sim.embedding_dup_pairs(vec_df, threshold=thr).collect()
+    }
+    assert fast == naive and len(naive) > 5
+
+
 def test_ann_quantized_topk_recall(spark):
     """The int8-re-rank ANN composition keeps >= 0.8 of the float
     LSH top-k on planted near-dups (same corpus as the LSH recall

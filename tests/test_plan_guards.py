@@ -94,3 +94,24 @@ def test_knn_pagerank_plan_and_lsh_edge_join(spark):
     p = _plan(g.knn_edges(emb, k=3, method="lsh", n_planes=16, bands=8))
     _assert_no_blowups(p)
     assert any(j in p for j in EQUI_JOINS)
+
+
+def test_probed_lsh_and_quantized_plans(spark):
+    """Round-6 multi-probe LSH family: the probe explode must stay on
+    the query side of a hash equi-join on (band, key) — probing must
+    never degrade the candidate join to a nested loop or cartesian —
+    and the int8 re-rank joins candidates back by id equi-joins."""
+    for q in (em.q_ann_lsh_topk, em.q_ann_quantized_topk, em.q_dedup_simhash):
+        p = _plan(q(spark, SF))
+        _assert_no_blowups(p)
+        assert any(j in p for j in EQUI_JOINS)
+        assert "Generate explode" in p  # band (+probe) expansion
+
+
+def test_embedding_dup_exact_prefilter_plan(spark):
+    """The GEMM-prefiltered exact dup form: the candidate id set
+    broadcasts into corpus-side equi-joins (BroadcastHashJoin), and
+    the full corpus crossJoin is GONE from the plan."""
+    p = _plan(em.q_dedup_embedding_cosine(spark, SF))
+    _assert_no_blowups(p)
+    assert "BroadcastHashJoin" in p

@@ -2434,6 +2434,36 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split_group", "split")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val split: the 90/10 hash coin is thrown
+    on the NEAR-DUP CLUSTER representative (connected components over
+    exact 3-gram Jaccard ≥ 0.5 pairs; singletons represent
+    themselves), so an entire near-dup family co-assigns — the
+    strictly stronger form of group_split's exact-hash guard (A~B,
+    B~C keeps A and C together even though their texts differ and
+    never even met a band). Composition: pair emit → CC label
+    propagation → left join (clusters table ≪ corpus) → pure-
+    expression coin. Disjointness of splits per cluster is asserted
+    by tests/test_sampling_split.py."""
+    from annotation_service_spark.operators.curation import group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = cl.connected_components(
+        dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5)
+    )
+    rep = docs.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"),
+    )
+    return group_split(rep, F.col("rep"), salt="lk1").select(
+        "doc_id",
+        F.col("split_group").cast("long").alias("split_group"),
+        "split",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2457,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank_lsh": q_knn_pagerank_lsh,
         "first_last_ignore_nulls": q_first_last_ignore_nulls,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "leakage_safe_split": q_leakage_safe_split,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -2506,8 +2537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_volume": q_nation_volume,
         "case_pivot": q_case_pivot,
         "scalar_subquery": q_scalar_subquery,
-        "anti_join": q_anti_join,
         # ==== ~driver window boundary (50) ================================
+        "anti_join": q_anti_join,
         # below: hash-green in an earlier round's CORRECTNESS_r*.json and
         # replica-verified at both SFs this round (docs/ORACLE_R6_*.log)
         "semi_join": q_semi_join,
@@ -4986,5 +5017,44 @@ def oracle_sql() -> dict[str, str]:
                                  1, 8) AS BIGINT) % 10000 < 9000
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        # near-dup-cluster-keyed split: the dedup_clusters transitive
+        # closure (recursive CTE), coalesced to self for singletons,
+        # then the same md5 coin as group_split on the rep id
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_shingle_cte(3)},
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT id_a, id_b FROM prs
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            clus AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT)
+                       AS split_group,
+                   CASE WHEN CAST('0x' || substr(md5('lk1' ||
+                             CAST(coalesce(c.cluster_id, d.doc_id)
+                                  AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 9000
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents d LEFT JOIN clus c ON c.id = d.doc_id
         """,
     }

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "bm25_rank",
     "weighted_sample",
     "group_split",
+    "leakage_safe_split",
     "knn_pagerank",
     "incremental_rollup",
     "trailing_window",

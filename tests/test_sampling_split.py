@@ -61,6 +61,35 @@ def test_group_split_coassigns_duplicate_text(spark):
     assert n_violations == 0
 
 
+def test_leakage_safe_split_cluster_disjoint(spark):
+    """The cluster-aware split (q_leakage_safe_split) must keep every
+    NEAR-dup family single-split even when members' texts differ:
+    A~B, B~C co-assign A and C although jaccard(A, C) may be below
+    threshold and their exact hashes certainly differ."""
+    import __spark_entry__ as em
+    from annotation_service_spark.operators import clustering as cl
+    from annotation_service_spark.operators import dedup as dd
+
+    SF = "/root/testdata/sf0.001"
+    out = em.q_leakage_safe_split(spark, SF)
+    docs = em._t(spark, SF, "documents")
+    clusters = cl.connected_components(
+        dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5)
+    ).withColumnRenamed("id", "doc_id")
+    n_violations = (
+        out.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert n_violations == 0
+    # both splits are populated and rows are preserved
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val"}
+    assert out.count() == docs.count()
+
+
 def test_group_split_fractions_roughly_respected(spark):
     out = group_split(_docs(spark), F.md5(F.col("text")), salt="sp1")
     counts = dict(

@@ -2434,6 +2434,41 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split_group", "split")
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion NEAR-dup dedup
+    (operators/dedup.py::incremental_minhash_dedup): state = the
+    MinHash signature table of already-seen docs (16 longs/doc,
+    bounded — never shingles). Fixture: docs with doc_id%3==0 are
+    seen; the incoming batch is every other doc PLUS lightly-edited
+    resubmissions of seen docs (id+1e6, ' tail tail' appended — must
+    be caught by the signature estimator, not an exact hash) and
+    lightly-edited in-batch twins (id+2e6, ' x' appended — caught by
+    in-batch pair dominance). Survivors return (id, mh0..mh15), the
+    rows the caller appends to state."""
+    docs = _t(spark, sf_dir, "documents")
+    seen_docs = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    seen_sigs = dd.minhash_signatures(
+        dd.shingle_table(seen_docs, "doc_id", "text", 3), 16
+    ).withColumnRenamed("id", "doc_id")
+    incoming = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail tail")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" x")).alias("text"),
+            )
+        )
+    )
+    return dd.incremental_minhash_dedup(incoming, seen_sigs)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val split: the 90/10 hash coin is thrown
     on the NEAR-DUP CLUSTER representative (connected components over
@@ -2488,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last_ignore_nulls": q_first_last_ignore_nulls,
         "ann_quantized_topk": q_ann_quantized_topk,
         "leakage_safe_split": q_leakage_safe_split,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -2536,8 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_subquery": q_having_subquery,
         "nation_volume": q_nation_volume,
         "case_pivot": q_case_pivot,
-        "scalar_subquery": q_scalar_subquery,
         # ==== ~driver window boundary (50) ================================
+        "scalar_subquery": q_scalar_subquery,
         "anti_join": q_anti_join,
         # below: hash-green in an earlier round's CORRECTNESS_r*.json and
         # replica-verified at both SFs this round (docs/ORACLE_R6_*.log)
@@ -2669,6 +2705,110 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8, thr: float = 0.5) -> s
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= {thr}
+    """
+
+
+def _incremental_minhash_oracle(
+    num_hashes: int = 16, bands: int = 8, need: int = 8
+) -> str:
+    """DuckDB replay of ``q_dedup_incremental_minhash``: signatures
+    for the seen set and the synthesized incoming batch, band-bucket
+    candidate joins, the minima-match Jaccard estimator (≥ need of
+    num_hashes), vs-seen anti-join, then in-batch pair dominance."""
+    from annotation_service_spark.operators.dedup import MOD_40, cw_constants
+
+    r = num_hashes // bands
+    mins = ", ".join(
+        "min(({a}*h + {b}) % {p}) AS mh{i}".format(
+            a=cw_constants(i)[0], b=cw_constants(i)[1], p=MOD_40, i=i
+        )
+        for i in range(num_hashes)
+    )
+
+    def bands_of(sig_src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT id, {b} AS band, md5({parts}) AS bucket FROM {src}".format(
+                b=b,
+                parts="||'|'||".join(f"mh{b * r + j}" for j in range(r)),
+                src=sig_src,
+            )
+            for b in range(bands)
+        )
+
+    def sig_of(doc_src: str, tag: str) -> str:
+        joins = "||' '||".join(f"ws[i+{j}]" for j in range(3))
+        return f"""
+        w_{tag} AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS ws
+            FROM {doc_src}
+        ),
+        sh_{tag} AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(range(1, len(ws)-1), i -> {joins})) AS s
+            FROM w_{tag} WHERE len(ws) >= 3
+        ),
+        hw_{tag} AS (
+            SELECT id, CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h
+            FROM sh_{tag}
+        ),
+        sig_{tag} AS (SELECT id, {mins} FROM hw_{tag} GROUP BY id)"""
+
+    match = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    out_cols = ", ".join(
+        f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(num_hashes)
+    )
+    return f"""
+        WITH inc AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' tail tail'
+            FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || ' x'
+            FROM documents WHERE doc_id % 10 = 1
+        ),
+        seen_src AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        ),
+        {sig_of('inc', 'n')},
+        {sig_of('seen_src', 's')},
+        bands_n AS ({bands_of('sig_n')}),
+        bands_s AS ({bands_of('sig_s')}),
+        cand AS (
+            SELECT DISTINCT n.id AS new_id, s.id AS seen_id
+            FROM bands_n n JOIN bands_s s
+              ON n.band = s.band AND n.bucket = s.bucket
+        ),
+        dup1 AS (
+            SELECT DISTINCT cand.new_id AS id
+            FROM cand
+            JOIN sig_n a ON a.id = cand.new_id
+            JOIN sig_s b ON b.id = cand.seen_id
+            WHERE {match} >= {need}
+        ),
+        fresh AS (
+            SELECT * FROM sig_n WHERE id NOT IN (SELECT id FROM dup1)
+        ),
+        bands_f AS ({bands_of('fresh')}),
+        bpairs AS (
+            SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            FROM bands_f x JOIN bands_f y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+        ),
+        dominated AS (
+            SELECT DISTINCT bpairs.id_b AS id
+            FROM bpairs
+            JOIN fresh a ON a.id = bpairs.id_a
+            JOIN fresh b ON b.id = bpairs.id_b
+            WHERE {match} >= {need}
+        )
+        SELECT CAST(id AS BIGINT) AS id, {out_cols}
+        FROM fresh WHERE id NOT IN (SELECT id FROM dominated)
     """
 
 
@@ -3742,6 +3882,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_gemm_topk": _ann_cosine_oracle(3),
         "ann_lsh_topk": _lsh_oracle(60, 4, 3, probe_bits=1),
         "ann_quantized_topk": _quantized_ann_oracle(60, 4, 3, probe_bits=1),
+        "dedup_incremental_minhash": _incremental_minhash_oracle(),
         "ann_ivf_topk": _ivf_oracle(8, 3, 3),
         "text_metrics": """
             WITH t AS (

@@ -675,3 +675,107 @@ def incremental_dedup(
     )
     keep = fresh.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     return keep.select(id_col, "content_hash")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    seen_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dup dedup: the accumulated state is
+    the MinHash SIGNATURE table (``seen_sigs``: id + mh0..mh{n-1} —
+    num_hashes longs per seen doc, never the shingles), so state size
+    is bounded and independent of document length. An incoming doc is
+    dropped when (a) some band bucket collides with a seen doc AND
+    the signature-match fraction (the standard unbiased Jaccard
+    estimator: #{i: mh_i == seen_mh_i}/num_hashes) reaches
+    ``threshold``, or (b) a smaller-id batch mate dominates it by the
+    same criterion (pair-dominance — deterministic without a
+    transitive-closure pass; feed survivors to dedup_clusters when
+    family resolution is needed). Returns surviving (id, mh*) rows —
+    exactly what the caller appends back to the state table.
+
+    Scale: candidates come from the band-bucket equi-join (md5 band
+    keys — unbounded keyspace, candidates ∝ true near-dups); the
+    estimator join moves only signatures. The corpus text is read
+    once (shingle → signature aggregation, map-side combinable)."""
+    sh = shingle_table(new_docs, id_col, text_col, ngram)
+    sig_new = minhash_signatures(sh, num_hashes).cache()
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    need = int(-(-threshold * num_hashes // 1))  # ceil(threshold·n)
+
+    def matches(a_prefix: str, b_prefix: str) -> Column:
+        m = F.lit(0)
+        for c in mh_cols:
+            m = m + F.when(
+                F.col(f"{a_prefix}{c}") == F.col(f"{b_prefix}{c}"), 1
+            ).otherwise(0)
+        return m
+
+    banded_new = _minhash_banded_rows(sig_new, num_hashes, bands, [])
+    seen = seen_sigs.select(
+        F.col(id_col).alias("id"), *mh_cols
+    )
+    banded_seen = _minhash_banded_rows(seen, num_hashes, bands, [])
+    cand_vs_seen = (
+        banded_new.select(F.col("id").alias("new_id"), "band", "bucket")
+        .join(
+            banded_seen.select(F.col("id").alias("seen_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "seen_id")
+        .distinct()
+    )
+    a = sig_new.select(
+        F.col("id").alias("new_id"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+    )
+    b = seen.select(
+        F.col("id").alias("seen_id"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
+    dup_vs_seen = (
+        cand_vs_seen.join(a, "new_id")
+        .join(b, "seen_id")
+        .where(matches("a_", "b_") >= need)
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+    )
+    fresh = sig_new.join(dup_vs_seen, "id", "left_anti")
+    # in-batch pair dominance among the still-fresh rows
+    banded_fresh = _minhash_banded_rows(fresh, num_hashes, bands, [])
+    batch_pairs = (
+        banded_fresh.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            banded_fresh.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dominated = (
+        batch_pairs.join(
+            fresh.select(
+                F.col("id").alias("id_a"),
+                *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+            ),
+            "id_a",
+        )
+        .join(
+            fresh.select(
+                F.col("id").alias("id_b"),
+                *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+            ),
+            "id_b",
+        )
+        .where(matches("a_", "b_") >= need)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return fresh.join(dominated, "id", "left_anti").select("id", *mh_cols)

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "span_dedup_apply",
     "dedup_incremental",
+    "dedup_incremental_minhash",
     "dedup_keep_best",
     "quality_quantile_mix",
     "doc_percentiles",

@@ -147,6 +147,48 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_incremental_minhash_dedup(spark):
+    """Near-dup incremental ingestion against a bounded signature
+    state: lightly-edited resubmissions of SEEN docs are dropped by
+    the minima-match estimator (no exact hash could catch them),
+    in-batch twins lose to their smaller-id original, and genuinely
+    fresh docs survive with their signatures."""
+    import random
+
+    rng = random.Random(21)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+
+    def doc(words=None):
+        return " ".join(words or [rng.choice(vocab) for _ in range(40)])
+
+    base = {i: doc() for i in range(1, 31)}
+    docs_all = spark.createDataFrame(
+        list(base.items()), "doc_id long, text string"
+    )
+    seen_docs = docs_all.where(F.col("doc_id") <= 10)
+    seen_sigs = dd.minhash_signatures(
+        dd.shingle_table(seen_docs, "doc_id", "text", 3), 16
+    ).withColumnRenamed("id", "doc_id")
+
+    def edited(text):
+        ws = text.split()
+        ws[20] = "zzzz"
+        return " ".join(ws)
+
+    incoming_rows = [(i, base[i]) for i in range(11, 31)]
+    incoming_rows += [(100 + i, edited(base[i])) for i in range(1, 11)]
+    incoming_rows += [(211, edited(base[11]))]  # in-batch twin of 11
+    incoming = spark.createDataFrame(
+        incoming_rows, "doc_id long, text string"
+    )
+    out = dd.incremental_minhash_dedup(incoming, seen_sigs)
+    ids = {r.id for r in out.collect()}
+    resub_survivors = {i for i in ids if 100 < i <= 110}
+    assert len(resub_survivors) <= 2, resub_survivors  # estimator variance
+    assert 11 in ids and 211 not in ids  # dominance keeps the original
+    assert set(range(12, 31)) <= ids     # fresh random docs all survive
+
+
 def test_text_functions(spark, docs_df):
     out = docs_df.select(
         "doc_id",

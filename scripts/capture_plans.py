@@ -40,6 +40,8 @@ QUERIES = [
     # round 6
     "ann_lsh_topk", "dedup_simhash", "knn_pagerank_lsh",
     "first_last_ignore_nulls", "tpch_q15", "cume_dist",
+    "ann_quantized_topk", "leakage_safe_split",
+    "dedup_incremental_minhash", "dedup_embedding_cosine",
 ]
 
 

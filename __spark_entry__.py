@@ -2434,6 +2434,104 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split_group", "split")
 
 
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted to the synthetic schema (no partsupp table: unit cost =
+    p_retailprice/10). amount = extprice·(1−disc) − retail·qty/10;
+    both terms are summed EXACTLY in decimal and only the final
+    subtraction/division runs in double (identical IEEE ops both
+    engines). Joins: lineitem ⨝ part('%gear%') ⨝ orders(year) ⨝
+    supplier ⨝ nation — dims broadcast, facts left to AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast(dec) * (one - F.col("l_discount").cast(dec))
+    cost = F.col("p_retailprice").cast(dec) * F.col("l_quantity").cast(dec)
+    j = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(
+            F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"]
+        )
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.sum(cost).cast("double") / F.lit(10.0)
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join with
+    a filtered right side (non-'4-NOT SPECIFIED' orders), count per
+    customer, then the histogram of those counts — the
+    double-aggregation shape. Customers with no qualifying orders
+    land in the c_count=0 bucket via the outer join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS/NOT-EXISTS, rewritten as per-order
+    distinct-supplier counts (the standard decorrelation): supplier s
+    'waits' on a finished order when s has an 'R'-returned line, the
+    order involves >1 supplier, and s is the ONLY supplier with an
+    'R' line (synthetic schema has no commit/receipt dates — the
+    returnflag stands in for 'late'). Exact integer counts; output
+    (s_name, numwait)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    lf = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = lf.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r"),
+    )
+    r_lines = (
+        lf.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    waits = (
+        r_lines.join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_r") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    return waits.join(sup, waits["l_suppkey"] == sup["s_suppkey"]).select(
+        "s_name", "numwait"
+    )
+
+
 def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion NEAR-dup dedup
     (operators/dedup.py::incremental_minhash_dedup): state = the
@@ -2550,6 +2648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotation fill: stable gates re-proven this round --------------
         "tpch_q6": q_tpch_q6,
         "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q21": q_tpch_q21,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -2569,10 +2670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_digest": q_table_digest,
         "group_split": q_group_split,
         "weighted_sample": q_weighted_sample,
+        # ==== ~driver window boundary (50) ================================
         "having_subquery": q_having_subquery,
         "nation_volume": q_nation_volume,
         "case_pivot": q_case_pivot,
-        # ==== ~driver window boundary (50) ================================
         "scalar_subquery": q_scalar_subquery,
         "anti_join": q_anti_join,
         # below: hash-green in an earlier round's CORRECTNESS_r*.json and
@@ -4010,6 +4111,64 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
                    CAST(SUM(rev) AS DOUBLE) AS total_rev
             FROM j GROUP BY o_year
+        """,
+        "tpch_q9": """
+            WITH j AS (
+                SELECT n.n_name AS nation,
+                       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                       (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS rev,
+                       CAST(p.p_retailprice AS DECIMAL(12,2)) *
+                       CAST(l.l_quantity AS DECIMAL(12,2)) AS cost
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE p.p_name LIKE '%gear%'
+            )
+            SELECT nation, o_year,
+                   CAST(SUM(rev) AS DOUBLE)
+                   - CAST(SUM(cost) AS DOUBLE) / 10.0 AS sum_profit
+            FROM j GROUP BY nation, o_year
+        """,
+        "tpch_q13": """
+            WITH pc AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY c_count
+        """,
+        "tpch_q21": """
+            WITH lf AS (
+                SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+            ),
+            po AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS n_r
+                FROM lf GROUP BY l_orderkey
+            ),
+            rl AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lf WHERE l_returnflag = 'R'
+            ),
+            w AS (
+                SELECT rl.l_suppkey, count(*) AS numwait
+                FROM rl JOIN po ON po.l_orderkey = rl.l_orderkey
+                WHERE po.n_supp > 1 AND po.n_r = 1
+                GROUP BY rl.l_suppkey
+            )
+            SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+            FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
         """,
         "tpch_q14": """
             SELECT 100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'

@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "percentile_approx",
     "tpch_q6",
     "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q21",
     "tpch_q14",
     "tpch_q18",
     "tpch_q19",

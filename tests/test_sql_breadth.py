@@ -205,3 +205,74 @@ def test_unpivot_registered():
 
     assert "unpivot_measures" in em.queries()
     assert "unpivot_measures" in em.oracle_sql()
+
+
+def test_tpch_q13_histogram_conserves_customers(spark):
+    """Q13 shape: the count histogram must conserve the customer
+    population (sum of custdist == |customer|) and carry a 0 bucket
+    (the outer join keeps order-less customers)."""
+    import __spark_entry__ as em
+
+    SF = "/root/testdata/sf0.001"
+    rows = em.q_tpch_q13(spark, SF).collect()
+    n_cust = em._t(spark, SF, "customer").count()
+    assert sum(r.custdist for r in rows) == n_cust
+    # brute-force histogram replica (includes the 0 bucket when a
+    # customer has no qualifying orders — at this SF all do)
+    from collections import Counter
+    from pyspark.sql import functions as F
+
+    per = Counter(
+        r.c_custkey
+        for r in em._t(spark, SF, "orders")
+        .where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .collect()
+    )
+    custs = [r.c_custkey for r in em._t(spark, SF, "customer").collect()]
+    expect = Counter(per.get(c, 0) for c in custs)
+    assert {(r.c_count, r.custdist) for r in rows} == set(expect.items())
+
+
+def test_tpch_q21_sole_offender_semantics(spark):
+    """Q21 shape: every reported supplier must, for at least one
+    multi-supplier 'F' order, be the ONLY supplier with an 'R' line —
+    re-derive one reported pair by brute force and confirm."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    out = {r.s_name: r.numwait for r in em.q_tpch_q21(spark, SF).collect()}
+    assert out and all(v >= 1 for v in out.values())
+    # brute-force re-derivation of the full result
+    li = em._t(spark, SF, "lineitem")
+    orders = em._t(spark, SF, "orders").where(F.col("o_orderstatus") == "F")
+    sup = {r.s_suppkey: r.s_name for r in em._t(spark, SF, "supplier").collect()}
+    rows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .collect()
+    )
+    from collections import defaultdict
+
+    supp_by_order = defaultdict(set)
+    r_by_order = defaultdict(set)
+    for r in rows:
+        supp_by_order[r.l_orderkey].add(r.l_suppkey)
+        if r.l_returnflag == "R":
+            r_by_order[r.l_orderkey].add(r.l_suppkey)
+    expect = defaultdict(int)
+    for o, supps in supp_by_order.items():
+        if len(supps) > 1 and len(r_by_order[o]) == 1:
+            expect[sup[next(iter(r_by_order[o]))]] += 1
+    assert out == dict(expect)
+
+
+def test_tpch_q9_registered_and_yearly(spark):
+    import __spark_entry__ as em
+
+    SF = "/root/testdata/sf0.001"
+    rows = em.q_tpch_q9(spark, SF).collect()
+    assert rows and all(1995 <= r.o_year <= 2001 for r in rows)
+    for n in ("tpch_q9", "tpch_q13", "tpch_q21"):
+        assert n in em.queries() and n in em.oracle_sql()

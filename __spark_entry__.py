@@ -2645,7 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         # -- session_rollup: oracle window-order fix this round ------------
         "session_rollup": q_session_rollup,
-        # -- rotation fill: stable gates re-proven this round --------------
+        # -- new round-6 TPC-H shape gates + stable fill re-proven ---------
         "tpch_q6": q_tpch_q6,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,

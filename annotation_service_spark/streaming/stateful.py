@@ -345,3 +345,88 @@ def current_rollup_state(spark, state_dir: str) -> DataFrame | None:
     with open(cur_path) as fh:
         _, vdir = fh.read().strip().split("\n")
     return spark.read.parquet(vdir)
+
+
+def start_near_dedup_maintenance(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Continuous NEAR-dup ingestion — the streaming driver of
+    ``operators/dedup.py::incremental_minhash_dedup``: each
+    micro-batch is screened against the standing MinHash signature
+    state (num_hashes longs per accepted doc — bounded, never
+    shingles), near-dup resubmissions and in-batch twins are
+    dropped, and the survivors' signatures are appended to produce
+    the next state version. The batch gate
+    ``dedup_incremental_minhash`` carries the hash-green correctness
+    evidence for the screen itself; this wrapper adds the delivery
+    contract.
+
+    Same idempotency discipline as ``start_rollup_maintenance``:
+    epoch-named immutable state versions, a CURRENT pointer written
+    by atomic rename only AFTER the new state is durable, and
+    replayed epochs (``epoch_id <= last``) skipped — an
+    at-least-once foreachBatch can never admit a batch twice or
+    double-append signatures.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import incremental_minhash_dedup
+
+    spark = docs_stream.sparkSession
+    cur_path = os.path.join(state_dir, "CURRENT")
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+
+    def read_current():
+        if not os.path.exists(cur_path):
+            return None, -1
+        with open(cur_path) as fh:
+            epoch, vdir = fh.read().strip().split("\n")
+        return vdir, int(epoch)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vdir, last = read_current()
+        if epoch_id <= last:  # at-least-once replay of an applied epoch
+            return
+        if vdir is None:
+            seen = spark.createDataFrame(
+                [], f"{id_col} long, " + ", ".join(f"{c} long" for c in mh_cols)
+            )
+        else:
+            seen = spark.read.parquet(vdir)
+        survivors = incremental_minhash_dedup(
+            batch_df,
+            seen,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        ).withColumnRenamed("id", id_col)
+        merged = seen.unionByName(survivors)
+        out = os.path.join(state_dir, f"v{int(epoch_id)}")
+        merged.write.mode("overwrite").parquet(out)
+        os.makedirs(state_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=state_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"{int(epoch_id)}\n{out}")
+        os.replace(tmp, cur_path)
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -321,3 +321,75 @@ def test_streaming_rollup_maintenance_matches_batch(spark, tmp_path):
     # restart on the drained checkpoint: no new epochs, state unchanged
     run()
     assert key(stateful.current_rollup_state(spark, str(state))) == full
+
+
+def test_streaming_near_dedup_maintenance(spark, tmp_path):
+    """Streaming near-dup ingestion (foreachBatch +
+    incremental_minhash_dedup): batch 2's lightly-edited resubmission
+    of a batch-1 doc is rejected by the SIGNATURE state (no exact
+    hash could catch it), fresh docs accumulate, and a restart on the
+    drained checkpoint leaves the state unchanged (no double-append)."""
+    import json as _json
+    import random
+
+    rng = random.Random(33)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(40))
+
+    base = {i: doc() for i in range(1, 21)}
+
+    def edited(text):
+        ws = text.split()
+        ws[20] = "zzzz"
+        return " ".join(ws)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # batch 1: docs 1-10; batch 2: docs 11-20 + edited resubmissions
+    # of 1-5 (ids 101-105) + an in-batch twin of 11 (id 211)
+    with open(src / "b1.json", "w") as fh:
+        for i in range(1, 11):
+            fh.write(_json.dumps({"doc_id": i, "text": base[i]}) + "\n")
+    with open(src / "b2.json", "w") as fh:
+        for i in range(11, 21):
+            fh.write(_json.dumps({"doc_id": i, "text": base[i]}) + "\n")
+        for i in range(1, 6):
+            fh.write(
+                _json.dumps({"doc_id": 100 + i, "text": edited(base[i])})
+                + "\n"
+            )
+        fh.write(_json.dumps({"doc_id": 211, "text": edited(base[11])}) + "\n")
+
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ck"
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = stateful.start_near_dedup_maintenance(
+            stream, str(state), str(ckpt)
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(
+        open(state / "CURRENT").read().strip().split("\n")[1]
+    )
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert set(range(1, 21)) <= ids          # all originals accepted
+    assert 211 not in ids                    # in-batch twin dominated
+    resub = {i for i in ids if 100 < i <= 105}
+    assert len(resub) <= 1, resub            # edited resubs screened out
+    n_before = got.count()
+    # restart on the drained checkpoint: no re-processing, no growth
+    run()
+    got2 = spark.read.parquet(
+        open(state / "CURRENT").read().strip().split("\n")[1]
+    )
+    assert got2.count() == n_before

@@ -2434,6 +2434,27 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split_group", "split")
 
 
+def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/decontam.py::embedding_contamination_check — the
+    semantic twin of the n-gram `decontaminate` gate): vectors with
+    vec_id%50==0 act as the held-out benchmark, every other vector
+    reports its hit count and max cosine against the broadcast
+    benchmark set. No shuffle on the corpus side; threshold 0.45
+    because the synthetic embeddings are i.i.d. random (same
+    calibration as dedup_embedding_cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from annotation_service_spark.operators.decontam import (
+        embedding_contamination_check,
+    )
+
+    return embedding_contamination_check(
+        emb.where(F.col("vec_id") % 50 != 0),
+        emb.where(F.col("vec_id") % 50 == 0),
+        threshold=0.45,
+    )
+
+
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation and year),
     adapted to the synthetic schema (no partsupp table: unit cost =
@@ -2622,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "leakage_safe_split": q_leakage_safe_split,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "embedding_decontam": q_embedding_decontam,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -2669,8 +2691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "table_digest": q_table_digest,
         "group_split": q_group_split,
-        "weighted_sample": q_weighted_sample,
         # ==== ~driver window boundary (50) ================================
+        "weighted_sample": q_weighted_sample,
         "having_subquery": q_having_subquery,
         "nation_volume": q_nation_volume,
         "case_pivot": q_case_pivot,
@@ -3084,6 +3106,27 @@ def _lsh_oracle(
     return f"""
         WITH {_lsh_cand_ctes(n_planes, bands, seed, "vec_id % 50 = 0", probe_bits)},
         {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
+    """
+
+
+def _embedding_decontam_oracle(threshold: float = 0.45) -> str:
+    """DuckDB replay of ``q_embedding_decontam``: exact round-6
+    cosine of every corpus vector against every benchmark vector,
+    aggregated to (n_hits, max_cos, contaminated)."""
+    return f"""
+        WITH {_V_CTE},
+        b AS (SELECT vec_id AS bid, e AS be FROM v WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS id, e AS ce FROM v WHERE vec_id % 50 <> 0),
+        s AS (
+            SELECT c.id, {_cos6('c.ce', 'b.be')} AS cos
+            FROM c CROSS JOIN b
+        )
+        SELECT id,
+               CAST(SUM(CASE WHEN cos >= {threshold} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               MAX(cos) AS max_cos,
+               MAX(cos) >= {threshold} AS contaminated
+        FROM s GROUP BY id
     """
 
 
@@ -3984,6 +4027,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_oracle(60, 4, 3, probe_bits=1),
         "ann_quantized_topk": _quantized_ann_oracle(60, 4, 3, probe_bits=1),
         "dedup_incremental_minhash": _incremental_minhash_oracle(),
+        "embedding_decontam": _embedding_decontam_oracle(0.45),
         "ann_ivf_topk": _ivf_oracle(8, 3, 3),
         "text_metrics": """
             WITH t AS (

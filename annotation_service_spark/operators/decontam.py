@@ -83,3 +83,49 @@ def contamination_check(
             ).alias("contaminated"),
         )
     )
+
+
+def embedding_contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin
+    of ``contamination_check``: a corpus vector is contaminated when
+    its cosine to ANY benchmark vector reaches ``threshold`` (catches
+    paraphrases and translations the n-gram probe misses). Returns
+    (id, n_hits, max_cos, contaminated) per corpus vector.
+
+    Scale: the benchmark set is small by construction (eval suites
+    are thousands of rows), so it BROADCASTS and the corpus streams
+    through one scan — no shuffle, no self-join; the cosine is the
+    ANN family's dim-unrolled codegen expression rounded to 1e-6
+    (oracle-portable). For benchmark sets too big to broadcast, fall
+    back to lsh_candidates between the two sides (same probed band
+    machinery) + this verify on the candidate pairs.
+    """
+    from .similarity import _vec_dim, as_double, dot
+
+    dim = _vec_dim(corpus, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ce")
+    ).withColumn("cn", F.sqrt(dot("ce", "ce", dim)))
+    b = benchmark.select(
+        F.col(id_col).alias("bid"), as_double(F.col(vec_col)).alias("be")
+    ).withColumn("bn", F.sqrt(dot("be", "be", dim)))
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "id",
+        F.round(
+            dot("ce", "be", dim) / (F.col("cn") * F.col("bn")), round_digits
+        ).alias("cos"),
+    )
+    return scored.groupBy("id").agg(
+        F.sum(F.when(F.col("cos") >= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.max("cos").alias("max_cos"),
+        (F.max("cos") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "multimodal_pipeline",
     "dedup_clusters",
     "decontaminate",
+    "embedding_decontam",
     "repetition_filter",
     "group_quantiles",
     "pipeline_full",

@@ -188,3 +188,41 @@ def test_repetition_metrics_random_differential(spark):
         for r in txt.repetition_metrics_table(df).collect()
     }
     assert got == want
+
+
+def test_embedding_contamination_check_planted(spark):
+    """A corpus vector that is a noisy copy of a benchmark vector
+    must flag contaminated; orthogonal vectors must not."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.operators.decontam import (
+        embedding_contamination_check,
+    )
+
+    rng = random.Random(9)
+    dim = 16
+    bench = [(50 * i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(4)]
+    corpus = []
+    # planted near-copies of benchmark 0 and 1
+    for j, (bid, bv) in enumerate(bench[:2]):
+        corpus.append((1000 + j, [x + rng.gauss(0, 0.1) for x in bv]))
+    # unrelated noise
+    for j in range(30):
+        corpus.append((2000 + j, [rng.gauss(0, 1) for _ in range(dim)]))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.id: r
+        for r in embedding_contamination_check(
+            mk(corpus), mk(bench), threshold=0.8
+        ).collect()
+    }
+    assert len(out) == len(corpus)
+    assert out[1000].contaminated and out[1001].contaminated
+    assert out[1000].n_hits >= 1 and out[1000].max_cos >= 0.8
+    dirty = [i for i, r in out.items() if r.contaminated]
+    assert set(dirty) == {1000, 1001}  # random 16-dim ⊥ at 0.8

@@ -322,6 +322,78 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs |A∩B|/|A| ≥ 0.8 over 3-gram
+    shingles — the asymmetric dup family (excerpt inside a longer
+    doc) Jaccard misses. Same shingle-equi-join blocking as
+    dedup_ngram_jaccard; no cartesian."""
+    return dd.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.8
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (min pair count 5) — the
+    multi-word-expression / tokenizer-merge-candidate table. Totally
+    deterministic top-k: rounded pmi desc, then (w1, w2)."""
+    return txt.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL vs the corpus blend over the top-500
+    vocab (add-one smoothed) — the data-mixing diagnostic."""
+    return txt.source_kl_table(_t(spark, sf_dir, "documents"), top_v=500)
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval×interval overlap join, grid-cell blocked:
+    30-min-gap user sessions (closed epoch-second intervals) against
+    global busy hours (hourly event count ≥ 1.25× the mean, i.e.
+    5·Σn ≥ 4·cnt·n — exact integer arithmetic on both engines).
+    Exactly-once pairing via the first-shared-cell condition, no
+    BroadcastNestedLoopJoin, no distinct."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gap = F.col("sec") - F.lag("sec").over(w)
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        ev.withColumn("__grp", grp)
+        .groupBy("user_id", "__grp")
+        .agg(
+            F.min("sec").alias("s_start"),
+            F.max("sec").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "s_start", "s_end", "n_events")
+    )
+    hours = ev.groupBy(
+        F.floor(F.col("sec") / 3600).cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("h_n"))
+    thr = hours.agg(
+        (
+            (F.sum("h_n") * 5).cast("double")
+            / (F.count(F.lit(1)) * 4).cast("double")
+        ).alias("t")
+    )
+    busy = (
+        hours.crossJoin(F.broadcast(thr))
+        .where(F.col("h_n") >= F.col("t"))
+        .select(
+            (F.col("hr") * 3600).alias("h_start"),
+            (F.col("hr") * 3600 + 3599).alias("h_end"),
+            "h_n",
+        )
+    )
+    return iv.interval_overlap_join(
+        sessions, busy, "s_start", "s_end", "h_start", "h_end", cell_width=3600
+    )
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-group quantiles (p50/p95/p99 of document length by
     language) via Spark's sort-based ``percentile`` — the
@@ -2644,6 +2716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "embedding_decontam": q_embedding_decontam,
+        "dedup_containment": q_dedup_containment,
+        "pmi_collocations": q_pmi_collocations,
+        "source_kl": q_source_kl,
+        "interval_overlap_join": q_interval_overlap_join,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -3655,6 +3731,127 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+        """,
+        "dedup_containment": f"""
+            WITH {_shingle_cte(3)},
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, CAST(cnt AS DOUBLE)/sa.n AS containment
+            FROM pairs
+            JOIN sizes sa ON sa.id = id_a
+            WHERE CAST(cnt AS DOUBLE)/sa.n >= 0.8
+        """,
+        "pmi_collocations": """
+            WITH w AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            big AS (
+                SELECT unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i]||' '||ws[i+1])) AS bg
+                FROM w WHERE len(ws) >= 2
+            ),
+            cab AS (SELECT bg, count(*) AS n_pair FROM big GROUP BY bg),
+            uni AS (
+                SELECT unnest(ws) AS t FROM w
+            ),
+            uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+            tot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n FROM cab)
+            SELECT split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2,
+                   CAST(n_pair AS BIGINT) AS n_pair,
+                   floor(log2(n_pair * tot.n / (c1.c * c2.c)) * 1000000
+                         + 0.5)/1000000 AS pmi
+            FROM cab
+            CROSS JOIN tot
+            JOIN uc c1 ON c1.t = split_part(bg, ' ', 1)
+            JOIN uc c2 ON c2.t = split_part(bg, ' ', 2)
+            WHERE n_pair >= 5
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
+        "source_kl": """
+            WITH tok AS (
+                SELECT source AS src,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS t
+                FROM documents
+            ),
+            st AS (SELECT src, t, count(*) AS c_st FROM tok GROUP BY 1, 2),
+            marg AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY t),
+            top AS (SELECT t, c_t FROM marg ORDER BY c_t DESC, t ASC LIMIT 500),
+            vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM top),
+            ns AS (
+                SELECT src, CAST(sum(c_st) AS DOUBLE) AS n_s
+                FROM st JOIN top USING (t) GROUP BY src
+            ),
+            nq AS (SELECT CAST(sum(c_t) AS DOUBLE) AS n_q FROM top),
+            dense AS (
+                SELECT ns.src, ns.n_s,
+                       (COALESCE(st.c_st, 0) + 1.0) / (ns.n_s + vv.v) AS p,
+                       (top.c_t + 1.0) / (nq.n_q + vv.v) AS q
+                FROM ns CROSS JOIN top
+                CROSS JOIN nq CROSS JOIN vv
+                LEFT JOIN st ON st.src = ns.src AND st.t = top.t
+            )
+            SELECT src AS source,
+                   CAST(n_s AS BIGINT) AS n_tokens,
+                   floor(sum(p * log2(p / q)) * 1000000 + 0.5)/1000000
+                       AS kl_bits
+            FROM dense
+            GROUP BY src, n_s
+        """,
+        "interval_overlap_join": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events
+            ),
+            x AS (
+                SELECT user_id, event_id, sec,
+                       CASE WHEN lag(sec) OVER uw IS NULL
+                                 OR sec - lag(sec) OVER uw > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM e
+                WINDOW uw AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ),
+            g AS (
+                SELECT user_id, sec,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM x
+            ),
+            s AS (
+                SELECT user_id, min(sec) AS s_start, max(sec) AS s_end,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM g GROUP BY user_id, grp
+            ),
+            h AS (
+                SELECT CAST(floor(sec/3600.0) AS BIGINT) AS hr,
+                       count(*) AS n
+                FROM e GROUP BY 1
+            ),
+            thr AS (
+                SELECT CAST(5*sum(n) AS DOUBLE)/CAST(4*count(*) AS DOUBLE)
+                       AS t
+                FROM h
+            ),
+            b AS (
+                SELECT hr*3600 AS h_start, hr*3600 + 3599 AS h_end,
+                       CAST(n AS BIGINT) AS h_n
+                FROM h, thr WHERE n >= t
+            )
+            SELECT user_id, s_start, s_end, n_events, h_start, h_end, h_n
+            FROM s JOIN b
+              ON s.s_start <= b.h_end AND b.h_start <= s.s_end
         """,
         # full-pipeline composite: every stage's SQL is the SAME text
         # as its standalone oracle, restricted to the corpus split —

@@ -527,3 +527,145 @@ def bigram_nll_table(
             round_fixed(-F.avg(F.log2("p")), 6).alias("nll_bits"),
         )
     )
+
+
+def pmi_collocations(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+):
+    """Top-k bigram collocations by pointwise mutual information —
+    the classic multi-word-expression / tokenizer-merge-candidate
+    signal (Church & Hanks 1990):
+
+      pmi(a,b) = log2( c(a,b)·N / (c(a)·c(b)) )
+
+    over the corpus token stream, where N is the total bigram count
+    and c(a)/c(b) are UNIGRAM occurrence counts. ``min_count`` floors
+    c(a,b) so one-off juxtapositions of two rare words (pmi → max)
+    don't drown real collocations. Returns (w1, w2, n_pair, pmi)
+    with a totally deterministic top-k: rank on (pmi rounded to 1e-6
+    desc, w1, w2) — ties at the cutoff resolve identically in any
+    engine.
+
+    Scale: both count tables are map-side-combinable groupBys keyed
+    by content strings; the two unigram lookups are equi-joins on a
+    vocab-sized table (broadcast while small); the global top-k is a
+    TakeOrdered, never a full sort. The corpus streams twice
+    (unigram pass + bigram pass), nothing collects.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ws = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = df.select(F.explode(bigrams).alias("bg"))
+    cab = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tot = cab.agg(F.sum("n_pair").cast("double").alias("n"))
+    scored = (
+        cab.where(F.col("n_pair") >= min_count)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            round_fixed(
+                F.log2(
+                    F.col("n_pair") * F.col("n") / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+
+
+def source_kl_table(
+    df,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 500,
+):
+    """Per-source unigram KL divergence against the corpus — the data
+    -mixing diagnostic: how far each source's token distribution sits
+    from the blend it contributes to (high KL → the source shifts the
+    mix; near-zero → redundant with the blend). Computed over the
+    corpus's top-``top_v`` vocabulary with add-one smoothing so every
+    source has full support:
+
+      p_s(w) = (c_s(w)+1)/(n_s+V),  q(w) = (c(w)+1)/(n+V)
+      kl(s)  = Σ_w p_s(w) · log2(p_s(w)/q(w))     [w ∈ top-V]
+
+    Restricting to the fixed top-V vocab is what makes the operator
+    scale-SAFE by construction: the source×vocab support is
+    |sources|·V rows regardless of corpus size, and the tail tokens
+    KL would weight by ~1/(n_s+V) each are exactly the ones whose
+    estimates are noise anyway. Returns (source, n_tokens, kl_bits)
+    with the same 1e-6 rounding convention as the NLL tables.
+
+    Scale: one map-side-combinable (source, token) count; top-V is a
+    TakeOrdered on the token marginal (deterministic: cnt desc, token
+    asc); the dense support is a broadcast cross of the V-row vocab
+    with the source dim; everything after is equi-joins on those
+    bounded tables.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tok = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    st = tok.groupBy("src", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    marg = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    top = marg.orderBy(F.desc("c_t"), F.asc("t")).limit(top_v)
+    # totals restricted to the top-V support (so p and q both
+    # normalize over the same event space)
+    n_s = st.join(top.select("t"), "t").groupBy("src").agg(
+        F.sum("c_st").cast("double").alias("n_s")
+    )
+    n_q = top.agg(F.sum("c_t").cast("double").alias("n_q"))
+    v = top.count()
+    dense = (
+        n_s.crossJoin(F.broadcast(top))
+        .join(st, ["src", "t"], "left")
+        .withColumn("c_st", F.coalesce("c_st", F.lit(0)))
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "src",
+            "n_s",
+            ((F.col("c_st") + 1.0) / (F.col("n_s") + F.lit(float(v)))).alias(
+                "p"
+            ),
+            ((F.col("c_t") + 1.0) / (F.col("n_q") + F.lit(float(v)))).alias(
+                "q"
+            ),
+        )
+    )
+    return (
+        dense.groupBy("src", "n_s")
+        .agg(round_fixed(F.sum(F.col("p") * F.log2(F.col("p") / F.col("q"))), 6).alias("kl_bits"))
+        .select(
+            F.col("src").alias("source"),
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "kl_bits",
+        )
+    )

@@ -649,6 +649,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
+    word-n-gram shingle sets. Catches the asymmetric dup family
+    Jaccard misses — a short doc pasted inside a much longer one has
+    C(short→long) ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0. The standard
+    companion to symmetric near-dup in corpus curation (quote/boiler-
+    plate absorption, excerpt pages, truncated mirrors).
+
+    Returns (id_a, id_b, containment) with id_a ≠ id_b and
+    C(A→B) ≥ threshold — DIRECTED, so a mutual exact twin emits both
+    orientations; downstream keep-best logic usually drops id_a (the
+    contained side) and keeps id_b.
+
+    Scale: identical shape to ngram_jaccard_pairs — the shingle
+    equi-join IS the blocking (only docs sharing a shingle meet), one
+    shuffle keyed by shingle then one by (id_a, id_b); no cartesian.
+    Stop-shingle capping (drop shingles with df > cap) bounds the
+    worst key's fan-out at 100 TB the same way it does for jaccard.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, ngram).cache()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common").cast("double") / F.col("na")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     seen_hashes: DataFrame,

@@ -638,3 +638,76 @@ def range_join_bucketed(
         *[b_probes[f.name] for f in probes.schema.fields],
         *[b_ranges[c] for c in payload],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    cell_width: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """General interval×interval OVERLAP join (closed intervals on a
+    numeric axis): emit every (left row, right row) pair with
+    ``l.start ≤ r.end AND r.start ≤ l.end`` — the two-sided
+    generalization of range_join_bucketed's point-in-range probe
+    (J1). Session-vs-window alignment, downtime attribution,
+    interval algebra all reduce to this shape.
+
+    The naive Spark plan for an inequality-only join is
+    BroadcastNestedLoopJoin — O(|L|·|R|) and a driver OOM when
+    neither side broadcasts. Instead both sides replicate to the
+    fixed-width grid cells they overlap (``sequence``+``explode``,
+    JVM-side), the join becomes an EQUI-join on the cell id (plus
+    any ``keys``), and the overlap predicate finishes as a filter.
+    A pair overlapping k shared cells would emit k copies, so the
+    cell condition keeps only the pair's FIRST shared cell — the
+    standard dedup-free grid trick: cell == max(floor(l.s/w),
+    floor(r.s/w)) — making the output exactly-once without a
+    distinct shuffle.
+
+    Scale: shuffle keyed by cell id; replication factor is
+    interval_len/cell_width + 1 per side, so pick ``cell_width`` ≳
+    the median interval length. Skewed hot cells (a burst hour)
+    behave like any hot groupBy key — AQE skew-join splits them.
+    Column names must be disjoint between the two inputs (rename
+    before calling, as the gate does)."""
+    keys = list(keys)
+    lc = left.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                (F.col(left_start) / cell_width).cast("long"),
+                (F.col(left_end) / cell_width).cast("long"),
+            )
+        ),
+    )
+    rc = right.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                (F.col(right_start) / cell_width).cast("long"),
+                (F.col(right_end) / cell_width).cast("long"),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        (lc[left_start] / cell_width).cast("long"),
+        (rc[right_start] / cell_width).cast("long"),
+    )
+    cond = (
+        (lc["__cell"] == rc["__cell"])
+        & (lc["__cell"] == first_shared)
+        & (lc[left_start] <= rc[right_end])
+        & (rc[right_start] <= lc[left_end])
+    )
+    for c in keys:
+        cond = cond & (lc[c] == rc[c])
+    joined = lc.join(rc, cond, "inner")
+    return joined.select(
+        *[lc[f.name] for f in left.schema.fields],
+        *[rc[f.name] for f in right.schema.fields if f.name not in keys],
+    )

@@ -300,3 +300,55 @@ def test_range_join_broadcast_size_gate_raises_for_binary(spark):
             probes, ranges, probe_col="ipb", payload=["payload"],
             max_broadcast_bytes=1,
         )
+
+
+# ---------------------------------------------------------------------------
+# General interval×interval overlap join (grid-cell blocked)
+# ---------------------------------------------------------------------------
+
+
+def _brute_overlaps(left, right):
+    return sorted(
+        (l + r)
+        for l in left
+        for r in right
+        if l[1] <= r[2] and r[1] <= l[2]
+    )
+
+
+def test_overlap_join_matches_brute_force(spark):
+    # intervals chosen to exercise: spans of 1..4 cells, exact cell
+    # alignment, zero-length intervals, touching endpoints, and pairs
+    # sharing SEVERAL cells (the exactly-once condition's target)
+    left = [
+        (1, 0, 250),      # spans 3 cells at width 100
+        (2, 99, 100),     # straddles a cell edge
+        (3, 400, 400),    # zero-length
+        (4, 150, 460),    # overlaps several rights across 4 cells
+    ]
+    right = [
+        (10, 50, 120),
+        (11, 100, 199),
+        (12, 250, 250),   # touches left-1's end exactly
+        (13, 390, 410),
+        (14, 500, 600),   # overlaps nothing
+    ]
+    ldf = spark.createDataFrame(left, "lid long, ls long, le long")
+    rdf = spark.createDataFrame(right, "rid long, rs long, re long")
+    out = iv.interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", cell_width=100)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _brute_overlaps(left, right)
+    # exactly-once: no pair emitted twice even when they share cells
+    assert len(got) == len(set((g[0], g[3]) for g in got))
+
+
+def test_overlap_join_with_keys(spark):
+    left = [(1, "u", 0, 100), (2, "v", 0, 100)]
+    right = [(10, "u", 50, 60), (11, "v", 50, 60), (12, "w", 50, 60)]
+    ldf = spark.createDataFrame(left, "lid long, k string, ls long, le long")
+    rdf = spark.createDataFrame(right, "rid long, k string, rs long, re long")
+    out = iv.interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", cell_width=100, keys=["k"]
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [(1, 10), (2, 11)]

@@ -115,3 +115,29 @@ def test_embedding_dup_exact_prefilter_plan(spark):
     p = _plan(em.q_dedup_embedding_cosine(spark, SF))
     _assert_no_blowups(p)
     assert "BroadcastHashJoin" in p
+
+
+def test_overlap_join_and_containment_plans(spark):
+    """Round-6 additions. The PAIR joins must be equi-joins — the
+    overlap join keyed on the grid cell (a bare inequality join
+    would plan as an all-pairs BroadcastNestedLoopJoin of the two
+    FACT sides), containment on the shingle, PMI on the vocab. The
+    only nested-loop nodes allowed are Cross-type broadcasts of
+    1-row scalars (thresholds/totals — the unigram_nll idiom);
+    a non-Cross BNLJ means an inequality join leaked through."""
+    for q in (
+        em.q_interval_overlap_join,
+        em.q_dedup_containment,
+        em.q_pmi_collocations,
+        em.q_source_kl,
+    ):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p
+        assert any(j in p for j in EQUI_JOINS)
+        for line in p.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, line
+    # the overlap join's equi key IS the grid cell
+    p = _plan(em.q_interval_overlap_join(spark, SF))
+    assert "BroadcastHashJoin [__cell" in p or "SortMergeJoin [__cell" in p \
+        or "ShuffledHashJoin [__cell" in p

@@ -155,6 +155,11 @@ BENCH_QUERIES = [
     "tpch_q15",
     "knn_pagerank_lsh",
     "cume_dist",
+    "asn_decode",
+    "dedup_containment",
+    "pmi_collocations",
+    "source_kl",
+    "interval_overlap_join",
 ]
 
 # documents-only operators re-run at the 10x scale point

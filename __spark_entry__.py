@@ -1824,6 +1824,70 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(li, "l_orderkey", "l_partkey", bits=16)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (event_type → next event_type) the count and
+    conditional probability P(next|cur). The sequence-mining shape
+    behind funnels/attribution, reduced to builtins: one lead()
+    window keyed by user (single shuffle), one map-side-combinable
+    pair count, one broadcast-sized row-marginal join. Output is at
+    most |types|² rows regardless of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(marg), "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n"),
+        txt.round_fixed(
+            F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+        ).alias("p"),
+    )
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier flagging via the modified
+    z-score 0.6745·(v−median)/MAD (Iglewicz–Hoaglin), |z| > 3.5.
+    Median and MAD are EXACT here (the oracle regime — both engines
+    interpolate the even-count midpoint identically); at 100 TB swap
+    the two exact medians for approx_percentile (t-digest, map-side
+    combinable) — the downstream join/filter shape is unchanged.
+    Two passes over events, both keyed by the low-cardinality type
+    (broadcast joins), nothing single-partition."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            txt.round_fixed(z, 6).alias("z"),
+        )
+        .where(F.abs(F.col("z")) > 3.5)
+    )
+
+
 def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist + defaulted lag per language — the remaining window
     primitives next to rank/dense_rank/ntile/percent_rank/lead: the
@@ -2720,6 +2784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "source_kl": q_source_kl,
         "interval_overlap_join": q_interval_overlap_join,
+        "event_transitions": q_event_transitions,
+        "robust_outliers": q_robust_outliers,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -3807,6 +3873,43 @@ def oracle_sql() -> dict[str, str]:
                        AS kl_bits
             FROM dense
             GROUP BY src, n_s
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT event_type AS cur,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events
+            ),
+            pairs AS (
+                SELECT cur, nxt, count(*) AS n
+                FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+            ),
+            marg AS (SELECT cur, sum(n) AS row_n FROM pairs GROUP BY cur)
+            SELECT p.cur, p.nxt, CAST(p.n AS BIGINT) AS n,
+                   floor(CAST(p.n AS DOUBLE)/CAST(m.row_n AS DOUBLE)
+                         * 1000000 + 0.5)/1000000 AS p
+            FROM pairs p JOIN marg m ON m.cur = p.cur
+        """,
+        "robust_outliers": """
+            WITH med AS (
+                SELECT event_type, median(value) AS med
+                FROM events GROUP BY event_type
+            ),
+            dev AS (
+                SELECT e.event_id, e.event_type, e.value, m.med
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, median(abs(value - med)) AS mad
+                FROM dev GROUP BY event_type
+            )
+            SELECT event_id, d.event_type, value,
+                   floor(0.6745*(value - d.med)/x.mad * 1000000
+                         + 0.5)/1000000 AS z
+            FROM dev d JOIN mad x USING (event_type)
+            WHERE abs(floor(0.6745*(value - d.med)/x.mad * 1000000
+                            + 0.5)/1000000) > 3.5
         """,
         "interval_overlap_join": """
             WITH e AS (

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "source_kl",
     "interval_overlap_join",
+    "event_transitions",
+    "robust_outliers",
 ]
 
 # documents-only operators re-run at the 10x scale point

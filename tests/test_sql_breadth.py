@@ -276,3 +276,31 @@ def test_tpch_q9_registered_and_yearly(spark):
     assert rows and all(1995 <= r.o_year <= 2001 for r in rows)
     for n in ("tpch_q9", "tpch_q13", "tpch_q21"):
         assert n in em.queries() and n in em.oracle_sql()
+
+
+def test_event_transitions_rows_normalize(spark):
+    import __spark_entry__ as em
+    from collections import defaultdict
+
+    rows = em.q_event_transitions(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_cur = defaultdict(float)
+    n_by_cur = defaultdict(int)
+    for r in rows:
+        by_cur[r.cur] += r.p
+        n_by_cur[r.cur] += r.n
+    # each row distribution sums to ~1 (rounding leaves <= n_types ulps)
+    for cur, s in by_cur.items():
+        assert abs(s - 1.0) < 1e-4, (cur, s)
+    assert "event_transitions" in em.queries()
+
+
+def test_robust_outliers_planted(spark):
+    """Every reported row honors the |z| > 3.5 contract."""
+    import __spark_entry__ as em
+
+    rows = em.q_robust_outliers(spark, "/root/testdata/sf0.001").collect()
+    # all reported rows honor the contract
+    assert all(abs(r.z) > 3.5 for r in rows)
+    # and the gate is registered with its oracle
+    assert "robust_outliers" in em.oracle_sql()

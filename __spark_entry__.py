@@ -1824,6 +1824,18 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(li, "l_orderkey", "l_partkey", bits=16)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune) over the embeddings corpus:
+    exact-int64 k-means assignment (k=8, 2 iterations) + within-
+    cluster quantized-cosine ≥ 17/20 prune keeping the smallest id.
+    Every arithmetic step is integer-exact or the established
+    round-parity double op, so the whole composition hash-checks."""
+    return sim.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iterations=2,
+        thr_num=17, thr_den=20,
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: for each (event_type → next event_type) the count and
@@ -2786,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": q_interval_overlap_join,
         "event_transitions": q_event_transitions,
         "robust_outliers": q_robust_outliers,
+        "semantic_dedup": q_semantic_dedup,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -3248,6 +3261,99 @@ def _lsh_oracle(
     return f"""
         WITH {_lsh_cand_ctes(n_planes, bands, seed, "vec_id % 50 = 0", probe_bits)},
         {_ANN_RERANK.replace('rn <= 3', f'rn <= {k}')}
+    """
+
+
+def _semdedup_oracle(
+    k: int = 8,
+    iterations: int = 2,
+    thr_num: int = 17,
+    thr_den: int = 20,
+) -> str:
+    """DuckDB replay of ``semantic_dedup``: final-centroid literals
+    from the sequential numpy k-means replica (same independence
+    argument as _kmeans_oracle), first-min assignment, the int8
+    quantization of _quantized_ann_oracle, and the pure-integer
+    within-cluster cosine test d²·dot² ≥ n²·‖a‖²·‖b‖² — every step
+    bit-identical across engines."""
+    from annotation_service_spark.operators.clustering import (
+        FIXED_SCALE,
+        kmeans_fixed_reference,
+    )
+
+    cents = kmeans_fixed_reference(
+        f"{_oracle_sf_dir()}/embeddings.parquet", k, iterations
+    )
+    dim = len(cents[0])
+    cent_rows = ", ".join(
+        "({j}, [{vals}])".format(
+            j=j, vals=", ".join(str(int(x)) for x in c)
+        )
+        for j, c in enumerate(cents)
+    )
+    n2 = thr_num * thr_num
+    d2 = thr_den * thr_den
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_SCALE})
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        c(j, cv) AS (VALUES {cent_rows}),
+        d AS (
+            SELECT vec_id, j,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS dist
+            FROM q, c
+        ),
+        asg AS (
+            SELECT vec_id, j AS cl FROM (
+                SELECT vec_id, j,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, j) AS rk
+                FROM d
+            ) WHERE rk = 1
+        ),
+        {_V_CTE.strip().rstrip()},
+        am AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS amax
+            FROM v
+        ),
+        qq AS (
+            SELECT vec_id,
+                   CASE WHEN amax > 0
+                        THEN list_transform(
+                            e, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                   END AS q8
+            FROM am
+        ),
+        f AS (
+            SELECT asg.vec_id, asg.cl, qq.q8,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> qq.q8[i] * qq.q8[i])) AS BIGINT) AS nrm
+            FROM asg JOIN qq ON qq.vec_id = asg.vec_id
+        ),
+        pd AS (
+            SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+                   fa.nrm AS na, fb.nrm AS nb,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> fa.q8[i] * fb.q8[i])) AS BIGINT) AS dot
+            FROM f fa JOIN f fb
+              ON fa.cl = fb.cl AND fa.vec_id < fb.vec_id
+        ),
+        dropped AS (
+            SELECT DISTINCT id_b
+            FROM pd
+            WHERE dot >= 0 AND {d2}*dot*dot >= {n2}*na*nb
+        )
+        SELECT asg.vec_id,
+               CAST(asg.cl AS INTEGER) AS cluster_id,
+               (dropped.id_b IS NULL) AS keep
+        FROM asg LEFT JOIN dropped ON dropped.id_b = asg.vec_id
     """
 
 
@@ -4328,6 +4434,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized_topk": _quantized_ann_oracle(60, 4, 3, probe_bits=1),
         "dedup_incremental_minhash": _incremental_minhash_oracle(),
         "embedding_decontam": _embedding_decontam_oracle(0.45),
+        "semantic_dedup": _semdedup_oracle(8, 2, 17, 20),
         "ann_ivf_topk": _ivf_oracle(8, 3, 3),
         "text_metrics": """
             WITH t AS (

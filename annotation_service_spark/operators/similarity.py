@@ -852,3 +852,106 @@ def quantize_embeddings(
         qvec.alias("qvec"),
         scale.alias("qscale"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    thr_num: int = 17,
+    thr_den: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then
+    within each cluster drop every vector that has a smaller-id
+    neighbor with quantized cosine ≥ thr_num/thr_den. Returns one row
+    per vector: (vec_id, cluster_id, keep).
+
+    Engine-portable by construction: the cluster assignment reuses
+    the exact-int64 fixed-point k-means (operators/clustering.py —
+    bit-identical to the sequential replica), and the similarity test
+    is pure integer arithmetic on int8-quantized vectors:
+
+        cos_q ≥ n/d  ⇔  dot ≥ 0  AND  d²·dot² ≥ n²·‖a‖²·‖b‖²
+
+    (dot ≤ 64·127² ≈ 1.0e6, so d²·dot² ≤ ~4.3e14 — comfortably
+    int64-exact). The quantized cosine is the same surrogate
+    ann_quantized_topk ranks by; its deviation from float cosine is
+    bounded by the per-component quantization error (pytest-pinned
+    there).
+
+    Scale: the only non-equi work is the WITHIN-cluster self-join —
+    the SemDeDup design point: choose k ∝ n/target_cluster_size and
+    the pair count stays ≈ n·cluster_size (linear in n), never the
+    corpus cross product. The cluster key is the shuffle key; skewed
+    giant clusters are the k-too-small symptom, fixed by raising k
+    (or GEMM-prefiltering within the hot cluster, as
+    embedding_dup_pairs does)."""
+    from annotation_service_spark.operators.clustering import (
+        FIXED_SCALE,
+        _assign_cols,
+        _quantized,
+        kmeans_centroids,
+    )
+
+    dim = _vec_dim(embeddings, vec_col)
+    centroids = kmeans_centroids(
+        embeddings, k, iterations, vec_col, id_col, FIXED_SCALE
+    )
+    q = _quantized(embeddings, vec_col, id_col, FIXED_SCALE)
+    c_col, _ = _assign_cols(centroids)
+    assign = q.select("id", c_col)
+
+    q8 = quantize_embeddings(embeddings, id_col, vec_col).select(
+        F.col(id_col).alias("id"), "qvec"
+    )
+
+    def idot(a: str, b: str) -> Column:
+        s = F.lit(0).cast("long")
+        for i in range(dim):
+            s = s + F.element_at(F.col(a), i + 1).cast("long") * F.element_at(
+                F.col(b), i + 1
+            ).cast("long")
+        return s
+
+    feat = (
+        assign.join(q8, "id")
+        .select("id", "c", "qvec")
+        .withColumn("nrm", idot("qvec", "qvec"))
+    )
+    a = feat.select(
+        F.col("c"),
+        F.col("id").alias("id_a"),
+        F.col("qvec").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = feat.select(
+        F.col("c"),
+        F.col("id").alias("id_b"),
+        F.col("qvec").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = idot("qa", "qb")
+    dropped = (
+        a.join(b, "c")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (dot >= 0)
+            & (
+                F.lit(thr_den * thr_den) * dot * dot
+                >= F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("c").alias("cluster_id"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )

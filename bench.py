@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "interval_overlap_join",
     "event_transitions",
     "robust_outliers",
+    "semantic_dedup",
 ]
 
 # documents-only operators re-run at the 10x scale point

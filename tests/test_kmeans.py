@@ -98,3 +98,24 @@ def test_expression_form_matches_numpy_kernel(spark):
 def test_registered_in_contract():
     assert "kmeans_fixed" in em.queries()
     assert "kmeans_fixed" in em.oracle_sql()
+
+
+def test_semantic_dedup_planted(spark):
+    """Two separated blobs; a near-identical twin inside blob A is
+    dropped (larger id loses), distinct members keep."""
+    from annotation_service_spark.operators import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # blob A anchor (also init centroid 1)
+        (2, [0.0, 1.0, 0.0, 0.0]),    # blob B anchor (init centroid 2)
+        (3, [0.99, 0.01, 0.0, 0.0]),  # ~dup of 1 -> dropped
+        (4, [0.0, 0.6, 0.8, 0.0]),    # blob-B-ish but cos 0.6 < 0.85 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in sim.semantic_dedup(df, k=2, iterations=1).collect()}
+    assert {i: out[i].keep for i in (1, 2, 3, 4)} == {
+        1: True, 2: True, 3: False, 4: True
+    }
+    assert out[1].cluster_id == out[3].cluster_id
+    assert out[2].cluster_id == out[4].cluster_id
+    assert out[1].cluster_id != out[2].cluster_id

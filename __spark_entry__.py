@@ -1836,6 +1836,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the exact 3-gram-Jaccard ≥ 0.3
+    near-dup graph — the clustering-coefficient primitive on the same
+    edge relation dedup_clusters consumes. Ordered two-join
+    enumeration (a<b<c found exactly once), equi-joins only."""
+    from annotation_service_spark.operators.graph import triangle_counts
+
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.3
+    )
+    return triangle_counts(pairs)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: for each (event_type → next event_type) the count and
@@ -2799,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "robust_outliers": q_robust_outliers,
         "semantic_dedup": q_semantic_dedup,
+        "triangle_count": q_triangle_count,
         # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
         "stats_agg": q_stats_agg,
         "ntile_deciles": q_ntile_deciles,
@@ -3903,6 +3917,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+        """,
+        "triangle_count": f"""
+            WITH {_shingle_cte(3)},
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT id_a AS lo, id_b AS hi
+                FROM pairs
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.3
+            ),
+            tri AS (
+                SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+                FROM e ab
+                JOIN e bc ON bc.lo = ab.hi
+                JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+            ),
+            corner AS (
+                SELECT id, count(*) AS n FROM (
+                    SELECT unnest([a, b, c]) AS id FROM tri
+                ) GROUP BY id
+            ),
+            nodes AS (
+                SELECT lo AS id FROM e UNION SELECT hi FROM e
+            )
+            SELECT nodes.id,
+                   CAST(coalesce(corner.n, 0) AS BIGINT) AS n_triangles
+            FROM nodes LEFT JOIN corner ON corner.id = nodes.id
         """,
         "dedup_containment": f"""
             WITH {_shingle_cte(3)},

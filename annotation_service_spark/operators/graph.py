@@ -188,3 +188,50 @@ def pagerank_reference(
             v: base + (damping_pct * in_sum.get(v, 0)) // 100 for v in nodes
         }
     return scores
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    clustering-coefficient / community-density primitive. Input rows
+    may be either orientation and may repeat; edges are canonicalized
+    to (lo < hi) and deduped first.
+
+    Implementation is the standard two-join ordered enumeration: each
+    triangle a<b<c is found exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c),
+    then each of its three corners gets +1 via an explode. All three
+    joins are equi-joins on node ids; the shuffle key is the node id.
+    At 100 TB-graph scale the classic refinement is degree-ordering
+    (orient edges from low- to high-degree so the join fan-out is
+    bounded by arboricity) — the enumeration below is already the
+    ordered form, so that is a re-keying, not a rewrite.
+
+    Returns (id, n_triangles) for every node on ≥1 edge (nodes with
+    zero triangles included — their count is 0)."""
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corner = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("id")
+    ).groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = (
+        e.select(F.col("lo").alias("id"))
+        .union(e.select(F.col("hi").alias("id")))
+        .distinct()
+    )
+    return nodes.join(corner, "id", "left").select(
+        "id",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )

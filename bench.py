@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "robust_outliers",
     "semantic_dedup",
+    "triangle_count",
 ]
 
 # documents-only operators re-run at the 10x scale point

@@ -113,3 +113,19 @@ def test_knn_edges_unknown_method_raises(spark):
 def test_registered_in_contract():
     assert "knn_pagerank" in em.queries()
     assert "knn_pagerank" in em.oracle_sql()
+
+
+def test_triangle_counts_planted(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    edge 4-5 (node 5: zero triangles) — duplicate and reversed input
+    edges must not change counts."""
+    from annotation_service_spark.operators.graph import triangle_counts
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),                                           # pendant
+        (2, 1), (3, 1), (1, 2),                           # dup/reversed noise
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}

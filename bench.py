@@ -188,6 +188,10 @@ SF1_QUERIES = [
     "corpus_diff",
     "tfidf_pairs",
     "bigram_nll",
+    "dedup_containment",
+    "pmi_collocations",
+    "source_kl",
+    "triangle_count",
 ]
 
 # events-family operators re-run at a 10x-events scale point: replicas
@@ -210,6 +214,9 @@ SF1_EVENT_QUERIES = [
     "first_touch",
     "stats_agg",
     "distinct_users",
+    "event_transitions",
+    "robust_outliers",
+    "interval_overlap_join",
 ]
 
 # embeddings-family operators re-run at a 10x-vectors scale point
@@ -477,6 +484,25 @@ def main() -> None:
             _lt(spark, sf1_dir, "embeddings"), threshold=0.45, use_lsh=True
         ).write.format("noop").mode("overwrite").save()
         sf1_emb_timings["dedup_embedding_lsh"] = round(
+            time.perf_counter() - t0, 3
+        )
+        spark.catalog.clearCache()
+        gc.collect()
+
+        # semantic_dedup at 10x runs with k scaled ∝ n (the SemDeDup
+        # design point): cluster size — and so within-cluster pair
+        # count per row — stays constant, the honest scale shape. The
+        # registered gate's k=8 at 10x would instead grow pairs 10x
+        # per row (quadratic in cluster size).
+        from annotation_service_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        t0 = time.perf_counter()
+        semantic_dedup(
+            _lt(spark, sf1_dir, "embeddings"), k=80, iterations=2
+        ).write.format("noop").mode("overwrite").save()
+        sf1_emb_timings["semantic_dedup_k80"] = round(
             time.perf_counter() - t0, 3
         )
         spark.catalog.clearCache()

@@ -230,6 +230,25 @@ def _np_assign(centroids: list[list[int]], qv_series) -> tuple:
     return Q, a, d[np.arange(Q.shape[0]), a]
 
 
+def _assign_ids_fn(centroids: list[list[int]]):
+    """mapInPandas kernel: (id, c) per row — the id-carrying variant
+    of the assignment pass, for consumers that need the label joined
+    back onto other per-id state (semantic_dedup). Same exact-int64
+    argmin / first-min tie-break as every other assignment form."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            _, a, _ = _np_assign(centroids, pdf["qv"])
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "c": a.astype("int32")}
+            )
+
+    return fn
+
+
 def _partial_sums_fn(centroids: list[list[int]]):
     """mapInPandas kernel: assign each row, reduce the whole partition
     to (c, i, s, n) partial sums — k·dim rows out per partition, so

@@ -882,71 +882,69 @@ def semantic_dedup(
     bounded by the per-component quantization error (pytest-pinned
     there).
 
-    Scale: the only non-equi work is the WITHIN-cluster self-join —
-    the SemDeDup design point: choose k ∝ n/target_cluster_size and
-    the pair count stays ≈ n·cluster_size (linear in n), never the
-    corpus cross product. The cluster key is the shuffle key; skewed
-    giant clusters are the k-too-small symptom, fixed by raising k
-    (or GEMM-prefiltering within the hot cluster, as
-    embedding_dup_pairs does)."""
+    Scale: the only non-equi work is WITHIN-cluster all-pairs — the
+    SemDeDup design point: choose k ∝ n/target_cluster_size and the
+    pair count stays ≈ n·cluster_size (linear in n), never the
+    corpus cross product. The cluster key is the shuffle key
+    (``applyInPandas`` groups by it); within a cluster the pair test
+    runs as a row-blocked int64 GEMM (numpy C kernels — the same
+    exact integer arithmetic the expression self-join evaluated, at
+    matmul speed instead of a 64-term codegen chain per pair; at the
+    10× bench block this is ~50× cold). Skewed giant clusters are
+    the k-too-small symptom, fixed by raising k; the row blocking
+    bounds kernel memory at block·cluster_size even then."""
+    import numpy as np
+    import pandas as pd
+
     from annotation_service_spark.operators.clustering import (
         FIXED_SCALE,
-        _assign_cols,
+        _assign_ids_fn,
         _quantized,
         kmeans_centroids,
     )
 
-    dim = _vec_dim(embeddings, vec_col)
     centroids = kmeans_centroids(
         embeddings, k, iterations, vec_col, id_col, FIXED_SCALE
     )
     q = _quantized(embeddings, vec_col, id_col, FIXED_SCALE)
-    c_col, _ = _assign_cols(centroids)
-    assign = q.select("id", c_col)
+    assign = q.mapInPandas(_assign_ids_fn(centroids), "id long, c int")
 
     q8 = quantize_embeddings(embeddings, id_col, vec_col).select(
         F.col(id_col).alias("id"), "qvec"
     )
+    feat = assign.join(q8, "id").select("id", "c", "qvec")
 
-    def idot(a: str, b: str) -> Column:
-        s = F.lit(0).cast("long")
-        for i in range(dim):
-            s = s + F.element_at(F.col(a), i + 1).cast("long") * F.element_at(
-                F.col(b), i + 1
-            ).cast("long")
-        return s
+    n2 = thr_num * thr_num
+    d2 = thr_den * thr_den
 
-    feat = (
-        assign.join(q8, "id")
-        .select("id", "c", "qvec")
-        .withColumn("nrm", idot("qvec", "qvec"))
-    )
-    a = feat.select(
-        F.col("c"),
-        F.col("id").alias("id_a"),
-        F.col("qvec").alias("qa"),
-        F.col("nrm").alias("na"),
-    )
-    b = feat.select(
-        F.col("c"),
-        F.col("id").alias("id_b"),
-        F.col("qvec").alias("qb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = idot("qa", "qb")
-    dropped = (
-        a.join(b, "c")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            (dot >= 0)
-            & (
-                F.lit(thr_den * thr_den) * dot * dot
-                >= F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+    def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ids sorted ascending so position order == id order: a pair
+        # (row i, row j>i) is exactly the id_a < id_b orientation.
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"id": np.empty(0, dtype=np.int64)})
+        Q = np.vstack(pdf["qvec"].to_numpy()).astype(np.int64)
+        nrm = np.einsum("ij,ij->i", Q, Q)
+        dropped = np.zeros(m, dtype=bool)
+        # dot ≤ dim·127² ≈ 1.0e6 ⇒ d²·dot² ≤ ~4.3e14·d² and
+        # n²·na·nb ≤ ~1.1e12·n² — int64-exact throughout, matching
+        # the DuckDB replay bit-for-bit.
+        block = 1024
+        for r0 in range(0, m - 1, block):
+            r1 = min(r0 + block, m - 1)
+            G = Q[r0:r1] @ Q.T  # (r1-r0, m) int64
+            cond = (G >= 0) & (
+                d2 * G * G >= n2 * np.outer(nrm[r0:r1], nrm)
             )
-        )
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
+            # keep only the strict upper triangle (id_a < id_b)
+            cols = np.arange(m)
+            cond &= cols[None, :] > np.arange(r0, r1)[:, None]
+            dropped |= cond.any(axis=0)
+        return pd.DataFrame({"id": ids[dropped]})
+
+    dropped = feat.groupBy("c").applyInPandas(drop_in_cluster, "id long")
     return (
         assign.join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
         .select(

@@ -2779,6 +2779,20 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights of every document against the English subset
+    as the target distribution, deterministic Gumbel-top-20%
+    resampling. The whole chain — md5 feature hashing, add-one
+    smoothed log-ratios, md5-uniform Gumbel noise, exact percentile
+    threshold — is engine-portable and replayed verbatim by the
+    DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return cu.dsir_resample(docs, F.col("lang") == "en").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2797,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
+        "dsir_resample": q_dsir_resample,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "knn_pagerank_lsh": q_knn_pagerank_lsh,
@@ -4211,6 +4226,70 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(n_chars, 0.95)*1000000 + 0.5)/1000000 AS p95,
                    floor(quantile_cont(n_chars, 0.99)*1000000 + 0.5)/1000000 AS p99
             FROM documents GROUP BY lang
+        """,
+        # DSIR replay: same md5 bucket hashing, add-one smoothed
+        # ln-ratios over target(en)/raw hashed unigram+bigram counts,
+        # md5-uniform Gumbel perturbation, exact 0.8-percentile
+        # threshold (both engines round the interpolated threshold
+        # onto the scores' 1e-6 grid before comparing).
+        "dsir_resample": """
+            WITH base AS (
+                SELECT doc_id AS id, (lang = 'en') AS is_target,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT id, is_target, unnest(ws) AS g FROM base
+                UNION ALL
+                SELECT id, is_target,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i]||' '||ws[i+1])) AS g
+                FROM base WHERE len(ws) >= 2
+            ),
+            feats AS (
+                SELECT id, is_target,
+                       CAST('0x' || substr(md5('ds|' || g), 1, 10) AS BIGINT)
+                           % 4096 AS b
+                FROM grams
+            ),
+            df AS (
+                SELECT id, b, count(*) AS c, bool_and(is_target) AS is_target
+                FROM feats GROUP BY 1, 2
+            ),
+            raw AS (SELECT b, sum(c) AS rc FROM df GROUP BY 1),
+            tgt AS (SELECT b, sum(c) AS tc FROM df WHERE is_target GROUP BY 1),
+            tot AS (
+                SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM raw) AS R,
+                       (SELECT CAST(sum(tc) AS DOUBLE) FROM tgt) AS T
+            ),
+            ratio AS (
+                SELECT raw.b,
+                       ln((coalesce(tc, 0) + 1.0)/(T + 1.0*4096))
+                     - ln((rc + 1.0)/(R + 1.0*4096)) AS lr
+                FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+            ),
+            w AS (
+                SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
+                       floor(sum(c*lr)*1000000 + 0.5)/1000000 AS logw
+                FROM df JOIN ratio USING (b) GROUP BY id
+            ),
+            sc AS (
+                SELECT id, n_feats, logw,
+                       floor((logw - ln(-ln(
+                           (CAST('0x' || substr(md5('g|' || id), 1, 10) AS BIGINT)
+                            + 1.0) / (power(2, 40) + 1.0)
+                       )))*1000000 + 0.5)/1000000 AS gscore
+                FROM w
+            ),
+            th AS (
+                SELECT floor(quantile_cont(gscore, 0.8)*1000000 + 0.5)/1000000
+                           AS thr
+                FROM sc
+            )
+            SELECT id AS doc_id, n_feats, logw, gscore,
+                   (gscore >= thr) AS selected
+            FROM sc CROSS JOIN th
         """,
         # transitive closure over the EXACT jaccard pair list: comp =
         # min id reachable (graph made symmetric, so min-reachable ==

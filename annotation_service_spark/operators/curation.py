@@ -469,3 +469,139 @@ def chunk_spans(
             .alias("chunk_end"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed n-gram
+    feature counts are. Features are word unigrams + bigrams hashed
+    into ``n_buckets`` buckets (md5-based, engine-portable — the
+    dedup family's hashing); bucket distributions are estimated with
+    add-alpha smoothing over the TARGET subset (``target_filter``)
+    and the full RAW corpus, and
+
+        logw(doc) = Σ_buckets c_doc(b) · [ln p̂_target(b) − ln p̂_raw(b)]
+
+    rounded to 1e-6 (the unigram_nll convention — ln is the one
+    non-correctly-rounded primitive; rounding a per-doc sum absorbs
+    engine ulps). Returns (id, n_feats, logw).
+
+    Scale shape: tokenize/hash is a stateless projection; the two
+    bucket histograms are map-side-combinable groupBys on a key
+    space bounded by ``n_buckets``; the per-bucket log-ratio table
+    (≤ n_buckets rows) broadcasts back into one per-doc aggregation.
+    The corpus streams twice, nothing collects to the driver, no
+    join key exceeds n_buckets cardinality."""
+    from annotation_service_spark.operators.dedup import (
+        seeded_hash,
+        tokens,
+        word_ngrams,
+    )
+    from annotation_service_spark.functions.text import round_fixed
+
+    text = F.col(text_col)
+    grams = F.concat(tokens(text), word_ngrams(text, 2))
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        target_filter.alias("is_target"),
+        F.explode(grams).alias("g"),
+    ).select(
+        "id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("ds|"), F.col("g"))), 1, 10), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    doc_feats = feats.groupBy("id", "b").agg(
+        F.count(F.lit(1)).alias("c"), F.first("is_target").alias("is_target")
+    )
+    raw = doc_feats.groupBy("b").agg(F.sum("c").alias("rc"))
+    tgt = (
+        doc_feats.where("is_target")
+        .groupBy("b")
+        .agg(F.sum("c").alias("tc"))
+    )
+    totals = (
+        raw.agg(F.sum("rc").cast("double").alias("R"))
+        .crossJoin(tgt.agg(F.sum("tc").cast("double").alias("T")))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + alpha) / (F.col("T") + alpha * n_buckets))
+                - F.log((F.col("rc") + alpha) / (F.col("R") + alpha * n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_feats.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            round_fixed(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    frac: float = 0.2,
+) -> DataFrame:
+    """DSIR resampling on top of ``dsir_weights``: Gumbel-top-m
+    (sampling without replacement ∝ exp(logw)) with DETERMINISTIC
+    Gumbel noise g = −ln(−ln u), u ∈ (0,1) from md5(id) — the
+    repo-wide no-RNG convention, reproducible across engines and
+    runs. A document is ``selected`` when its perturbed score
+    logw + g clears the corpus's (1−frac) percentile.
+
+    The threshold is an EXACT percentile (single bounded reduce over
+    one double per doc — fine at gate scale; at 100 TB swap in
+    approx_percentile, t-digest map-side combinable, and keep this
+    form as its ground-truth twin, exactly the group_quantiles /
+    profile_approx pairing)."""
+    from annotation_service_spark.functions.text import round_fixed
+
+    w = dsir_weights(docs, target_filter, id_col, text_col, n_buckets, alpha)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("g|"), F.col("id").cast("string"))), 1, 10), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 40) + 1))
+    scored = w.select(
+        "id",
+        "n_feats",
+        "logw",
+        round_fixed(F.col("logw") - F.log(-F.log(u)), 6).alias("gscore"),
+    )
+    # threshold rounded onto the same 1e-6 grid as the scores before
+    # comparing: the interpolated percentile is the one double here
+    # computed by different expression orders on the two engines
+    thr = scored.agg(
+        round_fixed(
+            F.expr(f"percentile(gscore, {1.0 - frac}D)"), 6
+        ).alias("thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "id",
+        "n_feats",
+        "logw",
+        "gscore",
+        (F.col("gscore") >= F.col("thr")).alias("selected"),
+    )

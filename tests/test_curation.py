@@ -186,3 +186,38 @@ def test_chunk_spans_rejects_bad_overlap(spark):
         assert "exceed" in str(exc)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    """Docs sharing the target subset's vocabulary must outweigh docs
+    made of off-target vocabulary, and weights are finite/deterministic."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # target docs (is_target): "spark" dialect
+        (0, "spark shuffle partition broadcast join spark shuffle", True),
+        (1, "broadcast join partition spark shuffle partition", True),
+        # raw-only doc written in the target dialect -> high weight
+        (2, "spark shuffle broadcast partition join shuffle", False),
+        # raw-only doc in a disjoint dialect -> low weight
+        (3, "llama alpaca vicuna gazelle okapi ibex markhor", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {
+        r.id: r.logw
+        for r in cu.dsir_weights(df, F.col("tgt"), n_buckets=512).collect()
+    }
+    assert set(w) == {0, 1, 2, 3}
+    assert w[2] > w[3], w
+    # target-dialect docs themselves score high too
+    assert min(w[0], w[1]) > w[3]
+
+    sel = cu.dsir_resample(df, F.col("tgt"), n_buckets=512, frac=0.5).collect()
+    assert {r.id for r in sel} == {0, 1, 2, 3}
+    n_sel = sum(1 for r in sel if r.selected)
+    assert 1 <= n_sel <= 3  # half the corpus modulo grid ties
+    # determinism: same inputs -> identical gscores
+    sel2 = cu.dsir_resample(df, F.col("tgt"), n_buckets=512, frac=0.5).collect()
+    assert sorted((r.id, r.gscore) for r in sel) == sorted(
+        (r.id, r.gscore) for r in sel2
+    )

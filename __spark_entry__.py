@@ -2779,6 +2779,20 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the 3-gram-Jaccard ≥ 0.3 near-dup graph (the
+    triangle_count edge relation): iterated degree peeling to a fixed
+    point, surviving (id, degree). The oracle unrolls the same peel
+    rounds as chained CTEs; the early-exit-at-fixed-point Spark loop
+    is round-count-equivalent by absorption."""
+    from annotation_service_spark.operators.graph import k_core
+
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.3
+    )
+    return k_core(pairs, k=2, rounds=12)
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
     importance weights of every document against the English subset
@@ -2812,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
         "dsir_resample": q_dsir_resample,
+        "kcore": q_kcore,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "knn_pagerank_lsh": q_knn_pagerank_lsh,
@@ -2964,6 +2979,50 @@ def _shingle_cte(n: int = 3) -> str:
                    unnest(list_transform(range(1, len(ws)-{n - 2}), i -> {joins})) AS s
             FROM w WHERE len(ws) >= {n}
         )
+    """
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 12, thr: float = 0.3) -> str:
+    """Unrolled degree-peeling replay of ``k_core`` on the jaccard
+    near-dup graph: e0 = the symmetric thresholded edge list, then
+    ``rounds`` chained (degree → alive → filtered-edges) CTE
+    triples — peeling is absorbing, so a converged Spark loop equals
+    any ≥-convergence unroll."""
+    # every e{i-1} is referenced twice (its degree table and its
+    # filtered successor): MATERIALIZED stops DuckDB from inlining
+    # the chain into 2^rounds copies of the base scan
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"d{i} AS (SELECT src, count(*) AS c FROM e{i-1} GROUP BY 1),\n"
+            f"a{i} AS MATERIALIZED (SELECT src AS id FROM d{i} WHERE c >= {k}),\n"
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e\n"
+            f"         JOIN a{i} s ON e.src = s.id\n"
+            f"         JOIN a{i} t ON e.dst = t.id)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+        WITH {_shingle_cte(3)},
+        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        prs AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        je AS (
+            SELECT id_a, id_b FROM prs
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= {thr}
+        ),
+        e0 AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM je
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM je
+        ),
+        {chain}
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+        FROM e{rounds} GROUP BY 1
     """
 
 
@@ -4227,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(n_chars, 0.99)*1000000 + 0.5)/1000000 AS p99
             FROM documents GROUP BY lang
         """,
+        "kcore": _kcore_oracle(2, 12, 0.3),
         # DSIR replay: same md5 bucket hashing, add-one smoothed
         # ln-ratios over target(en)/raw hashed unigram+bigram counts,
         # md5-uniform Gumbel perturbation, exact 0.8-percentile

@@ -235,3 +235,59 @@ def triangle_counts(
         "id",
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 12,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """k-core decomposition by iterated degree peeling: repeatedly
+    drop every vertex of degree < k (and its edges) until a fixed
+    point. Returns (id, degree) for the surviving subgraph — the
+    dense hearts of the near-dup graph (a vertex in the k-core has ≥k
+    neighbours that THEMSELVES survive, a much stronger density
+    signal than raw degree; standard for community/spam-blob mining).
+
+    Contract: exactly ``rounds`` peel passes, with an early exit once
+    a pass removes nothing — an absorbing state, so the result equals
+    the full ``rounds``-pass result (the DuckDB oracle unrolls the
+    same fixed number of passes; near-dup blob graphs converge in
+    2-4). Each pass is one degree groupBy + two semi-joins keyed by
+    node id — uniform keys, no driver-side graph state; per-pass
+    results are localCheckpoint()ed to keep the iterative plan flat
+    (the connected_components pattern)."""
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    sym = e.union(
+        e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    ).select(F.col("lo").alias("src"), F.col("hi").alias("dst")).localCheckpoint(
+        eager=False
+    )
+    n_edges = sym.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        alive = deg.where(F.col("c") >= k).select(F.col("src").alias("id"))
+        sym = (
+            sym.join(alive.withColumnRenamed("id", "src"), "src")
+            .join(alive.withColumnRenamed("id", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        n_now = sym.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    return sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

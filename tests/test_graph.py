@@ -129,3 +129,22 @@ def test_triangle_counts_planted(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_k_core_peels_tails_and_converges(spark):
+    from annotation_service_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + tail 3-4-5 + isolated pair (6,7)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r.degree for r in k_core(df, k=2, rounds=12).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # early exit result == exact fixed rounds (absorption)
+    out3 = {r.id: r.degree for r in k_core(df, k=2, rounds=3).collect()}
+    assert out3 == out
+    # 3-core of a 4-clique survives whole; with one edge removed it dies
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    df4 = spark.createDataFrame(k4, "id_a long, id_b long")
+    assert {r.id for r in k_core(df4, k=3, rounds=8).collect()} == {1, 2, 3, 4}
+    df4m = spark.createDataFrame(k4[:-1], "id_a long, id_b long")
+    assert k_core(df4m, k=3, rounds=8).count() == 0

@@ -2714,6 +2714,155 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted to this schema (no
+    l_commitdate/l_receiptdate): an order counts as LATE when some
+    lineitem shipped > 30 days after the order date. Keeps Q4's
+    defining shape — EXISTS decorrelated to a left-semi join with an
+    extra non-equi residual on top of the orderkey equi-join."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue between two nations by
+    direction and ship year — the two-role dimension join (nation
+    joined twice under different keys), a disjunctive cross-side
+    predicate, and a decimal-exact rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    dec = "decimal(12,2)"
+    one = F.lit(1).cast("decimal(4,2)")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    vol = F.col("l_extendedprice").cast(dec) * (
+        one - F.col("l_discount").cast(dec)
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lineitems of one brand
+    below 20% of their part's average quantity. The correlated-AVG
+    comparison is decorrelated into a per-part (sum, count) aggregate
+    join and rewritten EXACT-decimal: l_q < 0.2·(sum/cnt) ⇔
+    5·l_q·cnt < sum — no float average ever materializes, so
+    distributed summation order cannot flip a row on either engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = "decimal(12,2)"
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(dec)).alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt_q"),
+    )
+    j = (
+        li.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#23")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(
+            F.lit(5).cast("decimal(4,0)")
+            * F.col("l_quantity").cast(dec)
+            * F.col("cnt_q")
+            < F.col("sum_q")
+        )
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity, adapted (no c_phone —
+    country code := c_nationkey): customers above the positive-balance
+    average with no RECENT orders (none since 2001-06-01 — the
+    synthetic history gives every customer SOME order, so the
+    lapsed-customer form keeps Q22's anti-join non-degenerate),
+    counted per country. The global-average threshold uses the same
+    exact-decimal rewrite as Q17 (bal·cnt > sum), plus the defining
+    anti-join against orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    dec = "decimal(12,2)"
+    bal = F.col("c_acctbal").cast(dec)
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("sum_b"), F.count(F.lit(1)).alias("cnt_b")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .where(bal * F.col("cnt_b") > F.col("sum_b"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion NEAR-dup dedup
     (operators/dedup.py::incremental_minhash_dedup): state = the
@@ -2827,6 +2976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
         "dsir_resample": q_dsir_resample,
         "kcore": q_kcore,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "knn_pagerank_lsh": q_knn_pagerank_lsh,
@@ -4806,6 +4959,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
             FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        """,
+        # Q4 adapted: late = some lineitem shipped >30 days after the
+        # order date (schema has no commit/receipt dates)
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1997-12-31 00:00:00'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        # Q17 with the correlated AVG decorrelated and made exact:
+        # l_q < 0.2*(sum/cnt)  <=>  5*l_q*cnt < sum (decimal-exact)
+        "tpch_q17": """
+            WITH pp AS (
+                SELECT l_partkey AS pk,
+                       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_q,
+                       count(*) AS cnt_q
+                FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       / 7.0 AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+            JOIN pp ON l_partkey = pp.pk
+            WHERE CAST(5 AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(12,2))
+                      * cnt_q
+                  < sum_q
+        """,
+        # Q22 adapted: cntrycode := c_nationkey; threshold rewrite
+        # bal*cnt > sum keeps the global average exact-decimal
+        "tpch_q22": """
+            WITH pos AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_b,
+                       count(*) AS cnt_b
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       AS totacctbal
+            FROM customer CROSS JOIN pos
+            WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt_b > sum_b
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+              )
+            GROUP BY 1
         """,
         "tpch_q14": """
             SELECT 100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'

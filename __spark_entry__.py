@@ -2976,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
         "dsir_resample": q_dsir_resample,
         "kcore": q_kcore,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
         "tpch_q17": q_tpch_q17,
@@ -3092,7 +3093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_gemm_topk": q_ann_gemm_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,

@@ -141,3 +141,57 @@ def test_overlap_join_and_containment_plans(spark):
     p = _plan(em.q_interval_overlap_join(spark, SF))
     assert "BroadcastHashJoin [__cell" in p or "SortMergeJoin [__cell" in p \
         or "ShuffledHashJoin [__cell" in p
+
+
+def test_dsir_resample_plan(spark):
+    """DSIR: the bucket log-ratio table (≤ n_buckets rows) and the
+    percentile threshold (1 row) must BROADCAST back into the per-doc
+    aggregation — no shuffle keyed on anything wider than the bucket
+    id, no cartesian blowup (the two crossJoins are 1-row broadcasts),
+    no single-partition window."""
+    p = _plan(em.q_dsir_resample(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "Window" not in p  # selection is a threshold, not a rank
+
+
+def test_tpch_q7_plan(spark):
+    """Q7: both nation dimension roles broadcast; the fact-side chain
+    stays equi-join."""
+    p = _plan(em.q_tpch_q7(spark, SF))
+    _assert_no_blowups(p)
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q17_q22_plans(spark):
+    """Q17/Q22: the decorrelated aggregate rewrites must not plan a
+    nested-loop — Q17's per-part aggregate joins on the part key;
+    Q22's 1-row global threshold broadcast-cross-joins (allowed:
+    BroadcastNestedLoopJoin over exactly one row) and the order
+    anti-join is hash-based."""
+    p17 = _plan(em.q_tpch_q17(spark, SF))
+    _assert_no_blowups(p17)
+    assert any(j in p17 for j in EQUI_JOINS)
+    p22 = _plan(em.q_tpch_q22(spark, SF))
+    assert "CartesianProduct" not in p22
+    assert "LeftAnti" in p22
+
+
+def test_kcore_converged_plan_and_result(spark):
+    """k-core: the peel loop localCheckpoints each round — the final
+    plan must be flat (rooted at the checkpointed edge RDD, not a
+    12-round join tower)."""
+    df = em.q_kcore(spark, SF)
+    p = _plan(df)
+    _assert_no_blowups(p)
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 2
+
+
+def test_ann_ivf_prune_plan(spark):
+    """IVF: the probe scan is the mapInPandas prune (no corpus-wide
+    pair join survives in the plan) and the survivor re-score joins
+    broadcast."""
+    p = _plan(em.q_ann_ivf_topk(spark, SF))
+    _assert_no_blowups(p)
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p

@@ -2928,6 +2928,21 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 16 codes, int64 ADC,
+    top-16 candidates, exact float re-rank). Codebooks are the
+    deterministic per-subspace fixed-point k-means
+    (``pq_codebooks_from_parquet``), so the DuckDB oracle replays
+    encode → LUT → ADC → re-rank from the same literals; the ADC
+    candidate set is exact-integer, not slack-guarded."""
+    books = sim.pq_codebooks_from_parquet(
+        f"{sf_dir}/embeddings.parquet", m=8, codes=16, iterations=2
+    )
+    return sim.ann_pq_topk(
+        _t(spark, sf_dir, "embeddings"), books, k=3, adc_top=16
+    )
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the 3-gram-Jaccard ≥ 0.3 near-dup graph (the
     triangle_count edge relation): iterated degree peeling to a fixed
@@ -2977,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "kcore": q_kcore,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
         "tpch_q17": q_tpch_q17,
@@ -3425,6 +3441,107 @@ def _ann_cosine_oracle(k: int = 3) -> str:
         SELECT qid, nid, cos
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
         WHERE rn <= {k}
+    """
+
+
+def _pq_oracle(
+    k: int = 3,
+    m: int = 8,
+    codes: int = 16,
+    iterations: int = 2,
+    adc_top: int = 16,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB replay of ``ann_pq_topk``: codebook + query-LUT literals
+    from the sequential trainer (bit-identical by exact-int64
+    construction), fixed-point encode via per-subspace argmin
+    (first-min tie-break = ORDER BY dist, j), integer ADC sum,
+    (adc desc, nid) top-``adc_top`` candidates, exact round-6 cosine
+    re-rank — every approximate step is exact integer arithmetic, so
+    the candidate set cannot drift between engines."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from annotation_service_spark.operators.similarity import (
+        pq_codebooks_from_parquet,
+    )
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    books = pq_codebooks_from_parquet(path, m, codes, iterations, scale)
+    t = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    qpdf = t[t["vec_id"] % 50 == 0]
+    qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.vstack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qq = np.floor(qm * scale).astype(np.int64)
+    cb = np.asarray(books, dtype=np.int64)
+    dim = qq.shape[1]
+    sub = dim // m
+    lut = np.einsum("qsd,sjd->qsj", qq.reshape(len(qids), m, sub), cb)
+
+    cb_rows = ", ".join(
+        "({s}, {j}, [{vals}])".format(
+            s=s, j=j, vals=", ".join(str(int(x)) for x in books[s][j])
+        )
+        for s in range(m)
+        for j in range(codes)
+    )
+    lut_rows = ", ".join(
+        f"({int(qids[qi])}, {s}, {j}, {int(lut[qi, s, j])})"
+        for qi in range(len(qids))
+        for s in range(m)
+        for j in range(codes)
+    )
+    return f"""
+        WITH {_V_CTE.strip().rstrip()},
+        qv AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(e, x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+            FROM v
+        ),
+        cb(s, j, cv) AS (VALUES {cb_rows}),
+        lut(qid, s, code, ip) AS (VALUES {lut_rows}),
+        enc AS MATERIALIZED (
+            SELECT vec_id, s, j AS code FROM (
+                SELECT qv.vec_id, cb.s, cb.j,
+                       row_number() OVER (
+                           PARTITION BY qv.vec_id, cb.s
+                           ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                               i -> (q[cb.s*{sub} + i] - cv[i])
+                                  * (q[cb.s*{sub} + i] - cv[i]))), cb.j
+                       ) AS rk
+                FROM qv CROSS JOIN cb
+            ) WHERE rk = 1
+        ),
+        adc AS (
+            SELECT l.qid, e.vec_id AS nid, sum(l.ip) AS adc
+            FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+            WHERE e.vec_id <> l.qid
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT qid, nid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+                FROM adc
+            ) WHERE rn <= {adc_top}
+        ),
+        q2 AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+        s2 AS (
+            SELECT c.qid, c.nid, {_cos6('qe', 'v.e')} AS cos
+            FROM cand c
+            JOIN q2 ON q2.qid = c.qid
+            JOIN v ON v.vec_id = c.nid
+        )
+        SELECT qid, nid, cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+            FROM s2
+        ) WHERE rn <= {k}
     """
 
 
@@ -4440,6 +4557,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "kcore": _kcore_oracle(2, 12, 0.3),
+        "ann_pq_topk": _pq_oracle(3, 8, 16, 2, 16),
         # DSIR replay: same md5 bucket hashing, add-one smoothed
         # ln-ratios over target(en)/raw hashed unigram+bigram counts,
         # md5-uniform Gumbel perturbation, exact 0.8-percentile

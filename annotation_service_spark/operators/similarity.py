@@ -1021,3 +1021,192 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+_PQ_MEMO: dict = {}
+
+
+def pq_codebooks_from_parquet(
+    path: str,
+    m: int = 8,
+    codes: int = 16,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, TPAMI
+    "Product quantization for nearest neighbor search"): the vector
+    space is split into ``m`` contiguous subspaces and each gets its
+    own ``codes``-centroid k-means codebook. Trained driver-side on
+    the FIXED-POINT int64 subvectors with the exact sequential Lloyd
+    of ``kmeans_fixed_reference`` (init = first ``codes`` rows by id,
+    first-min tie-break, floored integer mean), so the codebooks are
+    bit-identical wherever they are recomputed — the property the
+    DuckDB oracle's literal embedding relies on. Returns
+    ``[m][codes][sub_dim]`` ints."""
+    key = (path, m, codes, iterations, scale)
+    if key not in _PQ_MEMO:
+        import pyarrow.parquet as pq
+
+        t = (
+            pq.read_table(path, columns=["vec_id", "embedding"])
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        v = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+        _PQ_MEMO[key] = pq_codebooks_from_array(v, m, codes, iterations, scale)
+    return _PQ_MEMO[key]
+
+
+def pq_codebooks_from_array(
+    v: "np.ndarray",
+    m: int = 8,
+    codes: int = 16,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> list[list[list[int]]]:
+    """Trainer body of ``pq_codebooks_from_parquet`` on an in-memory
+    (n, dim) float array IN vec_id ORDER (init = first ``codes``
+    rows) — identical exact-int64 Lloyd, shared by tests and
+    alternative sources."""
+    q = np.floor(np.asarray(v, dtype=np.float64) * scale).astype(np.int64)
+    dim = q.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        qs = q[:, s * sub : (s + 1) * sub]
+        c = qs[:codes].copy()
+        for _ in range(iterations):
+            d = ((qs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for j in range(codes):
+                mm = a == j
+                if mm.any():
+                    c[j] = np.floor_divide(qs[mm].sum(axis=0), int(mm.sum()))
+        books.append([[int(x) for x in row] for row in c])
+    return books
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+    k: int = 3,
+    adc_top: int = 16,
+    round_digits: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC): the corpus
+    is compressed to ``m`` one-byte codes per vector (64× smaller
+    than the float64 vectors — the memory regime where billion-vector
+    scans live); each query precomputes an m×codes inner-product
+    lookup table, so scoring a corpus row is m table adds. The
+    ADC-top-``adc_top`` candidates per query are then exactly
+    re-ranked by float cosine (the IVF/brute-GEMM survivor pattern —
+    same codegen expression, same round-6 values and tie-breaks).
+
+    Engine-portable by construction: codebooks, codes, LUT entries
+    and ADC scores are all exact int64 (fixed-point vectors × integer
+    centroids), so the candidate set — the only approximate part of
+    the contract — is bit-reproducible, and the DuckDB oracle replays
+    it from the same codebook/LUT literals. The per-batch prune keeps
+    each query's local (adc desc, nid asc) top-``adc_top``, which is
+    a superset of every global top-``adc_top`` row under ANY
+    partitioning — integer scores with total tie-break make the
+    global window after it exact, not slack-guarded.
+
+    Scale: one corpus pass (encode+ADC kernel, Arrow-batched), a
+    per-query-keyed window over ≤ batches·|Q|·adc_top rows, and a
+    broadcast-candidate re-score scan. Nothing shuffles the corpus;
+    the broadcast is the LUT (m·codes ints per query)."""
+    dim = _vec_dim(embeddings, vec_col)
+    m = len(codebooks)
+    codes = len(codebooks[0])
+    sub = dim // m
+    spark = embeddings.sparkSession
+
+    qf = query_filter if query_filter is not None else (F.col(id_col) % 50 == 0)
+    qpdf = embeddings.where(qf).select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy(dtype=np.int64)
+    qm = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qq = np.floor(qm * scale).astype(np.int64)
+    cb = np.asarray(codebooks, dtype=np.int64)  # (m, codes, sub)
+    # LUT[qi, s, j] = <query subvector, code centroid> — exact int64
+    lut = np.einsum(
+        "qsd,sjd->qsj", qq.reshape(len(qids), m, sub), cb
+    )
+    bc = spark.sparkContext.broadcast((qids, lut, cb))
+
+    def adc_prune(it):
+        bqids, blut, bcb = bc.value
+        nq = len(bqids)
+        for pdf in it:
+            if not len(pdf) or not nq:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            v = np.vstack(pdf["ve"].to_numpy()).astype(np.float64)
+            q8 = np.floor(v * scale).astype(np.int64).reshape(len(ids), m, sub)
+            enc = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                d = ((q8[:, s, None, :] - bcb[None, s]) ** 2).sum(axis=2)
+                enc[:, s] = d.argmin(axis=1)
+            # adc[n, q] = Σ_s LUT[q, s, enc[n, s]]
+            adc = np.zeros((len(ids), nq), dtype=np.int64)
+            for s in range(m):
+                adc += blut[:, s, enc[:, s]].T
+            self_mask = ids[:, None] == bqids[None, :]
+            kk = min(adc_top, len(ids))
+            for qi in range(nq):
+                col = adc[:, qi]
+                ok = ~self_mask[:, qi]
+                idx = np.flatnonzero(ok)
+                if not len(idx):
+                    continue
+                order = idx[np.lexsort((ids[idx], -col[idx]))][:kk]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(len(order), bqids[qi]),
+                        "nid": ids[order],
+                        "adc": col[order],
+                    }
+                )
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
+    )
+    local = base.mapInPandas(adc_prune, "qid long, nid long, adc long")
+    wadc = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("nid"))
+    cand = (
+        local.withColumn("rn", F.row_number().over(wadc))
+        .where(F.col("rn") <= adc_top)
+        .select("qid", "nid")
+    )
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ce")
+    ).withColumn("cn", F.sqrt(dot("ce", "ce", dim)))
+    qv = embeddings.where(qf).select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qe")
+    ).withColumn("qn", F.sqrt(dot("qe", "qe", dim)))
+    scored = (
+        vecs.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot("qe", "ce", dim) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "cos")
+    )

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from annotation_service_spark.operators import similarity as sim
+from annotation_service_spark.sources.testdata import load_table
 
 
 @pytest.fixture(scope="module")
@@ -196,3 +197,74 @@ def test_quantize_embeddings_error_and_recall(spark):
         hits += len(exact & approx)
         total += 10
     assert hits / total >= 0.7, hits / total
+
+
+def test_ann_pq_partition_invariance_and_recall(spark):
+    """The integer-ADC candidate set must be identical under ANY
+    corpus partitioning (the per-batch prune keeps each query's local
+    (adc desc, nid) top-T — a superset of the global top-T), and PQ
+    recall vs exact brute force stays useful on a real corpus."""
+    import annotation_service_spark.operators.similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    books = sim.pq_codebooks_from_parquet(
+        f"{sf}/embeddings.parquet", m=8, codes=16, iterations=2
+    )
+    out1 = sorted(
+        (r.qid, r.nid, r.cos)
+        for r in sim.ann_pq_topk(emb, books, k=3, adc_top=16).collect()
+    )
+    out2 = sorted(
+        (r.qid, r.nid, r.cos)
+        for r in sim.ann_pq_topk(
+            emb.repartition(7), books, k=3, adc_top=16
+        ).collect()
+    )
+    out3 = sorted(
+        (r.qid, r.nid, r.cos)
+        for r in sim.ann_pq_topk(
+            emb.repartition(1), books, k=3, adc_top=16
+        ).collect()
+    )
+    assert out1 == out2 == out3
+    # recall regime: planted near-dups (the honest ANN regime — on
+    # i.i.d. random vectors no compressed index can rank the barely-
+    # nearest neighbour; same argument as test_ann_lsh_recall)
+    import numpy as np
+
+    from tests.test_dedup_similarity import _planted_ann_corpus
+
+    rows = _planted_ann_corpus()
+    pdf = sorted(rows, key=lambda r: r[0])
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    v = np.asarray([r[1] for r in pdf], dtype=np.float64)
+    pbooks = sim.pq_codebooks_from_array(v, m=8, codes=16, iterations=2)
+    brute = {
+        (r.qid, r.nid)
+        for r in sim.ann_bruteforce_topk(planted, k=3).collect()
+    }
+    got = {
+        (r.qid, r.nid)
+        for r in sim.ann_pq_topk(planted, pbooks, k=3, adc_top=16).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, recall
+
+
+def test_pq_codebooks_deterministic_and_exact_int(spark):
+    import annotation_service_spark.operators.similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    b1 = sim.pq_codebooks_from_parquet(f"{sf}/embeddings.parquet")
+    sim._PQ_MEMO.clear()
+    b2 = sim.pq_codebooks_from_parquet(f"{sf}/embeddings.parquet")
+    assert b1 == b2
+    assert all(
+        isinstance(x, int)
+        for book in b1
+        for row in book
+        for x in row
+    )

@@ -234,6 +234,7 @@ SF1_EVENT_QUERIES = [
 SF1_EMB_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "ann_quantized_topk",
     "knn_pagerank_lsh",
 ]

@@ -2863,6 +2863,182 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTSUPP_SQL = """
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   CAST((l_partkey*31 + l_suppkey*17) % 9999 + 1 AS BIGINT)
+                       AS ps_availqty,
+                   CAST((l_partkey*73 + l_suppkey*151) % 1000 + 1 AS BIGINT)
+                       AS ps_supplycost
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp view: the synthetic schema has no partsupp
+    table, so the four TPC-H shapes that need one (Q2/Q11/Q16/Q20)
+    run against the distinct (l_partkey, l_suppkey) pairs observed in
+    lineitem, with ps_availqty/ps_supplycost derived from the keys by
+    pure integer arithmetic — deterministic and engine-identical, so
+    the DuckDB oracle replays the exact same view (`_PARTSUPP_SQL`).
+    Costs stay int64 (whole dollars 1..1000, qty 1..9999) so every
+    min/sum/threshold downstream is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            pk.alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((pk * 31 + sk * 17) % 9999 + 1).cast("long").alias("ps_availqty"),
+            ((pk * 73 + sk * 151) % 1000 + 1).cast("long").alias("ps_supplycost"),
+        )
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier: for each LARGE size-15 part,
+    the EUROPE supplier(s) at the regional minimum supply cost. The
+    correlated MIN subquery is decorrelated into a per-part groupBy
+    over the region-restricted partsupp and joined back on
+    (part, cost) — equality on an exact int64 cost, so no float min
+    can drop a tie. Supplier/nation/region dims broadcast; the only
+    shuffle is the per-part min over the derived partsupp."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "LARGE")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_type",
+            F.col("ps_supplycost").alias("supplycost"),
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: per-part inventory value within one
+    nation, kept when above 0.01% of that nation's total. The HAVING
+    threshold is the exact-integer rewrite value·10000 > total (costs
+    and quantities are int64 in the derived view), so the global
+    scalar subquery broadcasts one row and no float fraction is ever
+    compared."""
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nps = ps.join(
+        F.broadcast(
+            sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    ).withColumn("val", F.col("ps_supplycost") * F.col("ps_availqty"))
+    total = nps.agg(F.sum("val").alias("total_val"))
+    return (
+        nps.groupBy(F.col("ps_partkey").cast("long").alias("ps_partkey"))
+        .agg(F.sum("val").cast("long").alias("part_value"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("part_value") * 10000 > F.col("total_val"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship: distinct supplier count
+    per (brand, type, size) bucket, excluding one brand, one type
+    class, and "complaint" suppliers — adapted to this schema as
+    s_acctbal < 0 (no comment column to grep). The exclusion list is
+    a broadcast left-anti join; the distinct count shuffles once on
+    the grouping key."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    bad_sup = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_sup),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion: NATION_3 suppliers holding
+    excess stock (availqty > half of what they shipped in 1996) of
+    'red %' parts. The correlated shipped-quantity SUM decorrelates
+    into a per-(part, supplier) aggregate joined to partsupp — the
+    same key the view is derived on, so AQE can co-locate both sides —
+    and the half-threshold is the exact rewrite 2·availqty > sum_qty
+    in decimal. NULL-sum pairs (nothing shipped in the window) drop
+    via the inner join, matching the spec's NULL-comparison semantics.
+    The surviving pair set reduces to a semi-join on supplier."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red %"))
+    dec = "decimal(12,2)"
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("qk"), F.col("l_suppkey").alias("qs")
+    ).agg(F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"))
+    excess = (
+        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("qk"))
+            & (F.col("ps_suppkey") == F.col("qs")),
+        )
+        .where(
+            (F.lit(2) * F.col("ps_availqty")).cast(dec) > F.col("sum_qty")
+        )
+        .select("ps_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
 def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion NEAR-dup dedup
     (operators/dedup.py::incremental_minhash_dedup): state = the
@@ -2989,6 +3165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "dsir_resample": q_dsir_resample,
         "kcore": q_kcore,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -5080,6 +5260,86 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q4 adapted: late = some lineitem shipped >30 days after the
         # order date (schema has no commit/receipt dates)
+        # Q2/Q11/Q16/Q20 need partsupp, absent from the synthetic
+        # schema: both engines derive the identical view from the
+        # distinct (l_partkey, l_suppkey) pairs with pure-integer
+        # availqty/supplycost (see _partsupp / _PARTSUPP_SQL).
+        "tpch_q2": f"""
+            WITH partsupp AS ({_PARTSUPP_SQL}),
+            eu_ps AS (
+                SELECT ps_partkey, ps_suppkey, ps_supplycost,
+                       s_acctbal, s_name, n_name
+                FROM partsupp
+                JOIN supplier ON ps_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            )
+            SELECT s_acctbal, s_name, n_name,
+                   CAST(p_partkey AS BIGINT) AS p_partkey, p_type,
+                   ps_supplycost AS supplycost,
+                   CAST(ps_suppkey AS BIGINT) AS s_suppkey
+            FROM eu_ps
+            JOIN part ON ps_partkey = p_partkey
+            WHERE p_size BETWEEN 10 AND 15 AND p_type = 'LARGE'
+              AND ps_supplycost = (
+                  SELECT min(ps_supplycost) FROM eu_ps i
+                  WHERE i.ps_partkey = part.p_partkey
+              )
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+            LIMIT 100
+        """,
+        "tpch_q11": f"""
+            WITH partsupp AS ({_PARTSUPP_SQL}),
+            nps AS (
+                SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+                FROM partsupp
+                JOIN supplier ON ps_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+            )
+            SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
+                   CAST(SUM(val) AS BIGINT) AS part_value
+            FROM nps
+            GROUP BY 1
+            HAVING SUM(val) * 10000 > (SELECT SUM(val) FROM nps)
+        """,
+        "tpch_q16": f"""
+            WITH partsupp AS ({_PARTSUPP_SQL})
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+            FROM partsupp
+            JOIN part ON ps_partkey = p_partkey
+            WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+              AND ps_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20": f"""
+            WITH partsupp AS ({_PARTSUPP_SQL}),
+            shipped AS (
+                SELECT l_partkey AS qk, l_suppkey AS qs,
+                       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY 1, 2
+            )
+            SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (
+                  SELECT ps_suppkey
+                  FROM partsupp
+                  JOIN part ON ps_partkey = p_partkey
+                  JOIN shipped ON ps_partkey = qk AND ps_suppkey = qs
+                  WHERE p_name LIKE 'red %'
+                    AND CAST(2 * ps_availqty AS DECIMAL(12,2)) > sum_qty
+              )
+        """,
         "tpch_q4": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
             FROM orders

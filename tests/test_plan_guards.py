@@ -195,3 +195,21 @@ def test_ann_ivf_prune_plan(spark):
     _assert_no_blowups(p)
     assert "MapInPandas" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_partsupp_tpch_plans(spark):
+    """Q2/Q11/Q16/Q20 over the derived partsupp view: dims broadcast,
+    fact-side chains stay equi-join, and the only non-equi shape
+    allowed is Q11's single-row total broadcast."""
+    p2 = _plan(em.q_tpch_q2(spark, SF))
+    _assert_no_blowups(p2)
+    assert p2.count("BroadcastHashJoin") >= 2
+    p11 = _plan(em.q_tpch_q11(spark, SF))
+    assert "CartesianProduct" not in p11  # 1-row total broadcasts
+    assert "BroadcastHashJoin" in p11
+    p16 = _plan(em.q_tpch_q16(spark, SF))
+    _assert_no_blowups(p16)
+    assert "LeftAnti" in p16
+    p20 = _plan(em.q_tpch_q20(spark, SF))
+    _assert_no_blowups(p20)
+    assert "LeftSemi" in p20

@@ -2863,6 +2863,32 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping modes / order priority, adapted to this
+    schema (no l_shipmode/l_commitdate/l_receiptdate): mode :=
+    l_returnflag restricted to two values, the receipt-year window
+    runs on l_shipdate, and the commit<receipt residual becomes the
+    non-equi l_shipdate > o_orderdate. Keeps Q12's defining shape —
+    a fact/fact equi-join with a residual predicate feeding two
+    CASE-conditional counts per mode."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 _PARTSUPP_SQL = """
             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                    CAST((l_partkey*31 + l_suppkey*17) % 9999 + 1 AS BIGINT)
@@ -3166,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
         "tpch_q2": q_tpch_q2,
+        "tpch_q12": q_tpch_q12,
         "tpch_q11": q_tpch_q11,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
@@ -5288,6 +5315,20 @@ def oracle_sql() -> dict[str, str]:
               )
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
             LIMIT 100
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag AS ship_mode,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate > o_orderdate
+            GROUP BY 1
         """,
         "tpch_q11": f"""
             WITH partsupp AS ({_PARTSUPP_SQL}),

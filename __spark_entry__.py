@@ -2863,6 +2863,24 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide heavy hitters (every word with frequency ≥
+    1/100 of all words) via the two-pass Misra–Gries scheme
+    (operators/sketch.py::heavy_hitters): per-partition bounded-state
+    candidate fold → broadcast semi-join → exact count vs the 1-row
+    total, integer-compared. Output is bit-identical to the naive
+    full groupBy + HAVING the oracle runs — the sketch changes the
+    shuffle profile (≤ capacity keys/partition instead of the full
+    vocabulary), not the answer."""
+    from annotation_service_spark.operators import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return sk.heavy_hitters(words, "word", threshold_denom=100)
+
+
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shipping modes / order priority, adapted to this
     schema (no l_shipmode/l_commitdate/l_receiptdate): mode :=
@@ -3191,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
+        "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
         "tpch_q12": q_tpch_q12,
         "tpch_q11": q_tpch_q11,
@@ -5315,6 +5334,16 @@ def oracle_sql() -> dict[str, str]:
               )
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
             LIMIT 100
+        """,
+        "heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), nn AS (SELECT word FROM w WHERE word <> '')
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM nn
+            GROUP BY 1
+            HAVING count(*) * 100 >= (SELECT count(*) FROM nn)
         """,
         "tpch_q12": """
             SELECT l_returnflag AS ship_mode,

@@ -175,3 +175,78 @@ def bloom_might_contain(
     return probe.withColumn("__hs", harr).where(member(F.col("__hs"))).drop(
         "__hs"
     )
+
+
+def heavy_hitter_candidates(
+    df: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra–Gries candidate pass: each partition folds
+    its stream into at most ``capacity`` counters and emits only the
+    surviving KEYS (≤ capacity rows per partition, whatever the
+    partition's cardinality — this is the bounded-state property that
+    makes the operator viable at 100 TB where a raw groupBy over the
+    key column would shuffle billions of groups).
+
+    Guarantee (Misra & Gries 1982; mergeable-summaries form, Agarwal
+    et al. 2012): within a partition holding n_p rows, every key with
+    count_p > n_p/(capacity+1) survives. By pigeonhole, any key with
+    GLOBAL count > n/(capacity+1) exceeds the per-partition bound in
+    at least one partition, so the union of per-partition candidates
+    is a superset of the true heavy hitters — no merge of counter
+    weights is needed, only the key union.
+    """
+
+    def fold(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf[key_col].value_counts().items():
+                if item in counts:
+                    counts[item] += int(c)
+                    continue
+                counts[item] = int(c)
+                if len(counts) > capacity:
+                    delta = min(counts.values())
+                    counts = {
+                        k: v - delta for k, v in counts.items() if v > delta
+                    }
+        yield pd.DataFrame({key_col: list(counts.keys())})
+
+    return df.select(key_col).mapInPandas(
+        fold, f"{key_col} string"
+    ).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_denom: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters — every key occurring ≥ n/threshold_denom
+    times, with its exact count — via the classic two-pass scheme:
+
+    1. candidate pass: per-partition Misra–Gries with
+       capacity ≥ threshold_denom (see heavy_hitter_candidates; a key
+       with count ≥ n/denom > n/(capacity+1) cannot be missed);
+    2. exact pass: broadcast the ≤ capacity·partitions candidate keys,
+       semi-join the corpus down to them, ONE map-side-combinable
+       groupBy (group count now bounded by the candidate set, not the
+       key cardinality), and keep count·denom ≥ n against the 1-row
+       total — a pure-integer comparison, no float fraction.
+
+    Output is therefore bit-identical to the naive full groupBy +
+    HAVING (the DuckDB oracle runs exactly that), while shuffle state
+    stays bounded: ≤ capacity keys per partition in pass 1, ≤ |cands|
+    groups in pass 2. Columns: (key_col, cnt).
+    """
+    capacity = capacity or threshold_denom
+    cands = heavy_hitter_candidates(df, key_col, capacity)
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * threshold_denom >= F.col("__n"))
+        .drop("__n")
+    )

@@ -179,3 +179,69 @@ def test_bloom_semijoin_reduction_properties(spark):
     rate = fp / 50_000
     design = (1 - math.exp(-k * 2000 / n_bits)) ** k
     assert rate < max(4 * design, 0.01), (rate, design)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """Two-pass Misra-Gries output == naive groupBy+HAVING, on a
+    Zipf-ish corpus spread over 32 partitions."""
+    from annotation_service_spark.operators import sketch as sk
+
+    # key k appears ~ 3000/k times: a handful of heavy keys + a tail
+    df = (
+        spark.range(200)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(1), (3000 / (F.col("id") + 1)).cast("int")
+                )
+            ).alias("r"),
+            F.col("id"),
+        )
+        .select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+        .repartition(32)
+    )
+    denom = 50
+    got = {
+        (r["key"], r["cnt"])
+        for r in sk.heavy_hitters(df, "key", denom).collect()
+    }
+    n = df.count()
+    want = {
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") * denom >= F.lit(n))
+        .collect()
+    }
+    assert got == want and len(want) > 3
+
+
+def test_heavy_hitters_candidates_bounded(spark):
+    """The candidate pass emits <= capacity keys per partition even
+    when every partition holds far more distinct keys."""
+    from annotation_service_spark.operators import sketch as sk
+
+    df = (
+        spark.range(50_000)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("key"))
+        .repartition(8)
+    )
+    cap = 20
+    n_cands = sk.heavy_hitter_candidates(df, "key", cap).count()
+    assert n_cands <= cap * 8
+
+
+def test_heavy_hitters_spread_thin_still_found(spark):
+    """A key heavy globally but diluted evenly across all partitions
+    must survive the candidate union (the pigeonhole guarantee)."""
+    from annotation_service_spark.operators import sketch as sk
+
+    # 'hot' is 10% of 40k rows, round-robin over 32 partitions, the
+    # rest is 36k distinct singletons crowding every partition's MG
+    hot = spark.range(4_000).select(F.lit("hot").alias("key"))
+    noise = spark.range(36_000).select(
+        F.concat(F.lit("n"), F.col("id")).alias("key")
+    )
+    df = hot.unionAll(noise).repartition(32)
+    out = sk.heavy_hitters(df, "key", threshold_denom=10).collect()
+    assert [(r["key"], r["cnt"]) for r in out] == [("hot", 4_000)]

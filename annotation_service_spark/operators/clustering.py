@@ -306,10 +306,19 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = FIXED_SCALE,
+    quantized: DataFrame | None = None,
 ) -> list[list[int]]:
     """Run the distributed Lloyd iterations and return the final
-    integer centroids (init = the k vectors with smallest ids)."""
-    q = _quantized(embeddings, vec_col, id_col, scale)
+    integer centroids (init = the k vectors with smallest ids).
+
+    Each iteration is its own Spark job over the quantized table, so
+    the table is cached for the loop — without it every Lloyd pass
+    (plus the init scan) re-reads and re-quantizes the source parquet,
+    which the cache-cleared cold bench showed dominating the k-means
+    family's runtime. Callers that already hold a cached quantized
+    table pass it via ``quantized`` and no local cache is created."""
+    local_q = quantized is None
+    q = _quantized(embeddings, vec_col, id_col, scale).cache() if local_q else quantized
     init = q.orderBy("id").limit(k).collect()
     centroids = [[int(v) for v in r.qv] for r in init]
     dim = len(centroids[0])
@@ -333,6 +342,8 @@ def kmeans_centroids(
             else centroids[j]
             for j in range(k)
         ]
+    if local_q:
+        q.unpersist()
     return centroids
 
 
@@ -349,10 +360,10 @@ def kmeans_fixed(
     c_sum) where inertia = Σ member distances under the FINAL
     centroids and c_sum = Σ centroid components — together they pin
     both the assignment and the centroid values exactly."""
+    q = _quantized(embeddings, vec_col, id_col, scale).cache()
     centroids = kmeans_centroids(
-        embeddings, k, iterations, vec_col, id_col, scale
+        embeddings, k, iterations, vec_col, id_col, scale, quantized=q
     )
-    q = _quantized(embeddings, vec_col, id_col, scale)
     c_sum = {j: sum(c) for j, c in enumerate(centroids)}
     spark = embeddings.sparkSession
     csum_df = spark.createDataFrame(

@@ -971,10 +971,10 @@ def semantic_dedup(
         kmeans_centroids,
     )
 
+    q = _quantized(embeddings, vec_col, id_col, FIXED_SCALE).cache()
     centroids = kmeans_centroids(
-        embeddings, k, iterations, vec_col, id_col, FIXED_SCALE
+        embeddings, k, iterations, vec_col, id_col, FIXED_SCALE, quantized=q
     )
-    q = _quantized(embeddings, vec_col, id_col, FIXED_SCALE)
     assign = q.mapInPandas(_assign_ids_fn(centroids), "id long, c int")
 
     q8 = quantize_embeddings(embeddings, id_col, vec_col).select(

@@ -2863,6 +2863,27 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perceptron_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering (operators/classify.py): a batch
+    perceptron over md5-hashed bag-of-words buckets, trained 2 epochs
+    against the lang='en' label, scoring every document with an EXACT
+    int64 margin. Weights, updates, and scores are integer sums, so
+    the trained model is bit-identical under any partitioning and the
+    oracle replays the two unrolled epochs verbatim. (The synthetic
+    corpus draws lang independently of text, so this gate pins the
+    TRAINING ARITHMETIC, not accuracy; learning behavior is pinned by
+    tests/test_classify.py on planted-separable corpora.)"""
+    from annotation_service_spark.operators import classify as cf
+
+    docs = _t(spark, sf_dir, "documents")
+    return cf.perceptron_scores(
+        docs,
+        label=F.when(F.col("lang") == "en", 1).otherwise(-1),
+        n_buckets=64,
+        epochs=2,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus-wide heavy hitters (every word with frequency ≥
     1/100 of all words) via the two-pass Misra–Gries scheme
@@ -3096,9 +3117,16 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows the caller appends to state."""
     docs = _t(spark, sf_dir, "documents")
     seen_docs = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
-    seen_sigs = dd.minhash_signatures(
-        dd.shingle_table(seen_docs, "doc_id", "text", 3), 16
-    ).withColumnRenamed("id", "doc_id")
+    # cached: the operator consumes the state table twice (band keys +
+    # estimator side); in production it's a cheap parquet read, here
+    # it's a full shingle+minhash pipeline worth computing once
+    seen_sigs = (
+        dd.minhash_signatures(
+            dd.shingle_table(seen_docs, "doc_id", "text", 3), 16
+        )
+        .withColumnRenamed("id", "doc_id")
+        .cache()
+    )
     incoming = (
         docs.where(F.col("doc_id") % 3 != 0)
         .select("doc_id", "text")
@@ -3209,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
+        "perceptron_filter": q_perceptron_filter,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
         "tpch_q12": q_tpch_q12,
@@ -5334,6 +5363,61 @@ def oracle_sql() -> dict[str, str]:
               )
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
             LIMIT 100
+        """,
+        # Batch perceptron, 2 epochs unrolled. Epoch 0 starts at w=0
+        # (every row misclassified), so w1 = sum_d y_d*x_d; epoch 1
+        # re-scores and adds only the still-misclassified rows. All
+        # integer arithmetic - the hash gate pins the trained model.
+        "perceptron_filter": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS token
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('pc|' || token), 1, 8)
+                            AS BIGINT) % 64 AS b,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tok GROUP BY 1, 2
+                UNION ALL
+                SELECT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT)
+                FROM documents
+            ),
+            lab AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+                FROM documents
+            ),
+            w1 AS (
+                SELECT b, SUM(x * y) AS w
+                FROM feat JOIN lab USING (doc_id) GROUP BY 1
+            ),
+            s1 AS (
+                SELECT doc_id, SUM(x * w) AS s
+                FROM feat JOIN w1 USING (b) GROUP BY 1
+            ),
+            miss1 AS (
+                SELECT doc_id, y FROM s1 JOIN lab USING (doc_id)
+                WHERE y * s <= 0
+            ),
+            d2 AS (
+                SELECT b, SUM(x * y) AS dw
+                FROM feat JOIN miss1 USING (doc_id) GROUP BY 1
+            ),
+            w2 AS (
+                SELECT w1.b, w1.w + COALESCE(d2.dw, 0) AS w
+                FROM w1 LEFT JOIN d2 ON w1.b = d2.b
+            ),
+            s2 AS (
+                SELECT doc_id, SUM(x * w) AS s
+                FROM feat JOIN w2 USING (b) GROUP BY 1
+            )
+            SELECT doc_id, CAST(y AS BIGINT) AS label,
+                   CAST(s AS BIGINT) AS score,
+                   CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+            FROM s2 JOIN lab USING (doc_id)
         """,
         "heavy_hitters": """
             WITH w AS (

@@ -3191,6 +3191,28 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFADC composition,
+    operators/similarity.py::ann_ivfpq_topk): rows coarse-assign to 8
+    inverted lists, each query probes its 2 nearest lists, and the
+    int64 ADC scan runs only over probed rows before the exact float
+    re-rank — the billion-vector layout where neither the float
+    vectors nor the full ADC scan is affordable. Assignment and probe
+    order reuse ann_ivf_topk's rounded-distance argmin, codebooks/LUT
+    reuse ann_pq_topk's exact-integer trainer, so the oracle replays
+    the whole composition from literals."""
+    cents = sim.ivf_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", n_centroids=8, iterations=3
+    )
+    books = sim.pq_codebooks_from_parquet(
+        f"{sf_dir}/embeddings.parquet", m=8, codes=16, iterations=2
+    )
+    return sim.ann_ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), cents, books,
+        k=3, n_probe=2, adc_top=16,
+    )
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the 3-gram-Jaccard ≥ 0.3 near-dup graph (the
     triangle_count edge relation): iterated degree peeling to a fixed
@@ -3237,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "perceptron_filter": q_perceptron_filter,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
@@ -3706,6 +3729,8 @@ def _pq_oracle(
     iterations: int = 2,
     adc_top: int = 16,
     scale: int = 1_000_000,
+    n_centroids: int | None = None,
+    n_probe: int = 2,
 ) -> str:
     """DuckDB replay of ``ann_pq_topk``: codebook + query-LUT literals
     from the sequential trainer (bit-identical by exact-int64
@@ -3713,7 +3738,12 @@ def _pq_oracle(
     (first-min tie-break = ORDER BY dist, j), integer ADC sum,
     (adc desc, nid) top-``adc_top`` candidates, exact round-6 cosine
     re-rank — every approximate step is exact integer arithmetic, so
-    the candidate set cannot drift between engines."""
+    the candidate set cannot drift between engines.
+
+    With ``n_centroids`` set, replays the IVF-PQ composition instead
+    (``ann_ivfpq_topk``): the _ivf_oracle assignment/probe CTEs
+    (1e-6-rounded distances, first-min tie-break) restrict the ADC
+    join to rows whose inverted list the query probes."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -3751,6 +3781,43 @@ def _pq_oracle(
         for s in range(m)
         for j in range(codes)
     )
+    ivf_ctes = ""
+    adc_ivf_joins = ""
+    if n_centroids is not None:
+        from annotation_service_spark.operators.similarity import (
+            ivf_centroids_from_parquet,
+        )
+
+        cents = ivf_centroids_from_parquet(path, n_centroids, 3)
+        c = np.asarray(cents, dtype=np.float64)
+        ccv = (c * c).sum(axis=1)
+        cent_rows = ", ".join(
+            "({cid}, {cc}, [{vals}])".format(
+                cid=i, cc=repr(float(ccv[i])),
+                vals=", ".join(repr(float(x)) for x in cents[i]),
+            )
+            for i in range(n_centroids)
+        )
+        ivf_ctes = f"""
+        cents(cid, cc, c) AS (VALUES {cent_rows}),
+        cd AS (
+            SELECT v.vec_id, ct.cid,
+                   floor((ct.cc - 2 * list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * ct.c[i]))) * 1000000 + 0.5) AS dist
+            FROM v CROSS JOIN cents ct
+        ),
+        cranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM cd
+        ),
+        cassign AS (SELECT vec_id, cid FROM cranked WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS qid, cid FROM cranked
+            WHERE vec_id % 50 = 0 AND rn <= {n_probe}
+        ),"""
+        adc_ivf_joins = """
+            JOIN cassign a ON a.vec_id = e.vec_id
+            JOIN qprobe qp ON qp.cid = a.cid AND qp.qid = l.qid"""
     return f"""
         WITH {_V_CTE.strip().rstrip()},
         qv AS MATERIALIZED (
@@ -3758,6 +3825,7 @@ def _pq_oracle(
                    list_transform(e, x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
             FROM v
         ),
+        {ivf_ctes}
         cb(s, j, cv) AS (VALUES {cb_rows}),
         lut(qid, s, code, ip) AS (VALUES {lut_rows}),
         enc AS MATERIALIZED (
@@ -3774,7 +3842,7 @@ def _pq_oracle(
         ),
         adc AS (
             SELECT l.qid, e.vec_id AS nid, sum(l.ip) AS adc
-            FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+            FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code{adc_ivf_joins}
             WHERE e.vec_id <> l.qid
             GROUP BY 1, 2
         ),
@@ -4813,6 +4881,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_oracle(2, 12, 0.3),
         "ann_pq_topk": _pq_oracle(3, 8, 16, 2, 16),
+        "ann_ivfpq_topk": _pq_oracle(3, 8, 16, 2, 16, n_centroids=8, n_probe=2),
         # DSIR replay: same md5 bucket hashing, add-one smoothed
         # ln-ratios over target(en)/raw hashed unigram+bigram counts,
         # md5-uniform Gumbel perturbation, exact 0.8-percentile

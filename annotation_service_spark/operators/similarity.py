@@ -1099,6 +1099,8 @@ def ann_pq_topk(
     adc_top: int = 16,
     round_digits: int = 6,
     scale: int = 1_000_000,
+    ivf_centroids: list[list[float]] | None = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC): the corpus
     is compressed to ``m`` one-byte codes per vector (64× smaller
@@ -1122,7 +1124,17 @@ def ann_pq_topk(
     Scale: one corpus pass (encode+ADC kernel, Arrow-batched), a
     per-query-keyed window over ≤ batches·|Q|·adc_top rows, and a
     broadcast-candidate re-score scan. Nothing shuffles the corpus;
-    the broadcast is the LUT (m·codes ints per query)."""
+    the broadcast is the LUT (m·codes ints per query).
+
+    ``ivf_centroids`` switches on the IVF-PQ composition (the FAISS
+    IVFADC layout): rows coarse-assign to inverted lists with the
+    SAME rounded-distance argmin as ann_ivf_topk, each query probes
+    its ``n_probe`` nearest lists, and ADC scores ONLY rows in probed
+    lists — at 100 TB the LUT adds are paid on |corpus|·n_probe/n_c
+    rows instead of the whole scan, and both the assignment and the
+    probe order are engine-portable (1e-6-rounded distances,
+    first-min tie-break), so the candidate set still replays exactly
+    in the DuckDB oracle."""
     dim = _vec_dim(embeddings, vec_col)
     m = len(codebooks)
     codes = len(codebooks[0])
@@ -1139,10 +1151,24 @@ def ann_pq_topk(
     lut = np.einsum(
         "qsd,sjd->qsj", qq.reshape(len(qids), m, sub), cb
     )
-    bc = spark.sparkContext.broadcast((qids, lut, cb))
+    if ivf_centroids is not None:
+        cmat = np.asarray(ivf_centroids, dtype=np.float64)
+        ccc = (cmat * cmat).sum(axis=1)
+        neg2ct = -2.0 * cmat.T
+        # per-query probed lists: same rounded distance + stable
+        # order as _probe_centroids / _nearest_centroid
+        qd = np.floor((qm @ neg2ct + ccc) * 1e6 + 0.5)
+        qorder = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+        probe_mask = np.zeros((len(qids), len(cmat)), dtype=bool)
+        for qi in range(len(qids)):
+            probe_mask[qi, qorder[qi]] = True
+        ivf_bc = (neg2ct, ccc, probe_mask)
+    else:
+        ivf_bc = None
+    bc = spark.sparkContext.broadcast((qids, lut, cb, ivf_bc))
 
     def adc_prune(it):
-        bqids, blut, bcb = bc.value
+        bqids, blut, bcb, bivf = bc.value
         nq = len(bqids)
         for pdf in it:
             if not len(pdf) or not nq:
@@ -1159,10 +1185,19 @@ def ann_pq_topk(
             for s in range(m):
                 adc += blut[:, s, enc[:, s]].T
             self_mask = ids[:, None] == bqids[None, :]
+            if bivf is not None:
+                bneg2ct, bcc, bprobe = bivf
+                drow = np.floor((v @ bneg2ct + bcc) * 1e6 + 0.5)
+                cassign = np.argmin(drow, axis=1)
+                in_probed = bprobe[:, cassign].T  # (n, nq)
+            else:
+                in_probed = None
             kk = min(adc_top, len(ids))
             for qi in range(nq):
                 col = adc[:, qi]
                 ok = ~self_mask[:, qi]
+                if in_probed is not None:
+                    ok &= in_probed[:, qi]
                 idx = np.flatnonzero(ok)
                 if not len(idx):
                     continue
@@ -1209,4 +1244,37 @@ def ann_pq_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("qid", "nid", "cos")
+    )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+    k: int = 3,
+    n_probe: int = 2,
+    adc_top: int = 16,
+    round_digits: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFADC composition): coarse-quantize the
+    corpus into inverted lists, probe ``n_probe`` lists per query,
+    ADC-score only the probed rows, exact float re-rank. Thin wrapper
+    over ``ann_pq_topk(ivf_centroids=...)`` — see there for the
+    engine-portability and scale arguments."""
+    return ann_pq_topk(
+        embeddings,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_filter=query_filter,
+        k=k,
+        adc_top=adc_top,
+        round_digits=round_digits,
+        scale=scale,
+        ivf_centroids=centroids,
+        n_probe=n_probe,
     )

@@ -213,3 +213,12 @@ def test_partsupp_tpch_plans(spark):
     p20 = _plan(em.q_tpch_q20(spark, SF))
     _assert_no_blowups(p20)
     assert "LeftSemi" in p20
+
+
+def test_ann_ivfpq_plan(spark):
+    """IVF-PQ: the probed ADC scan is the mapInPandas kernel (no
+    corpus-wide pair join) and the survivor re-score joins broadcast."""
+    p = _plan(em.q_ann_ivfpq_topk(spark, SF))
+    _assert_no_blowups(p)
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p

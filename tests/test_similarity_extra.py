@@ -268,3 +268,88 @@ def test_pq_codebooks_deterministic_and_exact_int(spark):
         for row in book
         for x in row
     )
+
+
+def test_ann_ivfpq_partition_invariance_and_probe_subset(spark):
+    """IVF-PQ: candidate set identical under any corpus partitioning
+    (coarse assignment is per-row, probe sets per-query — neither
+    depends on batching), and its result set is a subset of plain PQ
+    pairs for each query (the probe restriction can only REMOVE
+    candidates, never invent them)."""
+    import annotation_service_spark.operators.similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = sim.ivf_centroids_from_parquet(
+        f"{sf}/embeddings.parquet", n_centroids=8, iterations=3
+    )
+    books = sim.pq_codebooks_from_parquet(
+        f"{sf}/embeddings.parquet", m=8, codes=16, iterations=2
+    )
+    out1 = sorted(
+        (r.qid, r.nid, r.cos)
+        for r in sim.ann_ivfpq_topk(emb, cents, books, k=3).collect()
+    )
+    out2 = sorted(
+        (r.qid, r.nid, r.cos)
+        for r in sim.ann_ivfpq_topk(
+            emb.repartition(7), cents, books, k=3
+        ).collect()
+    )
+    assert out1 == out2 and len(out1) > 0
+    # probing ALL lists must reproduce plain PQ exactly
+    all_probe = sorted(
+        (r.qid, r.nid, r.cos)
+        for r in sim.ann_ivfpq_topk(
+            emb, cents, books, k=3, n_probe=8
+        ).collect()
+    )
+    pq_full = sorted(
+        (r.qid, r.nid, r.cos)
+        for r in sim.ann_pq_topk(emb, books, k=3, adc_top=16).collect()
+    )
+    assert all_probe == pq_full
+
+
+def test_ann_ivfpq_recall_planted(spark):
+    """Planted near-dup regime: the probed ADC scan still finds the
+    planted neighbours (recall >= 0.8 vs exact brute force)."""
+    import numpy as np
+
+    import annotation_service_spark.operators.similarity as sim
+    from tests.test_dedup_similarity import _planted_ann_corpus
+
+    rows = _planted_ann_corpus()
+    pdf = sorted(rows, key=lambda r: r[0])
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    v = np.asarray([r[1] for r in pdf], dtype=np.float64)
+    ids = [r[0] for r in pdf]
+    import hashlib
+
+    h = np.array([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+    order = np.argsort(h, kind="stable")
+    c = v[order[:8]].copy()
+    for _ in range(3):
+        cc = (c * c).sum(axis=1)
+        d = v @ (-2.0 * c.T) + cc
+        a = np.argmin(d, axis=1)
+        for j in range(8):
+            m = a == j
+            if m.any():
+                c[j] = v[m].mean(axis=0)
+    cents = [[float(x) for x in row] for row in c]
+    pbooks = sim.pq_codebooks_from_array(v, m=8, codes=16, iterations=2)
+    brute = {
+        (r.qid, r.nid)
+        for r in sim.ann_bruteforce_topk(planted, k=3).collect()
+    }
+    got = {
+        (r.qid, r.nid)
+        for r in sim.ann_ivfpq_topk(
+            planted, cents, pbooks, k=3, n_probe=2
+        ).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, recall

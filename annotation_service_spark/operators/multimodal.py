@@ -2,9 +2,10 @@
 
 Media travel as opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extraction / resize / frame-sampling are
-Arrow-batched ``mapInPandas`` stages. Four REAL pure-Python codecs
+Arrow-batched ``mapInPandas`` stages. Five REAL pure-Python codecs
 are built in — binary PPM (P6) images, 8-bit non-interlaced PNG,
-baseline sequential JPEG (T.81), and PCM WAV audio — dispatched by
+baseline sequential JPEG (T.81), PCM WAV audio, and IMA/DVI ADPCM
+compressed audio (WAV tag 0x0011) — dispatched by
 magic bytes; formats needing external codec libraries (MP3,
 progressive JPEG, video, … not in this environment) fall back to a
 STUBBED decode: with
@@ -474,6 +475,81 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def decode_ima_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL codec: IMA/DVI ADPCM WAV (format tag 0x0011, the 4-bit
+    predictive codec of the IMA Digital Audio Pack 1992 and RFC 3551's
+    DVI4) → (int16 samples, sample_rate). Mono only — the compressed
+    telephony/archive shape.
+
+    The stdlib ``wave`` module refuses non-PCM, so the RIFF chunks are
+    walked by hand: each data block opens with a (predictor int16,
+    step index uint8, reserved) header whose predictor IS the block's
+    first output sample; every following nibble (low nibble first)
+    advances the predictor by the step-table delta and the index by
+    the sign-agnostic index table. Decoding is fully deterministic —
+    the test encoder's tracked reconstruction must match sample-exact
+    (the JPEG-style differential: the prediction loop is the lossless
+    layer even though quantization made the codec lossy)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    if tag != 0x0011:
+        raise ValueError(f"not IMA ADPCM (format tag {tag:#x})")
+    if n_ch != 1:
+        raise ValueError(f"unsupported IMA ADPCM channel count {n_ch}")
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        if len(blk) < 4:
+            break
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        index = min(max(blk[2], 0), 88)
+        out.append(pred)
+        step = _IMA_STEP_TABLE[index]
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                delta = step >> 3
+                if nib & 1:
+                    delta += step >> 2
+                if nib & 2:
+                    delta += step >> 1
+                if nib & 4:
+                    delta += step
+                pred = pred - delta if nib & 8 else pred + delta
+                pred = min(32767, max(-32768, pred))
+                index = min(88, max(0, index + _IMA_INDEX_TABLE[nib]))
+                step = _IMA_STEP_TABLE[index]
+                out.append(pred)
+    return np.asarray(out, dtype=np.int16), rate
+
+
 def _segment_means(x: np.ndarray, n: int) -> np.ndarray:
     """Mean over n equal segments (deterministic fixed-dim featurize);
     short inputs repeat-pad so every feature is defined."""
@@ -527,6 +603,11 @@ def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndar
             x, _rate = decode_wav(payload)
             return _segment_means(x, n)
         except Exception:  # wave.Error subclasses Exception directly
+            pass  # non-PCM or corrupt → try the ADPCM walker below
+        try:
+            s, _rate = decode_ima_adpcm(payload)
+            return _segment_means(s.astype(np.float64) / 32768.0, n)
+        except (ValueError, IndexError):
             pass  # magic collision or corrupt WAV → unknown format
     if not deterministic_fake:
         raise NotImplementedError(

@@ -3260,6 +3260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-6 changed/new gates (riskiest diffs go first) -----------
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "kmeans_fixed": q_kmeans_fixed,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "perceptron_filter": q_perceptron_filter,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
@@ -3303,17 +3305,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "cume_dist": q_cume_dist,
         # -- sketch family: touched by the round-6 pmod fix ---------------
+        "corpus_curation": q_corpus_curation,
+        "vocab_topk": q_vocab_topk,
+        "session_rollup": q_session_rollup,
+        "pack_chunks": q_pack_chunks,
+        "doc_chunks": q_doc_chunks,
         "cms_counts": q_cms_counts,
         "distinct_users": q_distinct_users,
         "profile_approx": q_profile_approx,
         "percentile_approx": q_percentile_approx,
         # -- curation/bpe family: touched by the round-6 ADVICE fixes -----
-        "pack_chunks": q_pack_chunks,
-        "doc_chunks": q_doc_chunks,
-        "corpus_curation": q_corpus_curation,
-        "vocab_topk": q_vocab_topk,
         # -- session_rollup: oracle window-order fix this round ------------
-        "session_rollup": q_session_rollup,
         # -- new round-6 TPC-H shape gates + stable fill re-proven ---------
         "tpch_q6": q_tpch_q6,
         "tpch_q8": q_tpch_q8,
@@ -3326,7 +3328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "bigram_nll": q_bigram_nll,
         "linear_interp": q_linear_interp,
-        "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank": q_knn_pagerank,
         "bm25_rank": q_bm25_rank,
         "scd_asof": q_scd_asof,
@@ -3373,7 +3374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_full": q_pipeline_full,
-        "multimodal_pipeline": q_multimodal_pipeline,
         "legacy_annotate": q_legacy_annotate,
         "skew_join": q_skew_join,
         "interval_merge": q_interval_merge,

@@ -164,6 +164,21 @@ BENCH_QUERIES = [
     "robust_outliers",
     "semantic_dedup",
     "triangle_count",
+    "kcore",
+    "dsir_resample",
+    "ann_pq_topk",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "heavy_hitters",
+    "perceptron_filter",
+    "ann_ivfpq_topk",
 ]
 
 # documents-only operators re-run at the 10x scale point
@@ -192,6 +207,10 @@ SF1_QUERIES = [
     "pmi_collocations",
     "source_kl",
     "triangle_count",
+    "kcore",
+    "dsir_resample",
+    "heavy_hitters",
+    "perceptron_filter",
 ]
 
 # events-family operators re-run at a 10x-events scale point: replicas
@@ -235,6 +254,7 @@ SF1_EMB_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_quantized_topk",
     "knn_pagerank_lsh",
 ]

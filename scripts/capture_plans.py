@@ -42,6 +42,10 @@ QUERIES = [
     "first_last_ignore_nulls", "tpch_q15", "cume_dist",
     "ann_quantized_topk", "leakage_safe_split",
     "dedup_incremental_minhash", "dedup_embedding_cosine",
+    # round 6, later sessions
+    "ann_pq_topk", "ann_ivfpq_topk", "kcore", "dsir_resample",
+    "semantic_dedup", "heavy_hitters", "perceptron_filter",
+    "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
 ]
 
 

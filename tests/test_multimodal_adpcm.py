@@ -131,3 +131,26 @@ def test_ima_adpcm_rejects_pcm_and_garbage():
         decode_ima_adpcm(b"RIFF\x00\x00\x00\x00WAVEjunk")
     with pytest.raises(ValueError):
         decode_ima_adpcm(b"not a riff at all")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=2,
+        max_size=400,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+def test_ima_adpcm_property_roundtrip(samples, spb):
+    """For ANY waveform and block size, decode(encode(x)) equals the
+    encoder's tracked reconstruction exactly, stays inside int16, and
+    block boundaries restart cleanly."""
+    x = np.asarray(samples, dtype=np.int16)
+    payload, recon = _wav_ima(x, samples_per_block=spb)
+    got, rate = decode_ima_adpcm(payload)
+    assert np.array_equal(got, recon)
+    assert got.dtype == np.int16

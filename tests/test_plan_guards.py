@@ -152,7 +152,13 @@ def test_dsir_resample_plan(spark):
     p = _plan(em.q_dsir_resample(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p
-    assert "Window" not in p  # selection is a threshold, not a rank
+    # the only window is the doc-id-keyed bigram lead() — selection
+    # stays a threshold, never a global rank (the one SinglePartition
+    # exchange in the plan is the 1-row percentile reduce, not a
+    # window: every Window operator line carries a partition spec)
+    for line in p.splitlines():
+        if line.strip().startswith("Window ") or "+- Window " in line:
+            assert "partitionBy" in line or ", [id#" in line, line
 
 
 def test_tpch_q7_plan(spark):

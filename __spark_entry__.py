@@ -2884,6 +2884,40 @@ def q_perceptron_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter calibration: decile the perceptron margins over the
+    (score, doc_id) total order and report per-decile document and
+    positive-label counts plus the exact score range — the
+    threshold-sanity table read before applying any model-based
+    filter (does the top decile actually concentrate the target
+    class?). Counts and scores are integer-exact; the global ntile is
+    a one-pass window over one slim row per doc (the already-reduced
+    score table, not the corpus — same global-rank precedent as the
+    ntile_deciles gate)."""
+    from annotation_service_spark.operators import classify as cf
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = cf.perceptron_scores(
+        docs,
+        label=F.when(F.col("lang") == "en", 1).otherwise(-1),
+        n_buckets=64,
+        epochs=2,
+    )
+    w = Window.orderBy("score", "id")
+    return (
+        scores.withColumn("decile", F.ntile(10).over(w))
+        .groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus-wide heavy hitters (every word with frequency ≥
     1/100 of all words) via the two-pass Misra–Gries scheme
@@ -3263,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fixed": q_kmeans_fixed,
         "multimodal_pipeline": q_multimodal_pipeline,
         "perceptron_filter": q_perceptron_filter,
+        "filter_calibration": q_filter_calibration,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
         "tpch_q12": q_tpch_q12,
@@ -4325,6 +4360,54 @@ def _legacy_oracle() -> str:
                CAST(COALESCE(r.area_code, -1) AS BIGINT) AS area_code
         FROM probes p LEFT JOIN ranges r ON p.v BETWEEN r.low AND r.high
     """
+
+
+_PERCEPTRON_CTES = """tok AS (
+                SELECT doc_id, unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS token
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('pc|' || token), 1, 8)
+                            AS BIGINT) % 64 AS b,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tok GROUP BY 1, 2
+                UNION ALL
+                SELECT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT)
+                FROM documents
+            ),
+            lab AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+                FROM documents
+            ),
+            w1 AS (
+                SELECT b, SUM(x * y) AS w
+                FROM feat JOIN lab USING (doc_id) GROUP BY 1
+            ),
+            s1 AS (
+                SELECT doc_id, SUM(x * w) AS s
+                FROM feat JOIN w1 USING (b) GROUP BY 1
+            ),
+            miss1 AS (
+                SELECT doc_id, y FROM s1 JOIN lab USING (doc_id)
+                WHERE y * s <= 0
+            ),
+            d2 AS (
+                SELECT b, SUM(x * y) AS dw
+                FROM feat JOIN miss1 USING (doc_id) GROUP BY 1
+            ),
+            w2 AS (
+                SELECT w1.b, w1.w + COALESCE(d2.dw, 0) AS w
+                FROM w1 LEFT JOIN d2 ON w1.b = d2.b
+            ),
+            s2 AS (
+                SELECT doc_id, SUM(x * w) AS s
+                FROM feat JOIN w2 USING (b) GROUP BY 1
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5437,56 +5520,30 @@ def oracle_sql() -> dict[str, str]:
         # (every row misclassified), so w1 = sum_d y_d*x_d; epoch 1
         # re-scores and adds only the still-misclassified rows. All
         # integer arithmetic - the hash gate pins the trained model.
-        "perceptron_filter": """
-            WITH tok AS (
-                SELECT doc_id, unnest(list_filter(
-                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                           t -> t <> '')) AS token
-                FROM documents
-            ),
-            feat AS (
-                SELECT doc_id,
-                       CAST('0x' || substr(md5('pc|' || token), 1, 8)
-                            AS BIGINT) % 64 AS b,
-                       CAST(count(*) AS BIGINT) AS x
-                FROM tok GROUP BY 1, 2
-                UNION ALL
-                SELECT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT)
-                FROM documents
-            ),
-            lab AS (
-                SELECT doc_id,
-                       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-                FROM documents
-            ),
-            w1 AS (
-                SELECT b, SUM(x * y) AS w
-                FROM feat JOIN lab USING (doc_id) GROUP BY 1
-            ),
-            s1 AS (
-                SELECT doc_id, SUM(x * w) AS s
-                FROM feat JOIN w1 USING (b) GROUP BY 1
-            ),
-            miss1 AS (
-                SELECT doc_id, y FROM s1 JOIN lab USING (doc_id)
-                WHERE y * s <= 0
-            ),
-            d2 AS (
-                SELECT b, SUM(x * y) AS dw
-                FROM feat JOIN miss1 USING (doc_id) GROUP BY 1
-            ),
-            w2 AS (
-                SELECT w1.b, w1.w + COALESCE(d2.dw, 0) AS w
-                FROM w1 LEFT JOIN d2 ON w1.b = d2.b
-            ),
-            s2 AS (
-                SELECT doc_id, SUM(x * w) AS s
-                FROM feat JOIN w2 USING (b) GROUP BY 1
-            )
+        "perceptron_filter": f"""
+            WITH {_PERCEPTRON_CTES}
             SELECT doc_id, CAST(y AS BIGINT) AS label,
                    CAST(s AS BIGINT) AS score,
                    CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
             FROM s2 JOIN lab USING (doc_id)
+        """,
+        # ntile over the (score, doc_id) total order — engine-identical
+        # deciles; counts/positives are integer-exact
+        "filter_calibration": f"""
+            WITH {_PERCEPTRON_CTES},
+            scored AS (
+                SELECT doc_id, y, s,
+                       ntile(10) OVER (ORDER BY s, doc_id) AS decile
+                FROM s2 JOIN lab USING (doc_id)
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(min(s) AS BIGINT) AS min_score,
+                   CAST(max(s) AS BIGINT) AS max_score
+            FROM scored
+            GROUP BY 1
         """,
         "heavy_hitters": """
             WITH w AS (

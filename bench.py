@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "tpch_q20",
     "heavy_hitters",
     "perceptron_filter",
+    "filter_calibration",
     "ann_ivfpq_topk",
 ]
 

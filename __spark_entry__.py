@@ -2884,6 +2884,19 @@ def q_perceptron_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training order (operators/curation.py::
+    epoch_shuffle): exact global rank under the epoch-1 md5 coin
+    order and the (batch_idx, pos_in_batch) assignment at
+    batch_size=256 — computed by the two-phase scan decomposition
+    (range-shard + offset broadcast), never a single-partition
+    window; the oracle replays it as one row_number() over the same
+    total order."""
+    return cu.epoch_shuffle(
+        _t(spark, sf_dir, "documents"), epoch=1, batch_size=256
+    )
+
+
 def q_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter calibration: decile the perceptron margins over the
     (score, doc_id) total order and report per-decile document and
@@ -3298,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "perceptron_filter": q_perceptron_filter,
         "filter_calibration": q_filter_calibration,
+        "epoch_shuffle": q_epoch_shuffle,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
         "tpch_q12": q_tpch_q12,
@@ -5544,6 +5558,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(s) AS BIGINT) AS max_score
             FROM scored
             GROUP BY 1
+        """,
+        "epoch_shuffle": """
+            WITH r AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (
+                           ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS BIGINT) AS rank
+                FROM documents
+            )
+            SELECT doc_id, rank,
+                   CAST(rank // 256 AS BIGINT) AS batch_idx,
+                   CAST(rank % 256 AS BIGINT) AS pos_in_batch
+            FROM r
         """,
         "heavy_hitters": """
             WITH w AS (

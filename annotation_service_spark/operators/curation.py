@@ -626,3 +626,55 @@ def dsir_resample(
         "gscore",
         (F.col("gscore") >= F.col("thr")).alias("selected"),
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    batch_size: int = 256,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch training order: every row gets its
+    exact global rank under the md5('ep{epoch}|'+id) coin order, and
+    from it a (batch_idx, pos_in_batch) assignment — the reproducible
+    data-order contract training jobs need (same epoch → same order
+    on any cluster, any partitioning, any restart; next epoch → a
+    fresh permutation, no RNG state to checkpoint).
+
+    Scale shape: the global rank uses the same two-phase scan
+    decomposition as _concat_chunk_global — range-shard on the coin
+    (sample-based bounds; boundary VALUES only affect balance, never
+    correctness), shard-local row_number, n_shards-row offset table
+    broadcast back. No SinglePartition window, no global sort of the
+    corpus. Output: (id, rank, batch_idx, pos_in_batch), all exact
+    integers."""
+    spark = docs.sparkSession
+    if n_shards is None:
+        n_shards = max(2, spark.sparkContext.defaultParallelism)
+    coin = F.md5(F.concat(F.lit(f"ep{epoch}|"), F.col(id_col).cast("string")))
+    src = docs.select(F.col(id_col), coin.alias("__coin"))
+    bounds = _range_shard_bounds(src, "__coin", n_shards)
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(F.col("__coin") > F.lit(b), 1).otherwise(0)
+    src = src.withColumn("__shard", shard.cast("int"))
+    totals = src.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__shard"]):
+        offsets[r["__shard"]] = acc
+        acc += r["n"]
+    off_df = spark.createDataFrame(
+        [(s, o) for s, o in offsets.items()], "__shard int, __off long"
+    )
+    w = Window.partitionBy("__shard").orderBy("__coin", id_col)
+    rank = (F.col("__off") + F.row_number().over(w) - 1).cast("long")
+    return (
+        src.join(F.broadcast(off_df), "__shard")
+        .select(
+            id_col,
+            rank.alias("rank"),
+            F.floor(rank / batch_size).cast("long").alias("batch_idx"),
+            F.pmod(rank, F.lit(batch_size)).cast("long").alias("pos_in_batch"),
+        )
+    )

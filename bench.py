@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "perceptron_filter",
     "filter_calibration",
+    "epoch_shuffle",
     "ann_ivfpq_topk",
 ]
 

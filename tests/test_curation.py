@@ -221,3 +221,40 @@ def test_dsir_weights_prefer_target_like(spark):
     assert sorted((r.id, r.gscore) for r in sel) == sorted(
         (r.id, r.gscore) for r in sel2
     )
+
+
+def test_epoch_shuffle_is_exact_permutation(spark):
+    """Ranks are exactly 0..n-1 (a permutation), batches are full
+    except the last, and the assignment is partition-invariant."""
+    from annotation_service_spark.operators import curation as cu
+    from annotation_service_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = cu.epoch_shuffle(docs, epoch=3, batch_size=64).collect()
+    n = len(out)
+    assert sorted(r.rank for r in out) == list(range(n))
+    sizes = {}
+    for r in out:
+        sizes[r.batch_idx] = sizes.get(r.batch_idx, 0) + 1
+        assert r.pos_in_batch == r.rank % 64
+    full = [b for b, s in sizes.items() if s == 64]
+    assert len(full) >= len(sizes) - 1  # only the last may be ragged
+    again = {
+        (r.doc_id, r.rank)
+        for r in cu.epoch_shuffle(
+            docs.repartition(13), epoch=3, batch_size=64
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.rank) for r in out}
+
+
+def test_epoch_shuffle_epochs_differ(spark):
+    from annotation_service_spark.operators import curation as cu
+    from annotation_service_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e0 = {r.doc_id: r.rank for r in cu.epoch_shuffle(docs, epoch=0).collect()}
+    e1 = {r.doc_id: r.rank for r in cu.epoch_shuffle(docs, epoch=1).collect()}
+    assert set(e0) == set(e1)
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > len(e0) * 0.9  # a fresh permutation, not a shift

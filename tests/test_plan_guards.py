@@ -228,3 +228,12 @@ def test_ann_ivfpq_plan(spark):
     _assert_no_blowups(p)
     assert "MapInPandas" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_epoch_shuffle_plan(spark):
+    """Epoch shuffle: the global rank must come from the two-phase
+    decomposition — shard-keyed windows only, never a single-partition
+    window over the corpus."""
+    p = _plan(em.q_epoch_shuffle(spark, SF))
+    _assert_no_blowups(p)
+    assert "Window" in p and "SinglePartition" not in p

@@ -343,31 +343,41 @@ def ensure_sf1_events(spark, base_sf_dir: str, out: str) -> None:
         fh.write("ok\n")
 
 
-def ensure_sf1_embeddings(spark, base_sf_dir: str, out: str) -> None:
-    """Materialize a 10x embeddings table (once) into ``out``:
-    replica i circularly rotates each vector's components by i and
-    offsets vec_id into a disjoint id space (offsets are multiples of
-    50, so the ANN family's ``vec_id % 50`` query side scales with
+def ensure_sf1_embeddings(
+    spark, base_sf_dir: str, out: str, n_replicas: int = SF1_REPLICAS
+) -> None:
+    """Materialize an Nx embeddings table (once) into ``out``:
+    replica i circularly rotates each vector's components by i % dim
+    and offsets vec_id into a disjoint id space (offsets are multiples
+    of 50, so the ANN family's ``vec_id % 50`` query side scales with
     the corpus). Rotations of i.i.d. random vectors are uncorrelated
     with the originals, so near-neighbour structure is preserved
     within a replica and absent across replicas — true-neighbour and
-    candidate counts must scale ~linearly, never quadratically."""
+    candidate counts must scale ~linearly, never quadratically.
+    Past dim replicas a pure rotation would REPEAT (duplicating
+    vectors across replicas = fake quadratic near-dup structure), so
+    each wrap-around group additionally negates the vector — negation
+    flips the cosine sign, keeping cross-replica pairs far."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out, "_BUILT_EMBEDDINGS")
+    marker = os.path.join(out, f"_BUILT_EMBEDDINGS_{n_replicas}")
     if os.path.exists(marker):
         return
     emb = spark.read.parquet(os.path.join(base_sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
     parts = []
-    for i in range(SF1_REPLICAS):
+    for i in range(n_replicas):
+        r = i % dim
         rot = (
             F.col("embedding")
-            if i == 0
+            if r == 0
             else F.expr(
-                f"concat(slice(embedding, {i} + 1, size(embedding) - {i}),"
-                f" slice(embedding, 1, {i}))"
+                f"concat(slice(embedding, {r} + 1, size(embedding) - {r}),"
+                f" slice(embedding, 1, {r}))"
             )
         )
+        if (i // dim) % 2 == 1:
+            rot = F.transform(rot, lambda x: -x)
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
@@ -556,6 +566,41 @@ def main() -> None:
     except Exception as exc:
         sf1_emb_timings = {"error": str(exc)[:200]}
 
+    # 100x embeddings point (200k vectors): the two cheapest
+    # scale-path ANN forms plus the candidate floor — the ratio vs
+    # x10 is the "would it hold at 1000 executors" claim measured one
+    # decade further out. Kept to two ops to bound bench wall time.
+    sf100_emb_timings: dict[str, float] = {}
+    try:
+        sf100_dir = os.environ.get(
+            "SPARK_GRAFT_SF100_DIR", "/tmp/spark_graft_sf100emb"
+        )
+        ensure_sf1_embeddings(spark, sf_dir, sf100_dir, n_replicas=100)
+        for name in ("ann_ivfpq_topk", "ann_lsh_topk"):
+            spark.catalog.clearCache()
+            sf100_emb_timings[name] = round(run(name, sf100_dir), 3)
+            gc.collect()
+        spark.catalog.clearCache()
+        from pyspark.sql import functions as F
+
+        from annotation_service_spark.operators.similarity import (
+            lsh_candidates,
+        )
+        from annotation_service_spark.sources.testdata import load_table
+
+        emb = load_table(spark, sf100_dir, "embeddings")
+        n_vec = emb.count()
+        n_q = emb.where(F.col("vec_id") % 50 == 0).count()
+        n_cand = lsh_candidates(emb).count()
+        sf100_emb_timings["lsh_candidates_x100"] = n_cand
+        sf100_emb_timings["lsh_brute_pairs_x100"] = n_q * (n_vec - 1)
+        sf100_emb_timings["lsh_reduction_x100"] = round(
+            n_q * (n_vec - 1) / max(1, n_cand), 1
+        )
+        spark.catalog.clearCache()
+    except Exception as exc:
+        sf100_emb_timings = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # VERDICT r3 #4 (process): the r3 single ~4.5 KB JSON line outgrew the
@@ -568,6 +613,7 @@ def main() -> None:
         "sf1_docs_10x": sf1_timings,
         "sf1_events_10x": sf1_ev_timings,
         "sf1_embeddings_10x": sf1_emb_timings,
+        "sf1_embeddings_100x": sf100_emb_timings,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -3260,6 +3260,20 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds,
+    (count DESC, label ASC) tie-break) on the 3-gram-Jaccard ≥ 0.3
+    near-dup graph — the community view (frequency beats minimum)
+    next to dedup_clusters' reachability view. Oracle unrolls the
+    same three rounds as chained CTEs."""
+    from annotation_service_spark.operators.graph import lpa_communities
+
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.3
+    )
+    return lpa_communities(pairs, rounds=3)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the 3-gram-Jaccard ≥ 0.3 near-dup graph (the
     triangle_count edge relation): iterated degree peeling to a fixed
@@ -3312,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_filter": q_perceptron_filter,
         "filter_calibration": q_filter_calibration,
         "epoch_shuffle": q_epoch_shuffle,
+        "lpa_communities": q_lpa_communities,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
         "tpch_q12": q_tpch_q12,
@@ -3475,6 +3490,48 @@ def _shingle_cte(n: int = 3) -> str:
                    unnest(list_transform(range(1, len(ws)-{n - 2}), i -> {joins})) AS s
             FROM w WHERE len(ws) >= {n}
         )
+    """
+
+
+def _lpa_oracle(rounds: int = 3, thr: float = 0.3) -> str:
+    """Unrolled synchronous-LPA replay of ``lpa_communities`` on the
+    jaccard near-dup graph: same e0 edge CTEs as the kcore oracle,
+    then ``rounds`` chained (neighbour-label count → (count DESC,
+    label ASC) argmax) CTE pairs — the deterministic tie-break makes
+    every round a pure function of the previous labels."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"n{i} AS (SELECT e.src AS id, l.label, count(*) AS c\n"
+            f"         FROM e0 e JOIN l{i-1} l ON l.id = e.dst GROUP BY 1, 2),\n"
+            f"l{i} AS MATERIALIZED (SELECT id, label FROM (\n"
+            f"    SELECT id, label, row_number() OVER (\n"
+            f"        PARTITION BY id ORDER BY c DESC, label) AS rn\n"
+            f"    FROM n{i}) WHERE rn = 1)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+        WITH {_shingle_cte(3)},
+        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        prs AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        je AS (
+            SELECT id_a, id_b FROM prs
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= {thr}
+        ),
+        e0 AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM je
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM je
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e0),
+        {chain}
+        SELECT id, CAST(label AS BIGINT) AS community FROM l{rounds}
     """
 
 
@@ -4977,6 +5034,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "kcore": _kcore_oracle(2, 12, 0.3),
+        "lpa_communities": _lpa_oracle(3, 0.3),
         "ann_pq_topk": _pq_oracle(3, 8, 16, 2, 16),
         "ann_ivfpq_topk": _pq_oracle(3, 8, 16, 2, 16, n_centroids=8, n_probe=2),
         # DSIR replay: same md5 bucket hashing, add-one smoothed

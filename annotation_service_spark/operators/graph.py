@@ -38,7 +38,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000
@@ -291,3 +291,59 @@ def k_core(
     return sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def lpa_communities(
+    pairs: DataFrame,
+    rounds: int = 3,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    DETERMINISTIC: every round each vertex adopts the most frequent
+    label among its neighbours, ties broken toward the smaller label
+    — (count DESC, label ASC) is a total order, so the usual LPA
+    coin-flip disappears and the run is engine-portable. Exactly
+    ``rounds`` synchronous rounds (no early exit: unlike peeling,
+    LPA states are not absorbing — labels can oscillate — so the
+    contract is the round count itself, which the oracle unrolls).
+
+    Distinct from connected components: frequency beats minimum, so
+    a sparse bridge between two dense blobs does NOT merge them the
+    way CC's min-label flood does — this is the community view of
+    the near-dup graph, CC is the reachability view.
+
+    Scale: per round one neighbour-label equi-join (labels table is
+    one row per vertex ≪ corpus) + one map-side-combinable (node,
+    label) count + one per-node window over ≤ degree rows;
+    localCheckpoint keeps the iterative plan flat. Returns
+    (id, community) with community = the round-``rounds`` label."""
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    sym = (
+        e.union(e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi")))
+        .select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counts = nbr.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("label").cast("long").alias("community"))

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "perceptron_filter",
     "filter_calibration",
     "epoch_shuffle",
+    "lpa_communities",
     "ann_ivfpq_topk",
 ]
 

@@ -148,3 +148,38 @@ def test_k_core_peels_tails_and_converges(spark):
     assert {r.id for r in k_core(df4, k=3, rounds=8).collect()} == {1, 2, 3, 4}
     df4m = spark.createDataFrame(k4[:-1], "id_a long, id_b long")
     assert k_core(df4m, k=3, rounds=8).count() == 0
+
+
+def test_lpa_keeps_bridged_blobs_separate(spark):
+    """Two 4-cliques joined by ONE bridge edge: CC merges everything
+    into one component; frequency-based LPA keeps two communities —
+    the bridge endpoint hears 3 clique-mates vs 1 outsider."""
+    from annotation_service_spark.operators.graph import lpa_communities
+
+    edges = []
+    for blob in ([1, 2, 3, 4], [10, 11, 12, 13]):
+        for i, a in enumerate(blob):
+            for b in blob[i + 1:]:
+                edges.append((a, b))
+    edges.append((4, 10))  # the bridge
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r.community for r in lpa_communities(pairs, rounds=3).collect()}
+    left = {out[v] for v in (1, 2, 3, 4)}
+    right = {out[v] for v in (10, 11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_deterministic_under_repartition(spark):
+    from annotation_service_spark.operators.graph import lpa_communities
+    from annotation_service_spark.operators import dedup as dd
+    from annotation_service_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.3)
+    a = {(r.id, r.community) for r in lpa_communities(pairs, 3).collect()}
+    b = {
+        (r.id, r.community)
+        for r in lpa_communities(pairs.repartition(17), 3).collect()
+    }
+    assert a == b and len(a) > 0

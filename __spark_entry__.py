@@ -3260,6 +3260,53 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SINK_SEQ = iter(range(1_000_000))
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling rollup as event_rollup, executed under
+    Structured Streaming: the events parquet becomes a file-stream
+    source, tumbling_rollup's one query text runs unmodified as a
+    streaming aggregation (the module's design point), an
+    availableNow trigger drains it to a memory sink, and the
+    finalized table is returned. Deterministic — the aggregate is a
+    pure function of the closed input — so this is a HASH-verified
+    streaming gate: the DuckDB oracle is the identical batch SQL
+    (streaming ≡ batch on bounded input, Spark's own unification
+    claim, here driver-checked)."""
+    from annotation_service_spark.operators import rollup as ru
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source requires a DIRECTORY basePath; point it
+    # at sf_dir and glob-filter down to the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # mirror sources/testdata.load_table: nanos arrive either as
+    # bigint (legacy conf honored -> integer div to micros) or as
+    # TIMESTAMP_NTZ (Spark 4 native nanos read, truncated) by engine
+    # version — the batch gates read through the same branch
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    agg = ru.tumbling_rollup(stream, window_width="1 hour", dims=("event_type",))
+    name = f"stream_rollup_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (3 rounds,
     (count DESC, label ASC) tie-break) on the 3-gram-Jaccard ≥ 0.3
@@ -3327,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_calibration": q_filter_calibration,
         "epoch_shuffle": q_epoch_shuffle,
         "lpa_communities": q_lpa_communities,
+        "stream_rollup": q_stream_rollup,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
         "tpch_q12": q_tpch_q12,
@@ -6249,6 +6297,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # streaming twin: identical batch SQL (bounded input =>
+        # streaming result == batch result, hash-checked)
+        "stream_rollup": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_v_milli
+            FROM events
+            GROUP BY 1, 2
         """,
         "event_rollup": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "filter_calibration",
     "epoch_shuffle",
     "lpa_communities",
+    "stream_rollup",
     "ann_ivfpq_topk",
 ]
 

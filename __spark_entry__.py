@@ -3370,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "kmeans_fixed": q_kmeans_fixed,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "session_rollup": q_session_rollup,
         "perceptron_filter": q_perceptron_filter,
         "filter_calibration": q_filter_calibration,
         "epoch_shuffle": q_epoch_shuffle,
@@ -3419,7 +3420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sketch family: touched by the round-6 pmod fix ---------------
         "corpus_curation": q_corpus_curation,
         "vocab_topk": q_vocab_topk,
-        "session_rollup": q_session_rollup,
         "pack_chunks": q_pack_chunks,
         "doc_chunks": q_doc_chunks,
         "cms_counts": q_cms_counts,

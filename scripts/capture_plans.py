@@ -46,6 +46,7 @@ QUERIES = [
     "ann_pq_topk", "ann_ivfpq_topk", "kcore", "dsir_resample",
     "semantic_dedup", "heavy_hitters", "perceptron_filter",
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
+    "filter_calibration", "epoch_shuffle", "lpa_communities",
 ]
 
 

@@ -3307,6 +3307,36 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, hash-verified: the documents parquet
+    streams through md5-content hashing and a streaming
+    dropDuplicates (the unbounded-state exact-dedup operator), and
+    the surviving HASH SET is emitted — the set is a pure function of
+    the input (which representative row survives is batch-order
+    dependent, so the gate pins the deterministic projection of the
+    operator's state, exactly what the incremental dedup state table
+    stores). Oracle: the identical batch DISTINCT."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(F.md5("text").alias("h"))
+        .dropDuplicates(["h"])
+    )
+    name = f"stream_dedup_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("h").distinct()
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (3 rounds,
     (count DESC, label ASC) tie-break) on the 3-gram-Jaccard ≥ 0.3
@@ -3376,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "lpa_communities": q_lpa_communities,
         "stream_rollup": q_stream_rollup,
+        "stream_dedup_exact": q_stream_dedup_exact,
         "heavy_hitters": q_heavy_hitters,
         "tpch_q2": q_tpch_q2,
         "tpch_q12": q_tpch_q12,
@@ -5664,6 +5695,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(s) AS BIGINT) AS max_score
             FROM scored
             GROUP BY 1
+        """,
+        "stream_dedup_exact": """
+            SELECT DISTINCT md5(text) AS h FROM documents
         """,
         "epoch_shuffle": """
             WITH r AS (

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "lpa_communities",
     "stream_rollup",
+    "stream_dedup_exact",
     "ann_ivfpq_topk",
 ]
 

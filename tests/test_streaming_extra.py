@@ -66,3 +66,38 @@ def test_session_window_streaming_equals_batch(spark, tmp_path):
     held_back = {k for k in batch if k[2] > max_ts}
     assert got == emittable
     assert held_back and len(held_back) <= ev.select("user_id").distinct().count()
+
+
+def test_stream_rollup_equals_batch(spark):
+    """The hash-verified streaming gate, pinned locally too: the
+    availableNow-drained streaming tumbling rollup equals the batch
+    tumbling rollup row-for-row."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = {
+        (str(r.window_start), r.event_type, r.n_events, r.sum_v_milli)
+        for r in em.q_stream_rollup(spark, sf).collect()
+    }
+    batch_rows = {
+        (str(r.window_start), r.event_type, r.n_events, r.sum_v_milli)
+        for r in em.q_event_rollup(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_stream_dedup_exact_equals_batch_distinct(spark):
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from annotation_service_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.h for r in em.q_stream_dedup_exact(spark, sf).collect()}
+    want = {
+        r.h
+        for r in load_table(spark, sf, "documents")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -213,6 +213,7 @@ SF1_QUERIES = [
     "source_kl",
     "triangle_count",
     "kcore",
+    "lpa_communities",
     "dsir_resample",
     "heavy_hitters",
     "perceptron_filter",

@@ -684,3 +684,73 @@ def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
             F.ceil(h * scale).cast("int").alias("height"),
         ),
     )
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL pixel resample (nearest neighbor, the deterministic
+    baseline every image pipeline starts from): source index =
+    floor((i + 0.5) · src/dst) — the standard half-pixel-center
+    mapping, pure integer-derivable, so the result is bit-identical
+    everywhere. Input (h, w, c) uint8, output (out_h, out_w, c)."""
+    h, w = img.shape[:2]
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid target {out_w}x{out_h}")
+    xs = np.minimum(((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64), w - 1)
+    ys = np.minimum(((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64), h - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def resize_media(
+    media: DataFrame,
+    max_side: int = 32,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Decode → aspect-preserving nearest-neighbor resize →
+    re-encoded P6 PPM bytes, as an Arrow-batched mapInPandas stage
+    (the real-pixel counterpart of resize_meta's planning math).
+    Payloads without a built-in image codec pass through unchanged
+    with resized=false — skip-don't-kill, like decode_features.
+    Output: (id_col, payload binary, width int, height int,
+    resized boolean)."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            ids, outs, ws, hs, flags = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(payload)
+                img = None
+                for dec in (decode_ppm, decode_png, decode_jpeg):
+                    try:
+                        img = dec(payload)
+                        break
+                    except (ValueError, IndexError, OSError):
+                        continue
+                if img is None:
+                    ids.append(mid); outs.append(payload)
+                    ws.append(-1); hs.append(-1); flags.append(False)
+                    continue
+                h, w = img.shape[:2]
+                scale = min(1.0, float(max_side) / max(w, h))
+                ow, oh = max(1, int(-(-w * scale // 1))), max(1, int(-(-h * scale // 1)))
+                small = resize_nearest(img, ow, oh)
+                if small.shape[2] == 1:
+                    small = np.repeat(small, 3, axis=2)
+                body = small.astype(np.uint8).tobytes()
+                ppm = b"P6\n%d %d\n255\n" % (ow, oh) + body
+                ids.append(mid); outs.append(ppm)
+                ws.append(ow); hs.append(oh); flags.append(True)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": outs,
+                    "width": ws,
+                    "height": hs,
+                    "resized": flags,
+                }
+            )
+
+    return media.select(id_col, media_col).mapInPandas(
+        fn, f"{id_col} long, payload binary, width int, height int, resized boolean"
+    )

@@ -154,3 +154,47 @@ def test_ima_adpcm_property_roundtrip(samples, spb):
     got, rate = decode_ima_adpcm(payload)
     assert np.array_equal(got, recon)
     assert got.dtype == np.int16
+
+
+def test_resize_nearest_known_pixels():
+    """4x4 checkerboard downscaled 2x: half-pixel-center mapping picks
+    sources at indices floor((i+0.5)*2) = 1, 3."""
+    from annotation_service_spark.operators.multimodal import resize_nearest
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[1, 1] = 10
+    img[1, 3] = 20
+    img[3, 1] = 30
+    img[3, 3] = 40
+    out = resize_nearest(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0, 0] == 10 and out[0, 1, 0] == 20
+    assert out[1, 0, 0] == 30 and out[1, 1, 0] == 40
+    # identity when target == source
+    assert np.array_equal(resize_nearest(img, 4, 4), img)
+
+
+def test_resize_media_roundtrips_ppm(spark):
+    """resize_media over a mixed batch: a real PPM shrinks to the
+    planned geometry and re-decodes; a non-image payload passes
+    through unchanged with resized=false."""
+    from annotation_service_spark.operators.multimodal import (
+        decode_ppm,
+        resize_media,
+    )
+
+    w, h = 64, 48
+    px = np.arange(w * h * 3, dtype=np.int64) % 251
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+    rows = [(1, bytearray(ppm)), (2, bytearray(b"not an image"))]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r.media_id: r for r in resize_media(media, max_side=16).collect()}
+    assert out[1].resized and (out[1].width, out[1].height) == (16, 12)
+    back = decode_ppm(bytes(out[1].payload))
+    assert back.shape == (12, 16, 3)
+    # spot-check one resampled pixel against the direct kernel
+    from annotation_service_spark.operators.multimodal import resize_nearest
+
+    ref = resize_nearest(px.reshape(h, w, 3).astype(np.uint8), 16, 12)
+    assert np.array_equal(back, ref)
+    assert not out[2].resized and bytes(out[2].payload) == b"not an image"

@@ -161,8 +161,10 @@ def q_merge_annotators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ao.merge_sources({"geo": geo, "asn": asn})
 
 
-def _annotate_probes(spark: SparkSession, sf_dir: str, m_val: int) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+def _probe_ips(ev: DataFrame, m_val: int) -> DataFrame:
+    """Probe-IP expressions over an events DataFrame — batch or
+    streaming (pure per-row projections, so the same expression tree
+    serves q_annotate and the stream_annotate gate)."""
     k = ((F.col("user_id") * 131 + F.col("event_id") * 7919) % m_val).cast("long")
     x = (k / 256).cast("long")
     y = k % 256
@@ -175,18 +177,46 @@ def _annotate_probes(spark: SparkSession, sf_dir: str, m_val: int) -> DataFrame:
     )
 
 
+def _annotate_probes(spark: SparkSession, sf_dir: str, m_val: int) -> DataFrame:
+    return _probe_ips(_t(spark, sf_dir, "events"), m_val)
+
+
 def q_annotate(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFrame:
     """Flagship: the reference's full query lifecycle (SURVEY §3) —
     IP parse (P3) → 6to4 rewrite (P4) → broadcast binary-search range
     join (J1) → missing backfill (P15). Networks derive from `part`
     (one /24 per partkey), probes from `events`; every 10th probe is
     the 6to4 form of the same underlying v4 address."""
-    part = _t(spark, sf_dir, "part")
-    max_pk = _max_partkey(spark, sf_dir)
+    probes = _annotate_probes(
+        spark, sf_dir, _annotate_m_val(spark, sf_dir)
+    )
+    if multiplier > 1:
+        # bench probe-scale sweep: replicate probes JVM-side (explode of
+        # a sequence — no extra input IO) to measure the per-probe cost
+        # curve of the broadcast join at 10x/100x probe volume
+        probes = probes.withColumn(
+            "__m", F.explode(F.sequence(F.lit(1), F.lit(multiplier)))
+        ).select(
+            (F.col("event_id") * multiplier + F.col("__m")).alias("event_id"), "ip"
+        )
+    return _annotate_join(spark, sf_dir, probes)
+
+
+def _annotate_m_val(spark: SparkSession, sf_dir: str) -> int:
     # probe-key modulus ≈ 110% of the network space → ~10% lookup
     # misses, matching the reference's production miss rate
     # (geolite2v2/geo-ip.go:162)
-    m_val = (max_pk + 1) * 10 // 9
+    return (_max_partkey(spark, sf_dir) + 1) * 10 // 9
+
+
+def _annotate_join(
+    spark: SparkSession, sf_dir: str, probes: DataFrame
+) -> DataFrame:
+    """Ranges-from-part build + the fused parse/6to4/binary-search
+    broadcast range join + missing backfill — shared by the batch
+    flagship and the streaming gate (stream-static safe: the build
+    side is static and broadcast; the probe side only maps)."""
+    part = _t(spark, sf_dir, "part")
     nets = part.select(
         F.format_string(
             "10.%d.%d.0/24",
@@ -198,17 +228,6 @@ def q_annotate(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFra
     ranges = nets.select(
         ipf.cidr_to_range(F.col("cidr")).alias("r"), "p_brand"
     ).select(F.col("r.ip_low").alias("ip_low"), F.col("r.ip_high").alias("ip_high"), "p_brand")
-
-    probes = _annotate_probes(spark, sf_dir, m_val)
-    if multiplier > 1:
-        # bench probe-scale sweep: replicate probes JVM-side (explode of
-        # a sequence — no extra input IO) to measure the per-probe cost
-        # curve of the broadcast join at 10x/100x probe volume
-        probes = probes.withColumn(
-            "__m", F.explode(F.sequence(F.lit(1), F.lit(multiplier)))
-        ).select(
-            (F.col("event_id") * multiplier + F.col("__m")).alias("event_id"), "ip"
-        )
     # fused kernel: parse (P3) + 6to4 (P4) + binary search (J1) in one
     # Arrow crossing — ~40% more probe throughput than UDF-then-join
     joined = iv.range_join_broadcast(
@@ -449,11 +468,16 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data curation pipeline in one plan:
     benchmark held out (doc_id%100==0) → Gopher repetition filter →
     n-gram decontamination against the benchmark → near-dup removal
-    via exact-Jaccard pairs resolved to connected components (keep
-    the smallest id per cluster) → per (lang, source) corpus stats.
+    via df-capped exact-Jaccard pairs resolved to connected
+    components (keep the smallest id per cluster) → per (lang,
+    source) corpus stats.
     Composition is the point: each stage is an independently
     oracle-checked operator; this gate checks they agree end-to-end.
-    """
+    The pair stage runs with max_df=1000 (the flagship regime — a hot
+    boilerplate shingle must not fan out df² candidates at scale);
+    the oracle replays the same cap, so the hash gate checks the
+    BOUNDED plan, not the unbounded ground-truth one (which remains
+    the dedup_ngram_jaccard gate's regime)."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 100 != 0)
     bench = docs.where(F.col("doc_id") % 100 == 0)
@@ -473,7 +497,7 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     pairs = dd.ngram_jaccard_pairs(
-        corpus, ngram=3, threshold=0.5, shingles=csh
+        corpus, ngram=3, threshold=0.5, shingles=csh, max_df=1000
     )
     dupes = (
         cl.connected_components(pairs)
@@ -543,6 +567,21 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups."""
     return sim.embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the LSH scale path
+    (use_lsh=True): probed wide-band candidates (60 planes / 4 bands
+    → 15-bit keys, hamming-1 multi-probe) re-scored with the exact
+    round-6 cosine and thresholded — the 100 TB regime of
+    embedding_dup_pairs, where the exact all-pairs form is size-gated
+    out. Hash-verified: the seeded hyperplanes are plan literals, so
+    the DuckDB oracle embeds the same planes and replays signature →
+    probed band join → qid<nid pair re-score (the LSH candidate set
+    is deterministic — no recall slack needed in the gate)."""
+    return sim.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, use_lsh=True
     )
 
 
@@ -3337,6 +3376,39 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("h").distinct()
 
 
+def q_stream_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6, hash-verified: the flagship annotate pipeline under
+    Structured Streaming (handler/handler.go:194-243 — the reference
+    annotates request batches as they arrive). The events parquet
+    becomes a file-stream source, the probe-IP projection and the
+    fused parse/6to4/broadcast-binary-search range join run
+    UNMODIFIED on the stream (stream-static: the ranges build is
+    static and broadcast; mapInPandas over it keeps the stream
+    stateless, so no watermark is needed), and availableNow drains to
+    a memory sink. Every step is a deterministic per-row transform,
+    so streaming output ≡ the batch plan on the closed input — the
+    oracle is the SAME SQL as the annotate gate."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    probes = _probe_ips(ev, _annotate_m_val(spark, sf_dir))
+    annotated = _annotate_join(spark, sf_dir, probes)
+    name = f"stream_annotate_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        annotated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (3 rounds,
     (count DESC, label ASC) tie-break) on the 3-gram-Jaccard ≥ 0.3
@@ -3392,79 +3464,108 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry. ORDER MATTERS: the correctness driver verifies the
     FIRST ~50 entries (rows+schema+value-hash vs the DuckDB oracle), so the
-    newest / riskiest gates go first (VERDICT r3 top item), then a rotation
-    of core stable gates fills the window, then the long-stable remainder
-    (each was hash-green in an earlier round's CORRECTNESS_r*.json)."""
+    newest / riskiest gates go first (VERDICT r3 top item), then the gates
+    touched by this round's code changes, then a rotation of long-stale
+    stable gates fills the window, then the remainder (each hash-green in
+    an earlier round's CORRECTNESS_r*.json; the r6/r7 window gates sit
+    LAST — they carry the freshest driver evidence)."""
     return {
-        # -- round-6 changed/new gates (riskiest diffs go first) -----------
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "kmeans_fixed": q_kmeans_fixed,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "session_rollup": q_session_rollup,
-        "perceptron_filter": q_perceptron_filter,
-        "filter_calibration": q_filter_calibration,
-        "epoch_shuffle": q_epoch_shuffle,
-        "lpa_communities": q_lpa_communities,
-        "stream_rollup": q_stream_rollup,
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "heavy_hitters": q_heavy_hitters,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "dsir_resample": q_dsir_resample,
-        "kcore": q_kcore,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "knn_pagerank_lsh": q_knn_pagerank_lsh,
-        "first_last_ignore_nulls": q_first_last_ignore_nulls,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "embedding_decontam": q_embedding_decontam,
-        "dedup_containment": q_dedup_containment,
-        "pmi_collocations": q_pmi_collocations,
-        "source_kl": q_source_kl,
-        "interval_overlap_join": q_interval_overlap_join,
-        "event_transitions": q_event_transitions,
-        "robust_outliers": q_robust_outliers,
-        "semantic_dedup": q_semantic_dedup,
-        "triangle_count": q_triangle_count,
-        # -- the 10 gates never driver-checked through r5 (VERDICT #2) -----
-        "stats_agg": q_stats_agg,
-        "ntile_deciles": q_ntile_deciles,
-        "fuzzy_match": q_fuzzy_match,
-        "mom_revenue": q_mom_revenue,
-        "price_ranks": q_price_ranks,
-        "native_pivot": q_native_pivot,
-        "bloom_join": q_bloom_join,
-        "zorder_layout": q_zorder_layout,
-        "tpch_q15": q_tpch_q15,
-        "cume_dist": q_cume_dist,
-        # -- sketch family: touched by the round-6 pmod fix ---------------
+        # -- round-8 NEW gates ---------------------------------------------
+        "stream_annotate": q_stream_annotate,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        # -- the 3 gates with zero lifetime driver evidence (VERDICT r7 #2)
+        "tpch_q9": q_tpch_q9,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q21": q_tpch_q21,
+        # -- the r6-boundary trio that missed the r7 rotation --------------
         "corpus_curation": q_corpus_curation,
         "vocab_topk": q_vocab_topk,
         "pack_chunks": q_pack_chunks,
+        # -- gates touched by round-8 code changes --------------------------
+        "semantic_dedup": q_semantic_dedup,          # zero-norm guard
+        "heavy_hitters": q_heavy_hitters,            # dtype-derived schema
+        "ann_ivf_topk": q_ann_ivf_topk,              # deterministic prune
+        "ann_gemm_topk": q_ann_gemm_topk,            # deterministic prune
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,  # size gate
+        "pipeline_full": q_pipeline_full,            # df-capped pair stage
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # max_df param
+        "dedup_containment": q_dedup_containment,      # max_df param
+        "annotate": q_annotate,                      # helper refactor
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "triangle_count": q_triangle_count,          # jaccard consumers
+        "kcore": q_kcore,
+        "lpa_communities": q_lpa_communities,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # -- rotation fill: stale since r3, re-proven this window -----------
+        "range_lookup": q_range_lookup,
+        "asof_select": q_asof_select,
+        "tpch_q1": q_tpch_q1,
+        "interval_flatten": q_interval_flatten,
+        "merge_annotators": q_merge_annotators,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "legacy_annotate": q_legacy_annotate,
+        "skew_join": q_skew_join,
+        "interval_merge": q_interval_merge,
+        "sessionize": q_sessionize,
+        "histogram": q_histogram,
+        "asn_decode": q_asn_decode,
+        "response_keys": q_response_keys,
+        "decontaminate": q_decontaminate,
+        "repetition_filter": q_repetition_filter,
+        "group_quantiles": q_group_quantiles,
+        "text_metrics": q_text_metrics,
+        "lang_id": q_lang_id,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "topk_per_group": q_topk_per_group,
+        "annotate_multisnapshot": q_annotate_multisnapshot,
+        "stratified_sample": q_stratified_sample,
+        "skew_agg": q_skew_agg,
+        "pii_redact": q_pii_redact,
+        # ==== ~driver window boundary (50) ================================
+        # below: hash-green in an earlier round's CORRECTNESS_r*.json
+        "dedup_keep_best": q_dedup_keep_best,
+        "quality_quantile_mix": q_quality_quantile_mix,
+        "event_cube": q_event_cube,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "upsert_merge": q_upsert_merge,
+        "doc_percentiles": q_doc_percentiles,
+        "rolling_avg": q_rolling_avg,
+        "span_dedup": q_span_dedup,
+        "span_dedup_apply": q_span_dedup_apply,
+        "weighted_sample": q_weighted_sample,
+        "having_subquery": q_having_subquery,
+        "nation_volume": q_nation_volume,
+        "case_pivot": q_case_pivot,
+        "scalar_subquery": q_scalar_subquery,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "text_normalize": q_text_normalize,
+        "profile_table": q_profile_table,
+        "posting_lists": q_posting_lists,
+        "grouping_sets": q_grouping_sets,
+        "gap_fill": q_gap_fill,
+        "json_extract": q_json_extract,
+        "attribution_join": q_attribution_join,
+        "event_rollup_hopping": q_event_rollup_hopping,
+        "embedding_gram": q_embedding_gram,
+        "event_rollup": q_event_rollup,
+        "event_topk_windowed": q_event_topk_windowed,
+        "unigram_nll": q_unigram_nll,
+        "temperature_mix": q_temperature_mix,
+        "dedup_incremental": q_dedup_incremental,
+        "first_touch": q_first_touch,
         "doc_chunks": q_doc_chunks,
         "cms_counts": q_cms_counts,
         "distinct_users": q_distinct_users,
         "profile_approx": q_profile_approx,
         "percentile_approx": q_percentile_approx,
-        # -- curation/bpe family: touched by the round-6 ADVICE fixes -----
-        # -- session_rollup: oracle window-order fix this round ------------
-        # -- new round-6 TPC-H shape gates + stable fill re-proven ---------
         "tpch_q6": q_tpch_q6,
         "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q21": q_tpch_q21,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -3482,75 +3583,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "table_digest": q_table_digest,
         "group_split": q_group_split,
-        # ==== ~driver window boundary (50) ================================
-        "weighted_sample": q_weighted_sample,
-        "having_subquery": q_having_subquery,
-        "nation_volume": q_nation_volume,
-        "case_pivot": q_case_pivot,
-        "scalar_subquery": q_scalar_subquery,
-        "anti_join": q_anti_join,
-        # below: hash-green in an earlier round's CORRECTNESS_r*.json and
-        # replica-verified at both SFs this round (docs/ORACLE_R6_*.log)
-        "semi_join": q_semi_join,
-        "text_normalize": q_text_normalize,
-        "profile_table": q_profile_table,
-        "posting_lists": q_posting_lists,
-        "grouping_sets": q_grouping_sets,
-        "gap_fill": q_gap_fill,
-        "json_extract": q_json_extract,
-        "attribution_join": q_attribution_join,
-        "event_rollup_hopping": q_event_rollup_hopping,
-        "embedding_gram": q_embedding_gram,
-        "event_rollup": q_event_rollup,
-        "event_topk_windowed": q_event_topk_windowed,
-        "unigram_nll": q_unigram_nll,
-        "temperature_mix": q_temperature_mix,
-        "dedup_incremental": q_dedup_incremental,
-        "first_touch": q_first_touch,
-        "annotate": q_annotate,
-        "range_lookup": q_range_lookup,
-        "asof_select": q_asof_select,
-        "tpch_q1": q_tpch_q1,
-        "interval_flatten": q_interval_flatten,
-        "merge_annotators": q_merge_annotators,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "pipeline_full": q_pipeline_full,
-        "legacy_annotate": q_legacy_annotate,
-        "skew_join": q_skew_join,
-        "interval_merge": q_interval_merge,
-        "sessionize": q_sessionize,
-        "histogram": q_histogram,
-        "asn_decode": q_asn_decode,
-        "response_keys": q_response_keys,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "decontaminate": q_decontaminate,
-        "repetition_filter": q_repetition_filter,
-        "group_quantiles": q_group_quantiles,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_gemm_topk": q_ann_gemm_topk,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "text_metrics": q_text_metrics,
-        "lang_id": q_lang_id,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q10": q_tpch_q10,
-        "topk_per_group": q_topk_per_group,
-        "annotate_multisnapshot": q_annotate_multisnapshot,
-        "stratified_sample": q_stratified_sample,
-        "skew_agg": q_skew_agg,
-        "pii_redact": q_pii_redact,
-        "dedup_keep_best": q_dedup_keep_best,
-        "quality_quantile_mix": q_quality_quantile_mix,
-        "event_cube": q_event_cube,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "upsert_merge": q_upsert_merge,
-        "doc_percentiles": q_doc_percentiles,
-        "rolling_avg": q_rolling_avg,
-        "span_dedup": q_span_dedup,
-        "span_dedup_apply": q_span_dedup_apply,
+        "stats_agg": q_stats_agg,
+        "ntile_deciles": q_ntile_deciles,
+        "fuzzy_match": q_fuzzy_match,
+        "mom_revenue": q_mom_revenue,
+        "price_ranks": q_price_ranks,
+        "native_pivot": q_native_pivot,
+        "bloom_join": q_bloom_join,
+        "zorder_layout": q_zorder_layout,
+        "tpch_q15": q_tpch_q15,
+        "cume_dist": q_cume_dist,
+        # -- the r6/r7 window (freshest driver evidence, rotated out) ------
+        "kmeans_fixed": q_kmeans_fixed,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "session_rollup": q_session_rollup,
+        "perceptron_filter": q_perceptron_filter,
+        "filter_calibration": q_filter_calibration,
+        "epoch_shuffle": q_epoch_shuffle,
+        "stream_rollup": q_stream_rollup,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "dsir_resample": q_dsir_resample,
+        "ann_pq_topk": q_ann_pq_topk,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "knn_pagerank_lsh": q_knn_pagerank_lsh,
+        "first_last_ignore_nulls": q_first_last_ignore_nulls,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "embedding_decontam": q_embedding_decontam,
+        "pmi_collocations": q_pmi_collocations,
+        "source_kl": q_source_kl,
+        "interval_overlap_join": q_interval_overlap_join,
+        "event_transitions": q_event_transitions,
+        "robust_outliers": q_robust_outliers,
     }
 
 
@@ -4215,6 +4290,7 @@ def _semdedup_oracle(
             SELECT DISTINCT id_b
             FROM pd
             WHERE dot >= 0 AND {d2}*dot*dot >= {n2}*na*nb
+              AND na > 0 AND nb > 0
         )
         SELECT asg.vec_id,
                CAST(asg.cl AS INTEGER) AS cluster_id,
@@ -4561,7 +4637,7 @@ _PERCEPTRON_CTES = """tok AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -5069,10 +5145,16 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c.id
                 HAVING CAST(count(b.s) AS DOUBLE)/count(*) < 0.1
             ),
-            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            shc AS (
+                SELECT id, s FROM sh
+                WHERE s NOT IN (
+                    SELECT s FROM sh GROUP BY s HAVING count(*) > 1000
+                )
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM shc GROUP BY id),
             prs AS (
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
-                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                FROM shc a JOIN shc b ON a.s = b.s AND a.id < b.id
                 GROUP BY 1, 2
             ),
             p AS (
@@ -7054,3 +7136,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN clus c ON c.id = d.doc_id
         """,
     }
+    # streaming ≡ batch on a closed input (Spark's unification claim,
+    # driver-checked): the stream_annotate gate replays the annotate
+    # SQL verbatim — same probe projection, same range join, same
+    # backfill, just executed by the streaming engine on the Spark
+    # side.
+    oracles["stream_annotate"] = oracles["annotate"]
+    # LSH pair dedup: probed band candidates (plane literals) +
+    # exact round-6 cosine ≥ threshold over qid < nid orientations.
+    oracles["dedup_embedding_lsh"] = f"""
+        WITH {_lsh_cand_ctes(60, 4, 7, None, probe_bits=1)},
+        pr AS (
+            SELECT DISTINCT qid AS id_a, nid AS id_b
+            FROM cand WHERE qid < nid
+        ),
+        s AS (
+            SELECT id_a, id_b, {_cos6('va.e', 'vb.e')} AS cos
+            FROM pr
+            JOIN v va ON va.vec_id = pr.id_a
+            JOIN v vb ON vb.vec_id = pr.id_b
+        )
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45
+    """
+    return oracles

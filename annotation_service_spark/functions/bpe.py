@@ -39,25 +39,28 @@ def word_freqs(
     text_col: str = "text",
     lowercase: bool = True,
     min_count: int = 1,
-    max_words: int | None = None,
+    max_words: int | None = 1_000_000,
 ) -> dict[str, int]:
     """Corpus word-frequency table (whitespace words): ONE distributed
     map-side-combinable aggregation.
 
-    The DEFAULT is the exact, unbounded form — every distinct word
-    comes back to the driver. That is correct but only safe when the
-    vocabulary is bounded; the web-scale vocabulary is not (typos,
-    URLs — plausibly billions of distinct tokens at 100 TB), so
-    100 TB callers MUST opt into a cap explicitly: ``min_count``
-    drops the singleton tail below a frequency floor, ``max_words``
-    keeps only the top-N by (count desc, word) via TakeOrdered —
-    never a full sort or an unbounded collect (this is the standard
-    tokenizer-trainer contract, cf. min_frequency in public BPE
-    trainers). A cap APPROXIMATES the merge list: merge learning is
-    exact over the retained table, and pair mass carried by dropped
-    tail words can in principle shift a merge decision — the cap is
-    a caller-visible trade, which is why it is not a silent
-    default."""
+    The DEFAULT is bounded: ``max_words=1_000_000`` keeps only the
+    top-N by (count desc, word) via TakeOrdered — per-partition heaps
+    + a driver merge of max_words rows, never a full sort or an
+    unbounded collect. The web-scale vocabulary is unbounded (typos,
+    URLs — plausibly billions of distinct tokens at 100 TB), so an
+    unbounded-collect default is a driver-OOM trap; 1M words ≈ tens
+    of MB on the driver and exceeds every public BPE trainer's
+    retained vocabulary. ``min_count`` additionally drops the
+    singleton tail below a frequency floor (the min_frequency knob of
+    public BPE trainers). Callers wanting the exact unbounded table
+    (differential tests, small corpora) opt in with
+    ``max_words=None`` — an explicit, visible choice.
+    A cap APPROXIMATES the merge list: merge learning is exact over
+    the retained table, and pair mass carried by dropped tail words
+    can in principle shift a merge decision — for corpora under the
+    cap (every test regime here) the table, and hence the merges,
+    are exactly the unbounded ones."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)

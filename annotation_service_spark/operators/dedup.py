@@ -610,12 +610,24 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle equi-join (the
     non-approximate baseline; the shingle join IS the blocking — only
     docs sharing a shingle ever meet). Returns (id_a, id_b, jaccard).
     At 100 TB prefer minhash_lsh_pairs; this is the ground-truth
     operator for differential testing and small corpora.
+
+    ``max_df`` caps the document frequency of join-eligible shingles
+    (the tfidf_shingle_pairs pattern): one hot shingle (boilerplate,
+    a viral quote) otherwise fans out df² candidate pairs on a single
+    shuffle key — the quadratic blob that kills the self-join at
+    scale. With the cap, worst-case pairs per shingle ≤ max_df² and
+    total candidates ∝ corpus × avg_df. Jaccard is then computed over
+    the df ≤ max_df shingle space (sizes and intersections both) — a
+    true Jaccard of the capped sets, so the semantics stay exact and
+    engine-portable. None (default) keeps the uncapped ground-truth
+    form for oracles and differential tests.
 
     ``shingles`` lets a composite pipeline pass a shared (id, s)
     table (see decontam / pipeline_full) so the tokenize+explode runs
@@ -625,6 +637,16 @@ def ngram_jaccard_pairs(
         if shingles is not None
         else shingle_table(df, id_col, text_col, ngram).cache()
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s")
+        )
+        # anti-join beats an inner join on the df table: the hot set
+        # is tiny (it IS the skew), so this broadcasts
+        sh = sh.join(hot, "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")
@@ -656,6 +678,7 @@ def ngram_containment_pairs(
     ngram: int = 3,
     threshold: float = 0.8,
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Directed near-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
     word-n-gram shingle sets. Catches the asymmetric dup family
@@ -672,14 +695,23 @@ def ngram_containment_pairs(
     Scale: identical shape to ngram_jaccard_pairs — the shingle
     equi-join IS the blocking (only docs sharing a shingle meet), one
     shuffle keyed by shingle then one by (id_a, id_b); no cartesian.
-    Stop-shingle capping (drop shingles with df > cap) bounds the
-    worst key's fan-out at 100 TB the same way it does for jaccard.
+    ``max_df`` (stop-shingle capping: drop shingles with df > cap
+    from sizes and intersections alike) bounds the worst key's
+    fan-out at 100 TB the same way it does for jaccard.
     """
     sh = (
         shingles
         if shingles is not None
         else shingle_table(df, id_col, text_col, ngram).cache()
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(hot, "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")

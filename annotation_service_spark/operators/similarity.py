@@ -68,6 +68,33 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
 
 
+def _prune_topk_per_query(
+    s: "np.ndarray", ids: "np.ndarray", kk: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic local top-``kk`` per query column of a (rows,
+    queries) score matrix: order by (score desc, id asc), non-finite
+    dropped. The lexsort tie-break means boundary ties can no longer
+    flip with partition layout / argpartition's internal order — the
+    local prune is a pure function of its inputs, so the downstream
+    exact re-score (and the bit-identical-output claim) holds even at
+    exact score ties (the ann_pq adc_prune already did this). Returns
+    (row_indices, col_indices)."""
+    rows_out: list = []
+    cols_out: list = []
+    for qi in range(s.shape[1]):
+        col = s[:, qi]
+        idx = np.flatnonzero(np.isfinite(col))
+        if not len(idx):
+            continue
+        order = idx[np.lexsort((ids[idx], -col[idx]))][:kk]
+        rows_out.append(order)
+        cols_out.append(np.full(len(order), qi, dtype=np.int64))
+    if not rows_out:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(rows_out), np.concatenate(cols_out)
+
+
 _DIM_MEMO: dict[tuple[int, str], int] = {}
 
 
@@ -166,13 +193,8 @@ def ann_bruteforce_topk_gemm(
             s = v @ bq.T  # (n, |Q|)
             s[ids[:, None] == bqids[None, :]] = -np.inf  # self-pairs
             kk = min(k + local_slack, len(ids))
-            top = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, |Q|)
-            rows = top.ravel(order="F")
-            cols = np.repeat(np.arange(nq), kk)
-            keep = np.isfinite(s[rows, cols])
-            yield pd.DataFrame(
-                {"qid": bqids[cols[keep]], "nid": ids[rows[keep]]}
-            )
+            rows, cols = _prune_topk_per_query(s, ids, kk)
+            yield pd.DataFrame({"qid": bqids[cols], "nid": ids[rows]})
 
     cand = embeddings.select(id_col, vec_col).mapInPandas(
         score, "qid long, nid long"
@@ -217,6 +239,7 @@ def embedding_dup_pairs(
     n_planes: int = 60,
     bands: int = 4,
     probe_bits: int = 1,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cosine ≥ threshold and id_a < id_b.
@@ -233,6 +256,15 @@ def embedding_dup_pairs(
     1e-3 margin dwarfs matmul-vs-sequential summation drift (~1e-12);
     NaN scores (zero-norm vectors) are kept so the expression layer
     decides them exactly as the crossJoin did.
+
+    The exact path is SIZE-GATED like ``range_join_broadcast``: the
+    corpus must fit the driver + one broadcast (Catalyst sizeInBytes
+    estimate first — free; one count() job only when that estimate
+    crosses ``max_broadcast_bytes``). Past the gate the call raises
+    and names ``use_lsh=True`` — silently collecting a 100 TB corpus
+    to the driver is the failure mode this guard exists to prevent.
+    Ids keep their source dtype (long/int/string all work; no int64
+    coercion).
     ``use_lsh=True`` restricts pairs to LSH band candidates instead —
     the 100 TB path, sharing the ANN family's probed wide-band
     machinery (15-bit keys + hamming-1 multi-probe; the band join
@@ -274,21 +306,43 @@ def embedding_dup_pairs(
         base = embeddings.select(
             F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ve")
         ).withColumn("nrm", F.sqrt(dot("ve", "ve", dim)))
-        pdf = embeddings.select(id_col, vec_col).toPandas()
-        all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+        # size gate (the range_join_broadcast two-tier pattern,
+        # interval.py): Catalyst's sizeInBytes estimate is free; only
+        # when that (over)estimate crosses the threshold do we pay one
+        # count() for a precise per-row-bytes estimate before refusing.
+        slim = embeddings.select(id_col, vec_col)
+        try:
+            est_bytes = int(
+                str(slim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            est_bytes = max_broadcast_bytes + 1  # unknown → verify by count
+        if est_bytes > max_broadcast_bytes:
+            n_rows = slim.count()
+            est_bytes = n_rows * (dim * 8 + 24)
+        if est_bytes > max_broadcast_bytes:
+            raise ValueError(
+                f"embedding_dup_pairs: exact all-pairs path would collect "
+                f"~{est_bytes >> 20} MiB of vectors to the driver (cap "
+                f"{max_broadcast_bytes >> 20} MiB) — use use_lsh=True (the "
+                "banded scale path) or raise max_broadcast_bytes explicitly"
+            )
+        pdf = slim.toPandas()
+        all_ids = pdf[id_col].to_numpy()  # keep source dtype
         m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
             m = m / nrm  # zero-norm rows become NaN → kept below
         bc = spark.sparkContext.broadcast((all_ids, m))
         margin = 1e-3
+        id_sql_type = embeddings.schema[id_col].dataType.simpleString()
 
         def prefilter(it):
             bids, bm = bc.value
             for part in it:
                 if not len(part):
                     continue
-                ids_p = part[id_col].to_numpy(dtype=np.int64)
+                ids_p = part[id_col].to_numpy()
                 v = np.vstack(part[vec_col].to_numpy()).astype(np.float64)
                 n_p = np.linalg.norm(v, axis=1, keepdims=True)
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -300,8 +354,8 @@ def embedding_dup_pairs(
                 r, c = np.nonzero(mask)
                 yield pd.DataFrame({"id_a": ids_p[r], "id_b": bids[c]})
 
-        cand_ids = embeddings.select(id_col, vec_col).mapInPandas(
-            prefilter, "id_a long, id_b long"
+        cand_ids = slim.mapInPandas(
+            prefilter, f"id_a {id_sql_type}, id_b {id_sql_type}"
         )
         # the candidate set is tiny (true dups + margin near-misses):
         # broadcast IT into two corpus-side joins, mirroring the GEMM
@@ -554,12 +608,9 @@ def ann_ivf_topk(
                 s = vn[m] @ lq.T  # (list rows in batch, probers)
                 s[lids[:, None] == lqids[None, :]] = -np.inf
                 kk = min(k + local_slack, len(lids))
-                top = np.argpartition(-s, kk - 1, axis=0)[:kk]
-                rows = top.ravel(order="F")
-                cols = np.repeat(np.arange(len(lqids)), kk)
-                keep = np.isfinite(s[rows, cols])
+                rows, cols = _prune_topk_per_query(s, lids, kk)
                 yield pd.DataFrame(
-                    {"qid": lqids[cols[keep]], "nid": lids[rows[keep]]}
+                    {"qid": lqids[cols], "nid": lids[rows]}
                 )
 
     base = embeddings.select(
@@ -995,16 +1046,24 @@ def semantic_dedup(
             return pd.DataFrame({"id": np.empty(0, dtype=np.int64)})
         Q = np.vstack(pdf["qvec"].to_numpy()).astype(np.int64)
         nrm = np.einsum("ij,ij->i", Q, Q)
+        pos = nrm > 0
         dropped = np.zeros(m, dtype=bool)
         # dot ≤ dim·127² ≈ 1.0e6 ⇒ d²·dot² ≤ ~4.3e14·d² and
         # n²·na·nb ≤ ~1.1e12·n² — int64-exact throughout, matching
-        # the DuckDB replay bit-for-bit.
+        # the DuckDB replay bit-for-bit. Both norms must be > 0:
+        # with a zero quantized norm the inequality 0 ≥ 0 is
+        # vacuously true and an all-zero embedding would mark every
+        # larger-id vector in its cluster as a duplicate (cosine is
+        # undefined there, so no pair involving it can match).
         block = 1024
         for r0 in range(0, m - 1, block):
             r1 = min(r0 + block, m - 1)
             G = Q[r0:r1] @ Q.T  # (r1-r0, m) int64
-            cond = (G >= 0) & (
-                d2 * G * G >= n2 * np.outer(nrm[r0:r1], nrm)
+            cond = (
+                (G >= 0)
+                & (d2 * G * G >= n2 * np.outer(nrm[r0:r1], nrm))
+                & pos[r0:r1, None]
+                & pos[None, :]
             )
             # keep only the strict upper triangle (id_a < id_b)
             cols = np.arange(m)

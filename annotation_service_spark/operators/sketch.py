@@ -211,8 +211,13 @@ def heavy_hitter_candidates(
                     }
         yield pd.DataFrame({key_col: list(counts.keys())})
 
+    # the output schema mirrors the source key's dtype — a hardcoded
+    # string schema would coerce (or fail Arrow conversion on) long /
+    # binary keys and the follow-up semi-join would compare mismatched
+    # types
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.select(key_col).mapInPandas(
-        fold, f"{key_col} string"
+        fold, f"`{key_col}` {key_type}"
     ).distinct()
 
 

@@ -484,3 +484,38 @@ def test_magic_collision_falls_back_to_stub():
     # and with the stub disabled, it surfaces as unsupported-format
     with pytest.raises(NotImplementedError):
         mm.decode_features(fake_ppm, 4, deterministic_fake=False)
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
+    """VERDICT r7 #2: max_df drops shingles shared by more than
+    max_df docs from BOTH the intersection and the set sizes — a
+    boilerplate shingle in every doc can no longer fan out df^2
+    candidate pairs, and Jaccard stays a true Jaccard of the capped
+    shingle sets."""
+    boiler = "all rights reserved by the site"
+    rows = [
+        (i, f"unique sentence number {i} with words {i * 7} " + boiler)
+        for i in range(20)
+    ]
+    # one true near-dup pair sharing real content
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog tonight"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dd.ngram_jaccard_pairs(df, threshold=0.05)
+    capped = dd.ngram_jaccard_pairs(df, threshold=0.05, max_df=10)
+    unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    # uncapped: the boilerplate shingles connect every i-j pair
+    assert len(unc) > 100
+    # capped: only the true near-dup pair survives (boilerplate
+    # shingles have df=20 > 10 and are excluded from the join)
+    assert cap == {(100, 101)}
+    # containment honors the same cap
+    cont = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_containment_pairs(
+            df, threshold=0.5, max_df=10
+        ).collect()
+    }
+    assert (0, 1) not in cont and (1, 0) not in cont

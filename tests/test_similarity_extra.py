@@ -353,3 +353,73 @@ def test_ann_ivfpq_recall_planted(spark):
     }
     recall = len(got & brute) / len(brute)
     assert recall >= 0.8, recall
+
+
+def test_embedding_dup_pairs_size_gate(spark, vec_df):
+    """VERDICT r7 #1: the exact all-pairs path is size-gated like
+    range_join_broadcast — past the cap it refuses with a message
+    naming the LSH fallback instead of collecting the corpus to the
+    driver; the LSH path ignores the cap (it never collects)."""
+    with pytest.raises(ValueError, match="use_lsh=True"):
+        sim.embedding_dup_pairs(
+            vec_df, threshold=0.99, max_broadcast_bytes=1024
+        )
+    lsh = sim.embedding_dup_pairs(
+        vec_df, threshold=0.99, use_lsh=True, max_broadcast_bytes=1024
+    )
+    assert lsh.count() >= 0  # plans and runs
+
+
+def test_embedding_dup_pairs_preserves_id_dtype(spark):
+    """String ids flow through the exact path unchanged — the old
+    hard int64 cast crashed non-integer id columns (ADVICE r6)."""
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [
+        ("doc-a", base),
+        ("doc-b", [x + rng.gauss(0, 0.001) for x in base]),
+        ("doc-c", [rng.gauss(0, 1) for _ in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = sim.embedding_dup_pairs(df, id_col="vec_id", threshold=0.99)
+    assert dict(out.dtypes)["id_a"] == "string"
+    assert dict(out.dtypes)["id_b"] == "string"
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {("doc-a", "doc-b")}
+
+
+def test_semantic_dedup_zero_norm_not_vacuous(spark):
+    """An all-zero embedding (quantized norm 0) must not mark its
+    cluster-mates as duplicates (VERDICT r7 #4: with na·nb = 0 the
+    integer test 0 ≥ 0 was vacuously true, so the zero vector
+    'matched' every larger-id vector in its cluster)."""
+    rng = random.Random(5)
+    rows = [(0, [0.0] * 32)]  # zero vector with the smallest id
+    for i in range(1, 40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.semantic_dedup(df, k=2, iterations=1).collect()
+    by_id = {r.vec_id: r for r in out}
+    # independent gaussians at d=32 stay far below cos 0.85 (max |cos|
+    # over 780 pairs ≈ 0.6), so with the zero vector neutralized every
+    # row must be kept
+    dropped = [r.vec_id for r in out if not r.keep]
+    assert dropped == [], f"zero-norm vector vacuously dropped {dropped}"
+    assert by_id[0].keep  # the zero vector itself is kept too
+
+
+def test_prune_topk_deterministic_tie_break():
+    """_prune_topk_per_query breaks exact score ties by id asc — the
+    local prune is a pure function of its inputs, invariant to row
+    order (VERDICT r7 #7)."""
+    import numpy as np
+
+    s = np.array([[1.0], [0.5], [1.0], [0.5], [np.nan]])
+    ids = np.array([30, 20, 10, 40, 5], dtype=np.int64)
+    rows, cols = sim._prune_topk_per_query(s, ids, kk=3)
+    assert ids[rows].tolist() == [10, 30, 20]  # (score desc, id asc)
+    assert cols.tolist() == [0, 0, 0]
+    # permuting the rows permutes nothing in the result
+    perm = np.array([4, 3, 2, 1, 0])
+    rows2, _ = sim._prune_topk_per_query(s[perm], ids[perm], kk=3)
+    assert ids[perm][rows2].tolist() == [10, 30, 20]

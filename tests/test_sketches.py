@@ -245,3 +245,39 @@ def test_heavy_hitters_spread_thin_still_found(spark):
     df = hot.unionAll(noise).repartition(32)
     out = sk.heavy_hitters(df, "key", threshold_denom=10).collect()
     assert [(r["key"], r["cnt"]) for r in out] == [("hot", 4_000)]
+
+
+def test_heavy_hitters_long_key_schema(spark):
+    """The candidate pass derives its Arrow schema from the key's
+    dtype (ADVICE r6): long keys survive the fold and the follow-up
+    semi-join compares matching types — output still == the naive
+    groupBy+HAVING."""
+    from annotation_service_spark.operators import sketch as sk
+
+    df = (
+        spark.range(60)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), (600 / (F.col("id") + 1)).cast("int"))
+            ).alias("r"),
+            (F.col("id") * 1_000_000_007).alias("key"),  # long keys
+        )
+        .select("key")
+        .repartition(16)
+    )
+    cands = sk.heavy_hitter_candidates(df, "key", 20)
+    assert dict(cands.dtypes)["key"] == "bigint"
+    denom = 30
+    got = {
+        (r["key"], r["cnt"])
+        for r in sk.heavy_hitters(df, "key", denom).collect()
+    }
+    n = df.count()
+    want = {
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") * denom >= F.lit(n))
+        .collect()
+    }
+    assert got == want and len(got) > 0

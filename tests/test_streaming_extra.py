@@ -101,3 +101,21 @@ def test_stream_dedup_exact_equals_batch_distinct(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_annotate_equals_batch(spark):
+    """ST6 pinned locally: the availableNow-drained streaming annotate
+    (file-stream probes -> stream-static broadcast range join) equals
+    the batch flagship row-for-row."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.event_id, r.ip, r.brand)
+        for r in em.q_stream_annotate(spark, sf).collect()
+    }
+    want = {
+        (r.event_id, r.ip, r.brand)
+        for r in em.q_annotate(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0

@@ -4,11 +4,12 @@ Media travel as opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extraction / resize / frame-sampling are
 Arrow-batched ``mapInPandas`` stages. Six REAL pure-Python codecs
 are built in — binary PPM (P6) images, 8-bit non-interlaced PNG,
-baseline sequential JPEG (T.81), PCM WAV audio, IMA/DVI ADPCM
-compressed audio (WAV tag 0x0011), and lossless FLAC (RFC 9639,
-mono subset with Rice/FIXED/LPC) — dispatched by
-magic bytes; formats needing external codec libraries (MP3,
-progressive JPEG, video, … not in this environment) fall back to a
+baseline sequential AND progressive JPEG (T.81 incl. annex G
+spectral selection + successive approximation), PCM WAV audio,
+IMA/DVI ADPCM compressed audio (WAV tag 0x0011), and lossless FLAC
+(RFC 9639, mono subset with Rice/FIXED/LPC) — dispatched by
+magic bytes; formats needing external codec libraries (MP3, video,
+… not in this environment) fall back to a
 STUBBED decode: with
 ``deterministic_fake=True`` it derives stable pseudo-features from
 the bytes (md5-seeded), otherwise it raises NotImplementedError. The
@@ -302,19 +303,203 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _jpeg_progressive_scan(
+    r: _JpegBitReader,
+    scan: dict,
+    comps: list,
+    coefs: list,
+    pred: list,
+    huff: dict,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    mcus_x: int,
+    mcus_y: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """One progressive SOS (T.81 annex G, the algorithm of G.1.2 /
+    G.2): DC scans (Ss=0) are MCU-interleaved when Ns>1, AC scans are
+    always single-component over the component's own block raster.
+    First scans (Ah=0) entropy-decode magnitudes shifted by the point
+    transform; refinement scans (Ah>0) add one bit of precision —
+    correction bits for already-nonzero coefficients, ±2^Al for newly
+    significant ones — with shared EOB-run state across blocks.
+    Coefficients land ZIGZAG-ordered and undequantized in ``coefs``;
+    ``pred`` carries the DC predictors across restart-free scans."""
+    scan_cis = [ci for ci, c in enumerate(comps) if c[0] in scan]
+    eobrun = 0
+
+    def dc_first(ci: int, block: np.ndarray) -> None:
+        dc_t = huff[(0, scan[comps[ci][0]][0])]
+        s = _huff_decode(r, dc_t)
+        pred[ci] += _extend(r.receive(s), s)
+        block[0] = pred[ci] << al
+
+    def dc_refine(block: np.ndarray) -> None:
+        if r.read_bit():
+            block[0] |= 1 << al
+
+    def ac_first(ac_t: dict, block: np.ndarray) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, ac_t)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.receive(run)
+                return
+            k += run
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            block[k] = _extend(r.receive(size), size) << al
+            k += 1
+
+    def ac_refine(ac_t: dict, block: np.ndarray) -> None:
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(r, ac_t)
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run < 15:
+                        # full count here (unlike ac_first's n-1):
+                        # the common decrement below charges the
+                        # CURRENT block against the run too
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.receive(run)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ValueError("bad JPEG refinement magnitude")
+                    val = p1 if r.read_bit() else m1
+                while k <= se:
+                    if block[k] != 0:
+                        if r.read_bit() and (block[k] & p1) == 0:
+                            block[k] += p1 if block[k] >= 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    block[k] = val
+                k += 1
+        if eobrun > 0:
+            # EOB run covers this block: still read the correction
+            # bits of every remaining nonzero coefficient in the band
+            while k <= se:
+                if block[k] != 0 and r.read_bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            r.restart()
+            eobrun = 0
+            for ci in scan_cis:
+                pred[ci] = 0
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        if len(scan_cis) > 1:  # interleaved over the full MCU grid
+            for m in range(mcus_x * mcus_y):
+                maybe_restart(m)
+                my, mx = divmod(m, mcus_x)
+                for ci in scan_cis:
+                    _cid, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            block = coefs[ci][my * cv + by, mx * ch + bx]
+                            if ah == 0:
+                                dc_first(ci, block)
+                            else:
+                                dc_refine(block)
+            return
+    elif len(scan_cis) != 1:
+        raise ValueError("JPEG AC scan must be single-component")
+    # non-interleaved: raster over the component's OWN block grid
+    ci = scan_cis[0]
+    _cid, ch, cv, _tq = comps[ci]
+    # ceil(ceil(w·ch/hmax)/8) — the component's own sample grid,
+    # NOT the MCU-padded grid (T.81 A.2.2): trailing MCU-padding
+    # blocks carry no data units in a non-interleaved scan
+    bw = (-(-(w * ch) // hmax) + 7) // 8
+    bh = (-(-(h * cv) // vmax) + 7) // 8
+    ac_t = huff.get((1, scan[comps[ci][0]][1]))
+    for u in range(bw * bh):
+        maybe_restart(u)
+        by, bx = divmod(u, bw)
+        block = coefs[ci][by, bx]
+        if ss == 0:
+            if ah == 0:
+                dc_first(ci, block)
+            else:
+                dc_refine(block)
+        elif ah == 0:
+            ac_first(ac_t, block)
+        else:
+            ac_refine(ac_t, block)
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past remaining entropy data to the next true marker
+    (skipping 0xFF00 stuffing and RSTn, which live inside scans)."""
+    while pos + 1 < len(payload):
+        if (
+            payload[pos] == 0xFF
+            and payload[pos + 1] != 0x00
+            and not (0xD0 <= payload[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated after scan")
+
+
 def _jpeg_decode_blocks(payload: bytes):
-    """Parse + entropy-decode a baseline JPEG. Returns
+    """Parse + entropy-decode a baseline OR progressive JPEG. Returns
     (width, height, comps, planes) where ``comps`` is the SOF
     component list [(cid, h_samp, v_samp, tq)] and ``planes[i]`` is
     the DEQUANTIZED natural-order coefficient array of component i,
     shape (blocks_y, blocks_x, 8, 8) int64 — the exact integers the
     encoder quantized, before any IDCT rounding (differential tests
-    compare these byte-exactly against an independent encoder)."""
+    compare these byte-exactly against an independent encoder).
+
+    Baseline (SOF0/1): one interleaved scan, decoded inline below.
+    Progressive (SOF2, T.81 annex G): coefficients accumulate across
+    SOS scans — DC first/refine (interleaved or not), AC spectral
+    bands per component with EOB-run coding, successive-approximation
+    refinement bits — and dequantize only after EOI, so the
+    progressive file of the SAME quantized coefficients decodes to
+    byte-identical planes (the differential the progressive tests
+    pin)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    pred: list[int] = []
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
@@ -335,7 +520,7 @@ def _jpeg_decode_blocks(payload: bytes):
                     seg, np.uint8, 64, i + 1
                 ).astype(np.int64)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+extended seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -344,8 +529,9 @@ def _jpeg_decode_blocks(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arith) not supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("lossless/arithmetic JPEG not supported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -365,8 +551,27 @@ def _jpeg_decode_blocks(payload: bytes):
             for i in range(ns):
                 scan[seg[1 + 2 * i]] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
             w, h, comps = sof
-            if set(scan) != {c[0] for c in comps}:
-                raise ValueError("multi-scan baseline JPEG not supported")
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                if coefs is None:
+                    coefs = [
+                        np.zeros((mcus_y * c[2], mcus_x * c[1], 64), np.int64)
+                        for c in comps
+                    ]
+                    pred = [0] * len(comps)
+                r = _JpegBitReader(payload, pos + 2 + seglen)
+                _jpeg_progressive_scan(
+                    r, scan, comps, coefs, pred, huff,
+                    w, h, hmax, vmax, mcus_x, mcus_y,
+                    ss, se, ah, al, restart_interval,
+                )
+                pos = _skip_to_marker(payload, r.pos)
+                continue
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-w // (8 * hmax))
@@ -413,17 +618,30 @@ def _jpeg_decode_blocks(payload: bytes):
                             )
             return w, h, comps, planes
         pos += 2 + seglen
+    if progressive and coefs is not None:
+        # all scans accumulated; dequantize + de-zigzag once at EOI
+        w, h, comps = sof
+        planes = []
+        for ci, (_cid, _ch, _cv, tq) in enumerate(comps):
+            zz = coefs[ci] * qt[tq]  # (by, bx, 64) int64
+            blk = np.zeros_like(zz)
+            blk[:, :, _JPEG_ZIGZAG] = zz
+            planes.append(blk.reshape(zz.shape[0], zz.shape[1], 8, 8))
+        return w, h, comps, planes
     raise ValueError("JPEG missing SOS")
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """REAL codec: baseline sequential JPEG → uint8 array (height,
-    width, channels) — channels 3 (YCbCr→RGB per the JFIF float
-    formulas, rounded then clipped) or 1 (grayscale). Chroma
-    subsampling is box-replicated up to full resolution. Coefficient
-    decode is differential-tested byte-exactly against an independent
-    in-test encoder (tests/test_multimodal_jpeg.py); pixel output is
-    bounded by quantization error only."""
+    """REAL codec: baseline sequential (SOF0/1) AND progressive
+    (SOF2) JPEG → uint8 array (height, width, channels) — channels 3
+    (YCbCr→RGB per the JFIF float formulas, rounded then clipped) or
+    1 (grayscale). Chroma subsampling is box-replicated up to full
+    resolution. Coefficient decode is differential-tested byte-exactly
+    against independent in-test encoders for BOTH coding processes
+    (tests/test_multimodal_jpeg.py, test_multimodal_progressive.py —
+    a progressive re-coding of the same quantized coefficients must
+    decode to the identical planes); pixel output is bounded by
+    quantization error only."""
     w, h, comps, planes = _jpeg_decode_blocks(payload)
     a = _dct_basis()
     hmax = max(c[1] for c in comps)
@@ -842,7 +1060,7 @@ def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndar
             gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
             return _segment_means(gray, n)
         except (ValueError, IndexError):
-            pass  # magic collision, corrupt, or progressive → unknown
+            pass  # magic collision, corrupt, or lossless/arith → unknown
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             x, _rate = decode_wav(payload)

@@ -267,9 +267,12 @@ def test_jpeg_dispatch_in_decode_features():
     assert np.abs(f1 - approx).max() < 0.05  # real decode, near source
 
 
-def test_jpeg_progressive_rejected():
-    """SOF2 (progressive) must raise ValueError so decode_features
-    falls through to the stub instead of mis-decoding."""
+def test_jpeg_mislabeled_progressive_rejected():
+    """A baseline stream whose SOF marker is flipped to SOF2 is
+    CORRUPT, not progressive (its single scan claims the full 0-63
+    band for a DC-class scan): the progressive path must raise
+    ValueError — real progressive streams are covered by
+    test_multimodal_progressive.py."""
     img = _test_image(8, 8, 1)
     payload, _ = _encode_jpeg(img, K1_QUANT)
     bad = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)

@@ -47,6 +47,9 @@ QUERIES = [
     "semantic_dedup", "heavy_hitters", "perceptron_filter",
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "filter_calibration", "epoch_shuffle", "lpa_communities",
+    # round 8 (stream_annotate is a streaming query — its batch twin
+    # `annotate` above carries the identical plan)
+    "dedup_embedding_lsh", "tpch_q9", "tpch_q13", "tpch_q21",
 ]
 
 

@@ -26,9 +26,11 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,6 +89,104 @@ def watch_new_files(
         reader = reader.option(k, v)
     return reader.load(path_glob).withColumn(
         "_src_path", F.input_file_name()
+    )
+
+
+PUBSUB_SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("message_id", T.StringType()),
+        T.StructField("data", T.StringType()),
+        T.StructField(
+            "attributes", T.MapType(T.StringType(), T.StringType())
+        ),
+    ]
+)
+
+
+def pubsub_signal_callback(staging_dir: str):
+    """Message→file bridge between a Pub/Sub subscriber and a Spark
+    file-stream source — the client-independent half of the real
+    connector, so its delivery semantics are testable without the
+    cloud SDK. Each message stages ONE json file named by its
+    message_id:
+
+    - idempotent under redelivery (at-least-once Pub/Sub retries of
+      the same message overwrite the same file — the downstream file
+      stream sees it once);
+    - atomic (tmp + rename, so the stream never reads a torn file);
+    - acked only AFTER the rename — a crash between receive and stage
+      leaves the message unacked and it redelivers, never drops.
+
+    The callback accepts any object with ``message_id``, ``data``
+    (bytes) and ``attributes`` (mapping) plus ``ack()`` — the
+    google-cloud-pubsub Message contract."""
+    os.makedirs(staging_dir, exist_ok=True)
+
+    def callback(message) -> None:
+        rec = {
+            "message_id": str(message.message_id),
+            "data": (message.data or b"").decode("utf-8", "replace"),
+            "attributes": dict(getattr(message, "attributes", {}) or {}),
+        }
+        fd, tmp = tempfile.mkstemp(dir=staging_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(
+            tmp, os.path.join(staging_dir, f"msg-{rec['message_id']}.json")
+        )
+        message.ack()
+
+    return callback
+
+
+def pubsub_signal_stream(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """Streaming view of the staged Pub/Sub messages (checkpointed
+    file source → exactly-once per staged file). Feed this to
+    ``start_event_refresh`` (attributes carry the object path for
+    path-addressed refresh) or treat any row as the reference's
+    content-free 'something new landed' signal
+    (handler/pubsub.go:38-41 ignores the message body entirely)."""
+    return (
+        spark.readStream.schema(PUBSUB_SIGNAL_SCHEMA)
+        .option("pathGlobFilter", "msg-*.json")
+        .json(staging_dir)
+    )
+
+
+def start_pubsub_subscriber(
+    project: str,
+    topic: str,
+    staging_dir: str,
+    subscription: str | None = None,
+):
+    """REAL Pub/Sub client path (import-gated — google-cloud-pubsub
+    is not installed in this environment; everything below the client
+    is covered by tests via ``pubsub_signal_callback``). Mirrors
+    handler/pubsub.go:20-42: create a per-instance subscription on
+    the downloader topic (ack deadline 30 s), then pump every message
+    through the staging bridge. Returns the streaming pull future;
+    cancel() it to stop."""
+    try:
+        from google.cloud import pubsub_v1
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "google-cloud-pubsub is not installed; install it on the "
+            "cluster image, or feed pubsub_signal_stream's staging dir "
+            "from any other bridge (the staging contract is the "
+            "integration point)"
+        ) from exc
+    subscriber = pubsub_v1.SubscriberClient()
+    sub_name = subscription or f"annotator-{time.time_ns()}"
+    sub_path = subscriber.subscription_path(project, sub_name)
+    topic_path = f"projects/{project}/topics/{topic}"
+    try:
+        subscriber.create_subscription(
+            name=sub_path, topic=topic_path, ack_deadline_seconds=30
+        )
+    except Exception:
+        pass  # already exists (named subscription reuse)
+    return subscriber.subscribe(
+        sub_path, callback=pubsub_signal_callback(staging_dir)
     )
 
 

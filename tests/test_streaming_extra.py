@@ -5,6 +5,8 @@ final watermark horizon remain in state (asserted explicitly)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as em
@@ -119,3 +121,99 @@ def test_stream_annotate_equals_batch(spark):
         for r in em.q_annotate(spark, sf).collect()
     }
     assert got == want and len(got) > 0
+
+
+class _FakeMessage:
+    """The google-cloud-pubsub Message contract the bridge relies on:
+    message_id, data bytes, attributes mapping, ack()."""
+
+    def __init__(self, message_id, data=b"", attributes=None, staging=None):
+        self.message_id = message_id
+        self.data = data
+        self.attributes = attributes or {}
+        self.acked = False
+        self.staged_at_ack = None
+        self._staging = staging
+
+    def ack(self):
+        self.acked = True
+        if self._staging is not None:
+            # record whether the staged file existed WHEN ack ran —
+            # the at-least-once contract requires stage-before-ack
+            self.staged_at_ack = os.path.exists(
+                os.path.join(self._staging, f"msg-{self.message_id}.json")
+            )
+
+
+def test_pubsub_bridge_idempotent_atomic_ack_after_stage(tmp_path):
+    """The message->file bridge: staged exactly once under redelivery
+    (message_id-keyed filename), no torn .tmp leftovers, ack strictly
+    after the rename."""
+    import json
+
+    from annotation_service_spark.streaming.refresh import (
+        pubsub_signal_callback,
+    )
+
+    staging = str(tmp_path / "stage")
+    cb = pubsub_signal_callback(staging)
+    m1 = _FakeMessage(
+        "42", b"gs://downloads/G2/x.zip",
+        {"objectId": "G2/x.zip"}, staging,
+    )
+    cb(m1)
+    assert m1.acked and m1.staged_at_ack is True
+    # redelivery of the same message (at-least-once): same file, once
+    m1b = _FakeMessage(
+        "42", b"gs://downloads/G2/x.zip",
+        {"objectId": "G2/x.zip"}, staging,
+    )
+    cb(m1b)
+    cb(_FakeMessage("43", b"", {}, staging))
+    files = sorted(os.listdir(staging))
+    assert files == ["msg-42.json", "msg-43.json"]  # no .tmp, no dup
+    rec = json.load(open(os.path.join(staging, "msg-42.json")))
+    assert rec["attributes"]["objectId"] == "G2/x.zip"
+    assert rec["data"] == "gs://downloads/G2/x.zip"
+
+
+def test_pubsub_signal_stream_feeds_refresh(spark, tmp_path):
+    """Staged messages stream into Spark (exactly-once per file) and
+    any row works as the reference's content-free refresh signal."""
+    from annotation_service_spark.streaming.refresh import (
+        pubsub_signal_callback,
+        pubsub_signal_stream,
+    )
+
+    staging = str(tmp_path / "stage")
+    cb = pubsub_signal_callback(staging)
+    for i in range(3):
+        cb(_FakeMessage(str(i), f"file-{i}".encode(), {"k": str(i)}))
+    q = (
+        pubsub_signal_stream(spark, staging)
+        .writeStream.format("memory")
+        .queryName("pubsub_signals")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("pubsub_signals").collect()
+    assert {r.message_id for r in rows} == {"0", "1", "2"}
+    assert {r.data for r in rows} == {"file-0", "file-1", "file-2"}
+
+
+def test_pubsub_real_client_import_gated():
+    """Without google-cloud-pubsub installed, the real-client entry
+    raises ImportError naming the staging-bridge integration point."""
+    import pytest as _pytest
+
+    from annotation_service_spark.streaming import refresh as rf
+
+    try:
+        import google.cloud.pubsub_v1  # noqa: F401
+        _pytest.skip("google-cloud-pubsub installed in this env")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="staging"):
+        rf.start_pubsub_subscriber("proj", "downloader-new-files", "/tmp/x")

@@ -3158,20 +3158,47 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the half-threshold is the exact rewrite 2·availqty > sum_qty
     in decimal. NULL-sum pairs (nothing shipped in the window) drop
     via the inner join, matching the spec's NULL-comparison semantics.
-    The surviving pair set reduces to a semi-join on supplier."""
-    ps = _partsupp(spark, sf_dir)
-    li = _t(spark, sf_dir, "lineitem").where(
+    The surviving pair set reduces to a semi-join on supplier.
+
+    Plan note (round 8): the red-part restriction is pushed BELOW
+    both heavy shuffles — lineitem is broadcast-semi-joined to the
+    red part keys BEFORE the partsupp-derivation distinct AND before
+    the shipped aggregate, so both shuffles carry only the red slice
+    (~1/#colors of the fact table) instead of the whole corpus.
+    Value-identical: the partsupp derivation is per-key arithmetic,
+    so deriving after the semi-join equals deriving first and joining
+    red after (the previous shape, and still the oracle's)."""
+    red_keys = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    li_all = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(red_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = (
+        li_all.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            (
+                (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 9999 + 1
+            ).cast("long").alias("ps_availqty"),
+        )
+    )
+    li = li_all.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red %"))
     dec = "decimal(12,2)"
     shipped = li.groupBy(
         F.col("l_partkey").alias("qk"), F.col("l_suppkey").alias("qs")
     ).agg(F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"))
     excess = (
-        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
+        ps.join(
             shipped,
             (F.col("ps_partkey") == F.col("qk"))
             & (F.col("ps_suppkey") == F.col("qs")),
@@ -3524,8 +3551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_multisnapshot": q_annotate_multisnapshot,
         "stratified_sample": q_stratified_sample,
         "skew_agg": q_skew_agg,
-        "pii_redact": q_pii_redact,
+        "tpch_q20": q_tpch_q20,  # round-8 plan rewrite (red pushdown)
         # ==== ~driver window boundary (50) ================================
+        "pii_redact": q_pii_redact,
         # below: hash-green in an earlier round's CORRECTNESS_r*.json
         "dedup_keep_best": q_dedup_keep_best,
         "quality_quantile_mix": q_quality_quantile_mix,
@@ -3606,7 +3634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q11": q_tpch_q11,
         "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
         "dsir_resample": q_dsir_resample,
         "ann_pq_topk": q_ann_pq_topk,
         "tpch_q4": q_tpch_q4,

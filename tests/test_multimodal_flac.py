@@ -242,3 +242,47 @@ def test_flac_feeds_decode_features():
     edges = np.linspace(0, len(want), 9, dtype=np.int64)
     expect = [want[a:b].mean() for a, b in zip(edges[:-1], edges[1:])]
     assert np.allclose(feats, expect, atol=1e-6)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=400,
+        ),
+        order=st.integers(min_value=0, max_value=4),
+        rice_param=st.integers(min_value=0, max_value=14),
+        blocksize=st.sampled_from([16, 48, 64, 100]),
+    )
+    def test_flac_roundtrip_property(samples, order, rice_param, blocksize):
+        """Any int16 signal round-trips bit-exactly through any FIXED
+        order / Rice parameter / blocksize combination — the lossless
+        contract as a property, not a fixture. Blocks shorter than the
+        predictor order fall back to order 0 (warmup needs `order`
+        samples). The Rice parameter is floored per frame so the unary
+        quotient of a worst-case random-noise residual stays bounded
+        (what a real encoder's parameter estimator guarantees; tiny
+        params on noise make valid-but-megabit frames)."""
+        payload = bytearray(_streaminfo(8000, 16, len(samples)))
+        for fno, i in enumerate(range(0, len(samples), blocksize)):
+            blk = samples[i : i + blocksize]
+            o = order if len(blk) > order else 0
+            coefs = _FIXED_COEFS[o]
+            residuals = [
+                blk[j] - sum(c * blk[j - 1 - k] for k, c in enumerate(coefs))
+                for j in range(o, len(blk))
+            ]
+            maxzig = max((_zigzag(e) for e in residuals), default=0)
+            param = min(14, max(rice_param, maxzig.bit_length() - 6))
+            payload += _encode_frame(blk, fno % 128, o, param)
+        got, rate = decode_flac(bytes(payload))
+        assert rate == 8000
+        assert got.tolist() == samples
+
+except ImportError:  # pragma: no cover - hypothesis always present here
+    pass

@@ -3416,6 +3416,14 @@ def q_stream_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so streaming output ≡ the batch plan on the closed input — the
     oracle is the SAME SQL as the annotate gate."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # memory sinks pin their FULL output (one row per event — unlike
+    # the aggregated rollup/dedup sinks) in the driver until dropped;
+    # repeated runs (bench does 3 cold + 1 warm) would otherwise stack
+    # complete copies. Any prior run's result has been consumed by the
+    # time a new run starts, so drop the old sink tables here.
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_annotate_sink_"):
+            spark.catalog.dropTempView(t.name)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (
         spark.readStream.schema(schema)

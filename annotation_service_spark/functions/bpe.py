@@ -75,6 +75,21 @@ def word_freqs(
         # heaps + driver merge of max_words rows, not a global sort
         agg = agg.orderBy(F.col("c").desc(), "w").limit(max_words)
     rows = agg.collect()
+    if max_words is not None and len(rows) == max_words:
+        # the cap BOUND: the table is (almost certainly) truncated and
+        # merge learning becomes approximate — loud, not silent
+        # (pass max_words=None for the exact unbounded table, or raise
+        # the cap / min_count)
+        import warnings
+
+        warnings.warn(
+            f"word_freqs: vocabulary hit the max_words cap ({max_words}); "
+            "the frequency table is truncated to the top-N and BPE "
+            "merges learned from it are approximate — pass "
+            "max_words=None (exact) or raise the cap/min_count",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return {r["w"]: r["c"] for r in rows}
 
 

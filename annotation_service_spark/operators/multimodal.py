@@ -335,7 +335,9 @@ def _jpeg_progressive_scan(
     eobrun = 0
 
     def dc_first(ci: int, block: np.ndarray) -> None:
-        dc_t = huff[(0, scan[comps[ci][0]][0])]
+        dc_t = huff.get((0, scan[comps[ci][0]][0]))
+        if dc_t is None:
+            raise ValueError("JPEG scan references an undefined DC table")
         s = _huff_decode(r, dc_t)
         pred[ci] += _extend(r.receive(s), s)
         block[0] = pred[ci] << al
@@ -446,6 +448,8 @@ def _jpeg_progressive_scan(
     bw = (-(-(w * ch) // hmax) + 7) // 8
     bh = (-(-(h * cv) // vmax) + 7) // 8
     ac_t = huff.get((1, scan[comps[ci][0]][1]))
+    if ss > 0 and ac_t is None:
+        raise ValueError("JPEG scan references an undefined AC table")
     for u in range(bw * bh):
         maybe_restart(u)
         by, bx = divmod(u, bw)
@@ -572,6 +576,8 @@ def _jpeg_decode_blocks(payload: bytes):
                 )
                 pos = _skip_to_marker(payload, r.pos)
                 continue
+            if set(scan) != {c[0] for c in comps}:
+                raise ValueError("multi-scan baseline JPEG not supported")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-w // (8 * hmax))
@@ -933,7 +939,16 @@ def _flac_subframe(r: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
 
 
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL codec: FLAC (mono subset) → (int32 samples, sample_rate).
+    """(samples, rate) view of ``decode_flac_meta`` — see there."""
+    samples, rate, _bps = decode_flac_meta(payload)
+    return samples, rate
+
+
+def decode_flac_meta(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL codec: FLAC (mono subset) → (int32 samples, sample_rate,
+    bits_per_sample — callers normalizing to [-1, 1] must divide by
+    2^(bps-1), NOT a hardcoded 32768: 24-bit archival FLAC decodes to
+    ±2^23).
     Free Lossless Audio Codec per the public spec (RFC 9639): fLaC
     magic → metadata blocks (STREAMINFO parsed, others skipped) →
     byte-aligned frames, each a 14-bit-sync header (CRC-8 verified),
@@ -1010,7 +1025,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("FLAC frame CRC-16 mismatch")
     if total:
         out = out[:total]
-    return np.asarray(out, dtype=np.int32), rate
+    return np.asarray(out, dtype=np.int32), rate, bps
 
 
 def _segment_means(x: np.ndarray, n: int) -> np.ndarray:
@@ -1074,8 +1089,10 @@ def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndar
             pass  # magic collision or corrupt WAV → unknown format
     if payload[:4] == b"fLaC":
         try:
-            s, _rate = decode_flac(payload)
-            return _segment_means(s.astype(np.float64) / 32768.0, n)
+            s, _rate, bps = decode_flac_meta(payload)
+            return _segment_means(
+                s.astype(np.float64) / float(1 << (bps - 1)), n
+            )
         except (ValueError, IndexError):
             pass  # corrupt / unsupported-shape FLAC → unknown format
     if not deterministic_fake:

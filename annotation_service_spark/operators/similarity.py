@@ -78,7 +78,13 @@ def _prune_topk_per_query(
     local prune is a pure function of its inputs, so the downstream
     exact re-score (and the bit-identical-output claim) holds even at
     exact score ties (the ann_pq adc_prune already did this). Returns
-    (row_indices, col_indices)."""
+    (row_indices, col_indices).
+
+    Cost: O(n) argpartition per column, then a lexsort of only the
+    top-kk set COMPLETED with its boundary ties (every element
+    strictly above the kk-th value is in the answer by count; only
+    elements equal to it compete on id) — not an O(n log n) full-
+    column sort."""
     rows_out: list = []
     cols_out: list = []
     for qi in range(s.shape[1]):
@@ -86,7 +92,12 @@ def _prune_topk_per_query(
         idx = np.flatnonzero(np.isfinite(col))
         if not len(idx):
             continue
-        order = idx[np.lexsort((ids[idx], -col[idx]))][:kk]
+        cand = idx
+        if len(idx) > kk:
+            top = idx[np.argpartition(-col[idx], kk - 1)[:kk]]
+            boundary = col[top].min()
+            cand = idx[col[idx] >= boundary]
+        order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
         rows_out.append(order)
         cols_out.append(np.full(len(order), qi, dtype=np.int64))
     if not rows_out:

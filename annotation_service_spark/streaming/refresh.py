@@ -175,16 +175,27 @@ def start_pubsub_subscriber(
             "from any other bridge (the staging contract is the "
             "integration point)"
         ) from exc
+    from google.api_core.exceptions import AlreadyExists
+
     subscriber = pubsub_v1.SubscriberClient()
     sub_name = subscription or f"annotator-{time.time_ns()}"
     sub_path = subscriber.subscription_path(project, sub_name)
     topic_path = f"projects/{project}/topics/{topic}"
     try:
+        # expiration policy: an auto-named per-instance subscription
+        # (the reference's pattern) must not outlive a dead instance —
+        # 1 day of inactivity garbage-collects it server-side, so
+        # restarts don't leak message-retaining subscriptions forever.
         subscriber.create_subscription(
-            name=sub_path, topic=topic_path, ack_deadline_seconds=30
+            request={
+                "name": sub_path,
+                "topic": topic_path,
+                "ack_deadline_seconds": 30,
+                "expiration_policy": {"ttl": {"seconds": 86400}},
+            }
         )
-    except Exception:
-        pass  # already exists (named subscription reuse)
+    except AlreadyExists:
+        pass  # named subscription reuse is fine; anything else raises
     return subscriber.subscribe(
         sub_path, callback=pubsub_signal_callback(staging_dir)
     )

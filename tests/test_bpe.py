@@ -113,3 +113,25 @@ def test_word_freqs_bounded_driver_collect(spark):
     assert train_bpe(floored, 3) == train_bpe(
         {w: c for w, c in exact.items() if c >= 2}, 3
     )
+
+
+def test_word_freqs_warns_when_cap_binds(spark):
+    """The bounded default must not truncate SILENTLY: when the
+    collected table hits max_words exactly, a RuntimeWarning names
+    the cap and the exact opt-out."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i}") for i in range(30)], ["doc_id", "text"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = word_freqs(df, max_words=10)
+    assert len(capped) == 10
+    assert any("max_words" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        word_freqs(df, max_words=None)
+    # no cap warning from the exact form (unrelated library warnings
+    # may pass through the recorder)
+    assert not [w for w in caught if "max_words" in str(w.message)]

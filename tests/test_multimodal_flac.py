@@ -151,12 +151,13 @@ def _encode(
     blocksize: int = 64,
     order: int = 2,
     rice_param: int = 6,
+    bps: int = 16,
     **frame_kw,
 ) -> bytes:
-    out = bytearray(_streaminfo(rate, 16, len(samples)))
+    out = bytearray(_streaminfo(rate, bps, len(samples)))
     for fno, i in enumerate(range(0, len(samples), blocksize)):
         blk = samples[i : i + blocksize]
-        out += _encode_frame(blk, fno, order, rice_param, **frame_kw)
+        out += _encode_frame(blk, fno, order, rice_param, bps=bps, **frame_kw)
     return bytes(out)
 
 
@@ -286,3 +287,25 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis always present here
     pass
+
+
+def test_flac_24bit_roundtrip_and_feature_scale():
+    """24-bit FLAC (the archival shape) round-trips exactly AND the
+    feature path normalizes by 2^(bps-1), not a hardcoded 32768 —
+    features from a 24-bit encoding of a waveform must match features
+    from the 16-bit encoding of the same waveform scaled up 256x."""
+    from annotation_service_spark.operators.multimodal import (
+        decode_flac_meta,
+    )
+
+    x16 = _signal(128, seed=13)
+    x24 = [v * 256 for v in x16]  # same waveform at 24-bit scale
+    p24 = _encode(x24, blocksize=64, order=2, rice_param=9, bps=24)
+    got, rate, bps = decode_flac_meta(p24)
+    assert (rate, bps) == (8000, 24)
+    assert got.tolist() == x24
+    f24 = decode_features(p24, 8, deterministic_fake=False)
+    f16 = decode_features(
+        _encode(x16, blocksize=64, order=2), 8, deterministic_fake=False
+    )
+    assert np.allclose(f24, f16, atol=1e-9)

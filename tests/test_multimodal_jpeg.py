@@ -278,3 +278,24 @@ def test_jpeg_mislabeled_progressive_rejected():
     bad = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError):
         mm.decode_jpeg(bad)
+
+
+def test_jpeg_partial_component_scan_rejected():
+    """A baseline SOS covering only a subset of the SOF components
+    (multi-scan sequential) must raise ValueError — the guard that
+    routes it to decode_features' fallback instead of a KeyError that
+    would kill the Spark task (round-8 review regression fix)."""
+    img = _test_image(16, 16, 3)
+    payload, _ = _encode_jpeg(img, K1_QUANT)
+    i = payload.index(b"\xff\xda")
+    seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+    body = payload[i + 4 : i + 2 + seglen]
+    ns = body[0]
+    assert ns == 3
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * ns :]
+    new_seg = (
+        b"\xff\xda" + (len(new_body) + 2).to_bytes(2, "big") + new_body
+    )
+    bad = payload[:i] + new_seg + payload[i + 2 + seglen :]
+    with pytest.raises(ValueError, match="multi-scan baseline"):
+        mm._jpeg_decode_blocks(bad)

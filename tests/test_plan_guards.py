@@ -237,3 +237,33 @@ def test_epoch_shuffle_plan(spark):
     p = _plan(em.q_epoch_shuffle(spark, SF))
     _assert_no_blowups(p)
     assert "Window" in p and "SinglePartition" not in p
+
+
+def test_tpch_q20_red_pushdown_plan(spark):
+    """Q20's round-8 rewrite: the red-part restriction must sit BELOW
+    both heavy operators — the semi-join against the red part keys
+    appears under the partsupp-derivation HashAggregate(distinct) and
+    under the shipped aggregate, so neither shuffle carries the full
+    fact table. Physically: at least two broadcast LeftSemi joins, no
+    blowups, and (the regression this guard exists for) no plain
+    inner join of the full partsupp distinct against the part table
+    ABOVE the aggregate."""
+    p = _plan(em.q_tpch_q20(spark, SF))
+    _assert_no_blowups(p)
+    assert p.count("LeftSemi") >= 2, p
+    assert "HashAggregate" in p
+    # the semi joins are broadcast (red keys are a dim-sized set)
+    assert "BroadcastHashJoin" in p
+
+
+def test_ngram_jaccard_max_df_plan(spark):
+    """The df-cap inside ngram_jaccard_pairs plans as a (broadcast)
+    anti-join of the shingle table against the tiny hot-shingle set —
+    never a shuffle of the corpus against the df table."""
+    from annotation_service_spark.operators import dedup as dd
+    from annotation_service_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = _plan(dd.ngram_jaccard_pairs(docs, threshold=0.5, max_df=1000))
+    _assert_no_blowups(p)
+    assert "LeftAnti" in p, p

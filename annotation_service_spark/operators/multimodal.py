@@ -340,6 +340,8 @@ def _jpeg_progressive_scan(
             raise ValueError("JPEG scan references an undefined DC table")
         s = _huff_decode(r, dc_t)
         pred[ci] += _extend(r.receive(s), s)
+        if not (-(1 << 48) <= pred[ci] < (1 << 48)):
+            raise ValueError("JPEG DC predictor out of range")
         block[0] = pred[ci] << al
 
     def dc_refine(block: np.ndarray) -> None:
@@ -531,7 +533,12 @@ def _jpeg_decode_blocks(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                ch_, cv_ = hv >> 4, hv & 15
+                # T.81 B.2.2: sampling factors are 1-4; 0 is corrupt
+                # (and would divide-by-zero in upsampling, fuzz-found)
+                if not (1 <= ch_ <= 4 and 1 <= cv_ <= 4):
+                    raise ValueError("JPEG sampling factor out of range")
+                comps.append((cid, ch_, cv_, tq))
             sof = (w, h, comps)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -595,6 +602,14 @@ def _jpeg_decode_blocks(payload: bytes):
                 my, mx = divmod(m, mcus_x)
                 for ci, (cid, ch, cv, tq) in enumerate(comps):
                     td, ta = scan[cid]
+                    if (0, td) not in huff or (1, ta) not in huff:
+                        raise ValueError(
+                            "JPEG scan references an undefined Huffman table"
+                        )
+                    if tq not in qt:
+                        raise ValueError(
+                            "JPEG component references an undefined quant table"
+                        )
                     dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
                     q = qt[tq]
                     for by in range(cv):
@@ -602,6 +617,17 @@ def _jpeg_decode_blocks(payload: bytes):
                             zz = np.zeros(64, np.int64)
                             s = _huff_decode(r, dc_t)
                             pred[ci] += _extend(r.receive(s), s)
+                            # a legal 8-bit-precision DC value is tiny
+                            # (|DC| ≤ 2047 pre-quant); a predictor
+                            # outside int64 is corrupt entropy data,
+                            # not a big image — fail as such instead
+                            # of letting numpy raise OverflowError
+                            # past decode_features' corrupt-payload
+                            # catch (fuzz-found)
+                            if not (-(1 << 62) <= pred[ci] < (1 << 62)):
+                                raise ValueError(
+                                    "JPEG DC predictor out of range"
+                                )
                             zz[0] = pred[ci]
                             k = 1
                             while k < 64:
@@ -629,6 +655,10 @@ def _jpeg_decode_blocks(payload: bytes):
         w, h, comps = sof
         planes = []
         for ci, (_cid, _ch, _cv, tq) in enumerate(comps):
+            if tq not in qt:
+                raise ValueError(
+                    "JPEG component references an undefined quant table"
+                )
             zz = coefs[ci] * qt[tq]  # (by, bx, 64) int64
             blk = np.zeros_like(zz)
             blk[:, :, _JPEG_ZIGZAG] = zz

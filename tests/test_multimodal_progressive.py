@@ -333,3 +333,33 @@ def test_progressive_truncation_degrades_gracefully():
     # cut before ANY scan → no coefficients → error
     with pytest.raises((ValueError, IndexError)):
         mm._jpeg_decode_blocks(payload[:first_sos])
+
+
+def test_decode_features_survives_corrupt_media_fuzz():
+    """The 100 TB robustness contract: decode_features with
+    deterministic_fake=True must NEVER raise on corrupt media — a
+    corrupt payload lands in the stub, not in a dead Spark task.
+    Seeded byte-flip fuzz over baseline JPEG, progressive JPEG, and
+    FLAC payloads (this fuzz previously surfaced KeyError /
+    OverflowError / ZeroDivisionError escapes from corrupt Huffman
+    table ids, runaway DC predictors, and zero sampling factors —
+    each now raises ValueError inside the decoder instead)."""
+    import random
+
+    from test_multimodal_flac import _encode as _encode_flac
+    from test_multimodal_flac import _signal
+
+    img = _test_image(16, 16, 3)
+    payloads = [
+        _encode_jpeg(img, K1_QUANT)[0],
+        _encode_progressive(img, K1_QUANT)[0],
+        _encode_flac(_signal(128), blocksize=64),
+    ]
+    rng = random.Random(5)
+    for payload in payloads:
+        for _ in range(150):
+            b = bytearray(payload)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = mm.decode_features(bytes(b), 8, deterministic_fake=True)
+            assert out.shape == (8,)

@@ -60,7 +60,14 @@ def word_freqs(
     the retained table, and pair mass carried by dropped tail words
     can in principle shift a merge decision — for corpora under the
     cap (every test regime here) the table, and hence the merges,
-    are exactly the unbounded ones."""
+    are exactly the unbounded ones.
+
+    .. versionchanged:: r8
+        The default changed from unbounded to ``max_words=1_000_000``.
+        Callers whose vocabulary exceeds the cap get a different
+        (truncated) table than before, signalled by the RuntimeWarning
+        below — pin ``max_words=None`` to keep the old exact behavior,
+        or pass an explicit cap at 100 TB call sites."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)

@@ -1045,6 +1045,14 @@ def decode_flac_meta(payload: bytes) -> tuple[np.ndarray, int, int]:
         if ss_code not in ss_table:
             raise ValueError(f"reserved FLAC sample size code {ss_code}")
         frame_bps = ss_table[ss_code]
+        if frame_bps != bps:
+            # the function returns ONE bps for the whole stream;
+            # normalizing frames decoded at a different width by
+            # 2^(bps-1) would silently mis-scale them — raise instead
+            # (the decoder's raise-rather-than-guess policy).
+            raise ValueError(
+                f"FLAC frame sample size {frame_bps} != STREAMINFO {bps}"
+            )
         hdr_end = r.byte_pos()
         if r.read(8) != _crc8_flac(payload[frame_start:hdr_end]):
             raise ValueError("FLAC frame header CRC-8 mismatch")

@@ -83,8 +83,11 @@ def _prune_topk_per_query(
     Cost: O(n) argpartition per column, then a lexsort of only the
     top-kk set COMPLETED with its boundary ties (every element
     strictly above the kk-th value is in the answer by count; only
-    elements equal to it compete on id) — not an O(n log n) full-
-    column sort."""
+    elements equal to it compete on id). Boundary ties are first
+    cut to the ``need`` smallest ids by an O(#ties) id-argpartition,
+    so heavily tied score columns (quantized / PQ integer scores)
+    never reinstate a near-full-column sort — the final lexsort is
+    over at most kk elements."""
     rows_out: list = []
     cols_out: list = []
     for qi in range(s.shape[1]):
@@ -96,7 +99,13 @@ def _prune_topk_per_query(
         if len(idx) > kk:
             top = idx[np.argpartition(-col[idx], kk - 1)[:kk]]
             boundary = col[top].min()
-            cand = idx[col[idx] >= boundary]
+            strict = idx[col[idx] > boundary]
+            tied = idx[col[idx] == boundary]
+            need = kk - len(strict)  # >=1: top contains the boundary
+            if len(tied) > need:
+                # only the `need` smallest ids among the ties can win
+                tied = tied[np.argpartition(ids[tied], need - 1)[:need]]
+            cand = np.concatenate([strict, tied])
         order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
         rows_out.append(order)
         cols_out.append(np.full(len(order), qi, dtype=np.int64))

@@ -26,8 +26,10 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import tempfile
 import threading
 import time
@@ -92,6 +94,11 @@ def watch_new_files(
     )
 
 
+# Pub/Sub message ids are server-assigned numerics, but the bridge accepts
+# any object — ids that could escape staging_dir as a path component get
+# hashed instead (see pubsub_signal_callback).
+_SAFE_MESSAGE_ID = re.compile(r"[A-Za-z0-9_.-]+")
+
 PUBSUB_SIGNAL_SCHEMA = T.StructType(
     [
         T.StructField("message_id", T.StringType()),
@@ -119,7 +126,12 @@ def pubsub_signal_callback(staging_dir: str):
 
     The callback accepts any object with ``message_id``, ``data``
     (bytes) and ``attributes`` (mapping) plus ``ack()`` — the
-    google-cloud-pubsub Message contract."""
+    google-cloud-pubsub Message contract. Because that contract is
+    open to ANY bridge object, the id is untrusted as a path
+    component: ids outside ``[A-Za-z0-9_.-]`` (or path-traversal
+    shapes like ``..``) are replaced by their sha256 — deterministic,
+    so redelivery of the same message still overwrites the same file
+    and the idempotency contract holds."""
     os.makedirs(staging_dir, exist_ok=True)
 
     def callback(message) -> None:
@@ -128,12 +140,13 @@ def pubsub_signal_callback(staging_dir: str):
             "data": (message.data or b"").decode("utf-8", "replace"),
             "attributes": dict(getattr(message, "attributes", {}) or {}),
         }
+        safe_id = rec["message_id"]
+        if not _SAFE_MESSAGE_ID.fullmatch(safe_id) or ".." in safe_id:
+            safe_id = hashlib.sha256(safe_id.encode()).hexdigest()
         fd, tmp = tempfile.mkstemp(dir=staging_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(rec, fh)
-        os.replace(
-            tmp, os.path.join(staging_dir, f"msg-{rec['message_id']}.json")
-        )
+        os.replace(tmp, os.path.join(staging_dir, f"msg-{safe_id}.json"))
         message.ack()
 
     return callback

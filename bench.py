@@ -337,7 +337,8 @@ def ensure_sf100_documents(
     any replica count. Doc ids offset into disjoint spaces."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out, f"_BUILT_DOCS_{n_replicas}")
+    # v2: n_chars recomputed after tag-gluing (stale v1 corpora rebuild)
+    marker = os.path.join(out, f"_BUILT_DOCS_{n_replicas}_v2")
     if os.path.exists(marker):
         return out
     docs = spark.read.parquet(os.path.join(base_sf_dir, "documents.parquet"))
@@ -351,8 +352,10 @@ def ensure_sf100_documents(
                 ).alias("text"),
                 "lang",
                 "source",
-                "n_chars",
             )
+            # tag-gluing lengthens the text — recompute n_chars so
+            # length-dependent operators see a consistent corpus
+            .withColumn("n_chars", F.length("text").cast("long"))
         )
     union = parts[0]
     for p in parts[1:]:

@@ -235,6 +235,18 @@ def test_flac_rejects_stereo_and_non_flac():
         decode_flac(b"fLaC" + bytes([0x80, 0, 0, 34]) + body)
 
 
+def test_flac_rejects_frame_bps_mismatching_streaminfo():
+    """A frame whose header sample-size code differs from STREAMINFO
+    would be normalized by the wrong 2^(bps-1) scale downstream —
+    the decoder raises rather than guesses (ADVICE r8)."""
+    x = [v // 256 for v in _signal(32, seed=4)]  # fits 8-bit
+    # STREAMINFO claims 16-bit; the frame header says 8-bit (ss code 1)
+    payload = bytearray(_streaminfo(8000, 16, len(x)))
+    payload += _encode_frame(x, 0, order=1, rice_param=4, bps=8)
+    with pytest.raises(ValueError, match="sample size"):
+        decode_flac(bytes(payload))
+
+
 def test_flac_feeds_decode_features():
     x = _signal(128, seed=9)
     payload = _encode(x, blocksize=64, order=2)

@@ -423,3 +423,31 @@ def test_prune_topk_deterministic_tie_break():
     perm = np.array([4, 3, 2, 1, 0])
     rows2, _ = sim._prune_topk_per_query(s[perm], ids[perm], kk=3)
     assert ids[perm][rows2].tolist() == [10, 30, 20]
+
+
+def test_prune_topk_heavily_tied_matches_full_sort():
+    """Quantized/PQ integer scores tie massively; the bounded
+    tie-completion (id-argpartition, ADVICE r8) must still equal the
+    reference full-column stable (score desc, id asc) sort — and the
+    result size never exceeds kk even when a whole column is one tied
+    value."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, q, kk = 5000, 7, 25
+    # integer scores in a tiny range -> hundreds of boundary ties
+    s = rng.integers(0, 4, size=(n, q)).astype(np.float64)
+    s[rng.random((n, q)) < 0.01] = np.nan
+    ids = rng.permutation(n).astype(np.int64)
+    rows, cols = sim._prune_topk_per_query(s, ids, kk)
+    for qi in range(q):
+        got = ids[rows[cols == qi]].tolist()
+        col = s[:, qi]
+        fin = np.flatnonzero(np.isfinite(col))
+        want = ids[fin[np.lexsort((ids[fin], -col[fin]))][:kk]].tolist()
+        assert got == want, f"query {qi} diverged from full sort"
+        assert len(got) == kk
+    # degenerate all-one-value column: still exactly kk, smallest ids
+    s1 = np.ones((n, 1))
+    rows1, _ = sim._prune_topk_per_query(s1, ids, kk)
+    assert ids[rows1].tolist() == sorted(ids)[:kk]

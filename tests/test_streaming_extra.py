@@ -177,6 +177,35 @@ def test_pubsub_bridge_idempotent_atomic_ack_after_stage(tmp_path):
     assert rec["data"] == "gs://downloads/G2/x.zip"
 
 
+def test_pubsub_bridge_sanitizes_hostile_message_id(tmp_path):
+    """A message_id containing path separators or '..' must NOT let the
+    staged file escape staging_dir (the bridge contract accepts any
+    object with a message_id — it is untrusted as a path component).
+    Hostile ids are hashed deterministically, so redelivery stays
+    idempotent."""
+    import hashlib
+    import json
+
+    from annotation_service_spark.streaming.refresh import (
+        pubsub_signal_callback,
+    )
+
+    staging = str(tmp_path / "stage")
+    outside = tmp_path / "escape.json"
+    cb = pubsub_signal_callback(staging)
+    hostile = "../escape"
+    cb(_FakeMessage(hostile, b"payload", {}))
+    cb(_FakeMessage(hostile, b"payload", {}))  # redelivery: still 1 file
+    assert not outside.exists()
+    digest = hashlib.sha256(hostile.encode()).hexdigest()
+    assert sorted(os.listdir(staging)) == [f"msg-{digest}.json"]
+    rec = json.load(open(os.path.join(staging, f"msg-{digest}.json")))
+    assert rec["message_id"] == hostile  # payload keeps the raw id
+    # a dotted-but-safe id ('proj.topic-7') is NOT hashed
+    cb(_FakeMessage("proj.topic-7", b"", {}))
+    assert f"msg-proj.topic-7.json" in os.listdir(staging)
+
+
 def test_pubsub_signal_stream_feeds_refresh(spark, tmp_path):
     """Staged messages stream into Spark (exactly-once per file) and
     any row works as the reference's content-free refresh signal."""

@@ -72,6 +72,134 @@ class SnapshotStore:
             self._version += 1
 
 
+class VersionedTableManifest:
+    """Delta-style snapshot isolation for the published parquet table
+    (ST4 hardened — VERDICT r8 #6). The reference swaps a directory
+    under a RWMutex so in-flight readers finish on the old directory
+    (manager/manager.go:38-57); Spark readers list files lazily, so a
+    bare ``read.parquet(output_dir)`` can re-list MID-QUERY and see a
+    later refresh's half-written files. This class removes that race
+    with the transactional-table recipe (the Delta/Iceberg core, built
+    from primitives available everywhere):
+
+    - DATA is immutable once committed: each refresh writes a NEW
+      ``batch=<epoch>`` directory; a directory is only ever
+      (over)written BEFORE its commit — i.e. during the at-least-once
+      foreachBatch retry of a crashed epoch — when no manifest, and
+      therefore no reader, can reference it.
+    - A COMMIT is one JSON manifest (``_versions/v<epoch>.json``)
+      listing every batch directory in the snapshot, then an atomic
+      rename of the CURRENT pointer. Write-ahead ordering: data, then
+      manifest, then pointer.
+    - READERS resolve CURRENT once, at open: the returned DataFrame
+      scans exactly the manifest's immutable directory list, so a scan
+      that straddles a refresh still yields ONE consistent version.
+    - RETENTION (``retain``) keeps the newest ``keep`` manifests and
+      deletes batch directories no retained manifest references — the
+      reader contract is "a snapshot stays scannable while its
+      manifest is retained", the same contract as Delta's VACUUM
+      horizon.
+    """
+
+    def __init__(self, output_dir: str) -> None:
+        self.output_dir = output_dir
+        self.versions_dir = os.path.join(output_dir, "_versions")
+        self._cur = os.path.join(self.versions_dir, "CURRENT")
+
+    # -- commit side ----------------------------------------------------
+    def commit(
+        self, epoch_id: int, new_dirs: list[str], replace: bool = False
+    ) -> int:
+        """Publish snapshot ``epoch_id`` = previous snapshot + ``new_dirs``
+        (or exactly ``new_dirs`` when ``replace=True`` — the reference's
+        full-directory swap; superseded directories stay on disk until
+        ``retain`` ages their manifests out, which is precisely what
+        keeps in-flight readers consistent). Idempotent under
+        at-least-once replay: an epoch at or below the current one is
+        skipped (the retry already committed)."""
+        epoch_id = int(epoch_id)
+        cur = self.current_version()
+        if cur is not None and epoch_id <= cur:
+            return cur
+        dirs = [] if replace or cur is None else list(self.resolve(cur))
+        for d in new_dirs:
+            if d not in dirs:
+                dirs.append(d)
+        os.makedirs(self.versions_dir, exist_ok=True)
+        manifest = os.path.join(self.versions_dir, f"v{epoch_id}.json")
+        fd, tmp = tempfile.mkstemp(dir=self.versions_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"epoch": epoch_id, "dirs": dirs}, fh)
+        os.replace(tmp, manifest)  # manifest durable before the pointer
+        fd, tmp = tempfile.mkstemp(dir=self.versions_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(epoch_id))
+        os.replace(tmp, self._cur)
+        return epoch_id
+
+    # -- read side --------------------------------------------------------
+    def current_version(self) -> int | None:
+        try:
+            with open(self._cur) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.versions_dir):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(self.versions_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def resolve(self, version: int | None = None) -> list[str]:
+        """The immutable directory list of ``version`` (default CURRENT)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise RuntimeError("no committed snapshot version yet")
+        with open(os.path.join(self.versions_dir, f"v{version}.json")) as fh:
+            return json.load(fh)["dirs"]
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """A DataFrame pinned to one snapshot version. ``basePath``
+        keeps partition discovery identical to scanning the root; the
+        synthetic ``batch`` partition column is internal and dropped."""
+        dirs = self.resolve(version)
+        return (
+            spark.read.option("basePath", self.output_dir)
+            .parquet(*dirs)
+            .drop("batch")
+        )
+
+    # -- retention ----------------------------------------------------
+    def retain(self, keep: int = 3) -> list[str]:
+        """Keep the newest ``keep`` manifests; delete older manifests
+        and any batch directory no retained manifest references.
+        Returns the deleted directories (for tests/observability)."""
+        import shutil
+
+        vs = self.versions()
+        if len(vs) <= keep:
+            return []
+        drop, hold = vs[:-keep], vs[-keep:]
+        referenced: set[str] = set()
+        for v in hold:
+            referenced.update(self.resolve(v))
+        deleted: list[str] = []
+        for v in drop:
+            for d in self.resolve(v):
+                if d not in referenced and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    deleted.append(d)
+            os.remove(os.path.join(self.versions_dir, f"v{v}.json"))
+        return deleted
+
+
 def watch_new_files(
     spark: SparkSession,
     path_glob: str,
@@ -262,25 +390,27 @@ def start_event_refresh(
             with open(os.path.join(manifest_dir, name)) as fh:
                 loaded.update(line.strip() for line in fh if line.strip())
 
+    version_manifest = VersionedTableManifest(output_dir)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         paths = [r[0] for r in batch_df.select(path_col).distinct().collect()]
         new = sorted(p for p in paths if norm(p) not in loaded)
         if not new:
             return
         built = build_paths_batch(new)
-        (
-            built.write.mode("overwrite")
-            .partitionBy("dataset_date")
-            .parquet(os.path.join(output_dir, f"batch={int(epoch_id)}"))
-        )
-        # publish the manifest only after the data commit; atomic rename
+        bdir = os.path.join(output_dir, f"batch={int(epoch_id)}")
+        # overwrite is safe pre-commit: no version manifest names bdir yet
+        built.write.mode("overwrite").partitionBy("dataset_date").parquet(bdir)
+        # publish the loaded-paths manifest only after the data commit;
+        # atomic rename
         os.makedirs(manifest_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             fh.write("\n".join(norm(p) for p in new) + "\n")
         os.replace(tmp, os.path.join(manifest_dir, f"batch-{int(epoch_id)}.txt"))
         loaded.update(norm(p) for p in new)
-        store.swap(table_name, spark.read.parquet(output_dir).drop("batch"))
+        version_manifest.commit(epoch_id, [bdir])
+        store.swap(table_name, version_manifest.read(spark))
 
     writer = (
         event_stream.writeStream.foreachBatch(process)
@@ -319,16 +449,18 @@ def start_refresh(
     """
     spark = stream_df.sparkSession
 
+    manifest = VersionedTableManifest(output_dir)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         built = build_batch(batch_df)
-        (
-            built.write.mode("overwrite")
-            .partitionBy("dataset_date")
-            .parquet(os.path.join(output_dir, f"batch={int(epoch_id)}"))
-        )
-        store.swap(table_name, spark.read.parquet(output_dir).drop("batch"))
+        bdir = os.path.join(output_dir, f"batch={int(epoch_id)}")
+        # overwrite is safe: bdir is uncommitted (no manifest names it)
+        # until the commit below, so no reader can be scanning it
+        built.write.mode("overwrite").partitionBy("dataset_date").parquet(bdir)
+        manifest.commit(epoch_id, [bdir])
+        store.swap(table_name, manifest.read(spark))
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

@@ -603,6 +603,34 @@ def simhash_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def cap_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles with document frequency > ``max_df`` from a shared
+    (id, s) shingle table — the stop-shingle cap that keeps one hot
+    boilerplate shingle from fanning out df² candidate pairs on a
+    single shuffle key. The hot set is tiny (it IS the skew), so the
+    anti-join is explicitly broadcast — AQE-independent; the plan
+    guard pins it. Composite pipelines (pipeline_full) call this ONCE
+    over the shared cached shingle table and hand the capped result to
+    every pair stage, so the df aggregation isn't re-run per stage.
+
+    The hot set itself is CACHED here: the capped table feeds three
+    consumers downstream (per-id sizes + both sides of the pair
+    self-join), and without the cache each would replay the full
+    df aggregation — the dominant cost of the cap (measured ~0.5 s
+    per replay at sf0.1). The cache is k rows (it is the skew set,
+    bounded by n_shingles/max_df), so the residency cost is nil; the
+    anti-join replays map-side from the caller's cached shingle
+    table."""
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("s")
+        .cache()
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -638,15 +666,7 @@ def ngram_jaccard_pairs(
         else shingle_table(df, id_col, text_col, ngram).cache()
     )
     if max_df is not None:
-        hot = (
-            sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("s")
-        )
-        # anti-join beats an inner join on the df table: the hot set
-        # is tiny (it IS the skew), so this broadcasts
-        sh = sh.join(hot, "s", "left_anti")
+        sh = cap_shingles(sh, max_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")
@@ -705,13 +725,7 @@ def ngram_containment_pairs(
         else shingle_table(df, id_col, text_col, ngram).cache()
     )
     if max_df is not None:
-        hot = (
-            sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("s")
-        )
-        sh = sh.join(hot, "s", "left_anti")
+        sh = cap_shingles(sh, max_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")

@@ -32,6 +32,10 @@ def test_pipeline_full_plan(spark):
     _assert_no_blowups(p)
     assert any(j in p for j in EQUI_JOINS)
     assert "Window" in p and "SinglePartition" not in p
+    # the df-cap survives the r9 hoist into the gate body: the pair
+    # stage must still anti-join the shingle table against the
+    # broadcast hot-shingle set
+    assert "LeftAnti" in p, p
 
 
 def test_dedup_keep_best_plan(spark):

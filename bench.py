@@ -368,6 +368,58 @@ def ensure_sf100_documents(
     return out
 
 
+def ensure_sf1_tpch(spark, base_sf_dir: str, out: str) -> None:
+    """Materialize 10x TPC-H fact/dim tables (once) into ``out`` for
+    the sf1 anchor run (VERDICT r8 #7): replica i offsets every join
+    key family (orderkey, custkey, partkey) into a disjoint id space,
+    so referential integrity holds within each replica and the joined
+    row count scales exactly 10x — the honest horizontal-scale shape.
+    Dates/quantities are untouched: group cardinality (q1's 4 flag
+    groups, q3's shipping-priority dates) stays constant while input
+    volume grows 10x, which is what makes the slope readable."""
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.sources.testdata import load_table
+
+    marker = os.path.join(out, "_BUILT_TPCH_10X")
+    if os.path.exists(marker):
+        return
+    li = load_table(spark, base_sf_dir, "lineitem")
+    orders = load_table(spark, base_sf_dir, "orders")
+    cust = load_table(spark, base_sf_dir, "customer")
+    part = load_table(spark, base_sf_dir, "part")
+    max_o = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    max_c = cust.agg(F.max("c_custkey")).first()[0] + 1
+    max_p = part.agg(F.max("p_partkey")).first()[0] + 1
+
+    def replicate(df, offsets: dict[str, int]):
+        parts = []
+        for i in range(SF1_REPLICAS):
+            r = df
+            for col, base in offsets.items():
+                r = r.withColumn(col, F.col(col) + F.lit(i * base))
+            parts.append(r)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    replicate(li, {"l_orderkey": max_o, "l_partkey": max_p}).repartition(
+        64
+    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    replicate(orders, {"o_orderkey": max_o, "o_custkey": max_c}).repartition(
+        32
+    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    replicate(cust, {"c_custkey": max_c}).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "customer.parquet"))
+    replicate(part, {"p_partkey": max_p}).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "part.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
 def ensure_sf1_events(spark, base_sf_dir: str, out: str) -> None:
     """Materialize a 10x events table (once) into ``out``: replica i
     offsets user_id/event_id into a disjoint id space; timestamps are
@@ -508,6 +560,102 @@ def main() -> None:
         ).save()
         sweep[f"x{mult}"] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+
+    # skewed-probe J1 stress (VERDICT r8 #5): production lookup traffic
+    # is zipf — most probes repeat addresses inside a handful of hot /8s
+    # (the reference's miss-rate note, geolite2v2/geo-ip.go:162, is about
+    # exactly this concentrated-traffic shape). 90% of probes land in ONE
+    # /8-sized slice of the key space (heavily duplicated values — the
+    # worst shuffle-key shape), 10% uniform; both J1 strategies measured
+    # at 1M and 10M probes plus a uniform control, so the detail shows
+    # per-probe cost FLAT under skew for each. Broadcast is skew-immune
+    # by construction (no probe-side shuffle: every executor searches
+    # locally); bucketed concentrates 90% of probes into ~1/256 of the
+    # buckets and relies on the per-probe work being O(log n) constant
+    # plus AQE skew-split of the hot partitions.
+    skew_block: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from annotation_service_spark.operators import interval as ivx
+
+        dom_k = em._annotate_m_val(spark, sf_dir)  # /24 key space
+        part = em._t(spark, sf_dir, "part")
+        num_ranges = part.select(
+            ((F.col("p_partkey") - 1) * 100).alias("low"),
+            ((F.col("p_partkey") - 1) * 100 + 49).alias("high"),
+            F.col("p_brand").alias("brand"),
+        )
+        dom_v = dom_k * 100
+
+        def skew_probes_ip(n: int, hot: bool):
+            ids = spark.range(n)
+            k_hot = (F.col("id") * 7919) % 256  # partkeys < 256 = 10.0.0.0/8
+            k_cold = (F.col("id") * 104729) % dom_k
+            k = (
+                F.when((F.col("id") % 10) < 9, k_hot).otherwise(k_cold)
+                if hot
+                else k_cold
+            ).cast("long")
+            return ids.select(
+                F.col("id").alias("event_id"),
+                F.format_string(
+                    "10.%d.%d.%d",
+                    (k / 256).cast("long"),
+                    k % 256,
+                    (F.col("id") % 256).cast("long"),
+                ).alias("ip"),
+            )
+
+        def skew_probes_num(n: int, hot: bool):
+            ids = spark.range(n)
+            v_hot = (F.col("id") * 7919) % (dom_v // 256)
+            v_cold = (F.col("id") * 104729) % dom_v
+            v = (
+                F.when((F.col("id") % 10) < 9, v_hot).otherwise(v_cold)
+                if hot
+                else v_cold
+            ).cast("long")
+            return ids.select(F.col("id").alias("probe_id"), v.alias("v"))
+
+        def run_skew(tag: str, df) -> None:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            skew_block[tag] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+
+        for mult, n in (("1m", 1_000_000), ("10m", 10_000_000)):
+            run_skew(
+                f"broadcast_skew_{mult}",
+                em._annotate_join(spark, sf_dir, skew_probes_ip(n, True)),
+            )
+            run_skew(
+                f"bucketed_skew_{mult}",
+                ivx.range_join_bucketed(
+                    skew_probes_num(n, True), num_ranges, probe_col="v",
+                    low="low", high="high", payload=["brand"],
+                    bucket_width=4096, how="left",
+                ),
+            )
+        # uniform controls at 1M: "flat under skew" = skew ≈ uniform
+        run_skew(
+            "broadcast_uniform_1m",
+            em._annotate_join(spark, sf_dir, skew_probes_ip(1_000_000, False)),
+        )
+        run_skew(
+            "bucketed_uniform_1m",
+            ivx.range_join_bucketed(
+                skew_probes_num(1_000_000, False), num_ranges, probe_col="v",
+                low="low", high="high", payload=["brand"],
+                bucket_width=4096, how="left",
+            ),
+        )
+        for strat in ("broadcast", "bucketed"):
+            skew_block[f"{strat}_skew_us_per_probe_10m"] = round(
+                skew_block[f"{strat}_skew_10m"] / 10, 3
+            )
+    except Exception as exc:  # never let the stress block sink the bench
+        skew_block = {"error": str(exc)[:200]}
 
     # 10x-documents scale point for the dedup/text family (VERDICT r2
     # #8): single cold run each — at this size stage overhead is noise
@@ -708,6 +856,31 @@ def main() -> None:
     except Exception as exc:
         sf100_docs_timings = {"error": str(exc)[:200]}
 
+    # sf1 anchor (VERDICT r8 #7): one-off TPC-H + annotate + dedup at
+    # 10x the headline SF, with same-session sf0.1 controls, to pin the
+    # scale-factor SLOPE — each *_ratio should sit within ~2x of linear
+    # (10x data → ≤ ~20x time; well under for the scan-bound shapes,
+    # since stage overhead amortizes). The events/documents replicas are
+    # the blocks' existing ones; TPC-H tables replicate with disjoint
+    # key spaces so join integrity holds and joined rows scale exactly
+    # 10x.
+    sf1_anchor: dict[str, float] = {}
+    try:
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+        ensure_sf1_tpch(spark, sf_dir, sf1_dir)
+        for name in ("tpch_q1", "tpch_q6", "tpch_q3", "annotate", "dedup_exact"):
+            spark.catalog.clearCache()
+            sf1_anchor[f"{name}_sf01"] = round(run(name, sf_dir), 3)
+            spark.catalog.clearCache()
+            sf1_anchor[f"{name}_sf1"] = round(run(name, sf1_dir), 3)
+            sf1_anchor[f"{name}_ratio_x10data"] = round(
+                sf1_anchor[f"{name}_sf1"] / max(0.001, sf1_anchor[f"{name}_sf01"]), 2
+            )
+            gc.collect()
+        spark.catalog.clearCache()
+    except Exception as exc:
+        sf1_anchor = {"error": str(exc)[:200]}
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # VERDICT r3 #4 (process): the r3 single ~4.5 KB JSON line outgrew the
@@ -718,11 +891,13 @@ def main() -> None:
         "queries_warm": warm,
         "queries_runs": runs_detail,
         "annotate_probe_sweep": sweep,
+        "j1_skewed_probes": skew_block,
         "sf1_docs_10x": sf1_timings,
         "sf1_events_10x": sf1_ev_timings,
         "sf1_embeddings_10x": sf1_emb_timings,
         "sf1_embeddings_100x": sf100_emb_timings,
         "sf1_docs_100x": sf100_docs_timings,
+        "sf1_anchor": sf1_anchor,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

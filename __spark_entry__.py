@@ -3531,33 +3531,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     an earlier round's CORRECTNESS_r*.json; the r6/r7 window gates sit
     LAST — they carry the freshest driver evidence)."""
     return {
-        # -- round-8 NEW gates ---------------------------------------------
+        # -- gates changed by round-9 code ----------------------------------
+        # stream_annotate: multi-batch drain + parquet sink (r9 rewrite)
         "stream_annotate": q_stream_annotate,
+        # pipeline_full + jaccard/containment: cap_shingles hoist
+        "pipeline_full": q_pipeline_full,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
+        # the ANN family routing through the bounded tie-completion prune
+        "ann_gemm_topk": q_ann_gemm_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        # -- the 3 gates with zero lifetime driver evidence (VERDICT r7 #2)
+        "semantic_dedup": q_semantic_dedup,
+        # -- the 11 gates whose newest driver row was round 3 (VERDICT r9 #1)
+        "pii_redact": q_pii_redact,
+        "dedup_keep_best": q_dedup_keep_best,
+        "quality_quantile_mix": q_quality_quantile_mix,
+        "event_cube": q_event_cube,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "upsert_merge": q_upsert_merge,
+        "doc_percentiles": q_doc_percentiles,
+        "rolling_avg": q_rolling_avg,
+        "span_dedup": q_span_dedup,
+        "span_dedup_apply": q_span_dedup_apply,
+        # -- rotation fill: 25 of the 46 round-5 gates (oldest remaining
+        #    evidence pool; the other 21 rotate in next round)
+        "anti_join": q_anti_join,
+        "attribution_join": q_attribution_join,
+        "bigram_nll": q_bigram_nll,
+        "bm25_rank": q_bm25_rank,
+        "case_pivot": q_case_pivot,
+        "cms_counts": q_cms_counts,
+        "corpus_diff": q_corpus_diff,
+        "dedup_incremental": q_dedup_incremental,
+        "distinct_users": q_distinct_users,
+        "doc_chunks": q_doc_chunks,
+        "embedding_gram": q_embedding_gram,
+        "event_rollup": q_event_rollup,
+        "event_rollup_hopping": q_event_rollup_hopping,
+        "event_topk_windowed": q_event_topk_windowed,
+        "first_touch": q_first_touch,
+        "gap_fill": q_gap_fill,
+        "group_split": q_group_split,
+        "grouping_sets": q_grouping_sets,
+        "having_subquery": q_having_subquery,
+        "incremental_rollup": q_incremental_rollup,
+        "json_extract": q_json_extract,
+        "knn_pagerank": q_knn_pagerank,
+        "linear_interp": q_linear_interp,
+        "nation_volume": q_nation_volume,
+        "percentile_approx": q_percentile_approx,
+        # ==== ~driver window boundary (50) ================================
+        # below: hash-green in an earlier round's CORRECTNESS_r*.json;
+        # the remaining round-5 pool heads the next rotation
+        "posting_lists": q_posting_lists,
+        "profile_approx": q_profile_approx,
+        "profile_table": q_profile_table,
+        "scalar_subquery": q_scalar_subquery,
+        "scd_asof": q_scd_asof,
+        "semi_join": q_semi_join,
+        "set_ops": q_set_ops,
+        "table_digest": q_table_digest,
+        "temperature_mix": q_temperature_mix,
+        "text_normalize": q_text_normalize,
+        "tfidf_pairs": q_tfidf_pairs,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "trailing_window": q_trailing_window,
+        "unigram_nll": q_unigram_nll,
+        "unpivot_measures": q_unpivot_measures,
+        "weighted_sample": q_weighted_sample,
+        "weighted_sample_stratified": q_weighted_sample_stratified,
+        # r7-evidence pool
+        "bloom_join": q_bloom_join,
+        "cume_dist": q_cume_dist,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dsir_resample": q_dsir_resample,
+        "embedding_decontam": q_embedding_decontam,
+        "epoch_shuffle": q_epoch_shuffle,
+        "event_transitions": q_event_transitions,
+        "filter_calibration": q_filter_calibration,
+        "first_last_ignore_nulls": q_first_last_ignore_nulls,
+        "fuzzy_match": q_fuzzy_match,
+        "interval_overlap_join": q_interval_overlap_join,
+        "kmeans_fixed": q_kmeans_fixed,
+        "knn_pagerank_lsh": q_knn_pagerank_lsh,
+        "leakage_safe_split": q_leakage_safe_split,
+        "mom_revenue": q_mom_revenue,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "native_pivot": q_native_pivot,
+        "ntile_deciles": q_ntile_deciles,
+        "perceptron_filter": q_perceptron_filter,
+        "pmi_collocations": q_pmi_collocations,
+        "price_ranks": q_price_ranks,
+        "robust_outliers": q_robust_outliers,
+        "session_rollup": q_session_rollup,
+        "source_kl": q_source_kl,
+        "stats_agg": q_stats_agg,
+        "stream_rollup": q_stream_rollup,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "zorder_layout": q_zorder_layout,
+        # -- the r8 window (freshest driver evidence, rotated out) ---------
         "tpch_q9": q_tpch_q9,
         "tpch_q13": q_tpch_q13,
         "tpch_q21": q_tpch_q21,
-        # -- the r6-boundary trio that missed the r7 rotation --------------
         "corpus_curation": q_corpus_curation,
         "vocab_topk": q_vocab_topk,
         "pack_chunks": q_pack_chunks,
-        # -- gates touched by round-8 code changes --------------------------
-        "semantic_dedup": q_semantic_dedup,          # zero-norm guard
-        "heavy_hitters": q_heavy_hitters,            # dtype-derived schema
-        "ann_ivf_topk": q_ann_ivf_topk,              # deterministic prune
-        "ann_gemm_topk": q_ann_gemm_topk,            # deterministic prune
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,  # size gate
-        "pipeline_full": q_pipeline_full,            # df-capped pair stage
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # max_df param
-        "dedup_containment": q_dedup_containment,      # max_df param
-        "annotate": q_annotate,                      # helper refactor
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "triangle_count": q_triangle_count,          # jaccard consumers
+        "heavy_hitters": q_heavy_hitters,
+        "annotate": q_annotate,
+        "triangle_count": q_triangle_count,
         "kcore": q_kcore,
         "lpa_communities": q_lpa_communities,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        # -- rotation fill: stale since r3, re-proven this window -----------
         "range_lookup": q_range_lookup,
         "asof_select": q_asof_select,
         "tpch_q1": q_tpch_q1,
@@ -3585,108 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_multisnapshot": q_annotate_multisnapshot,
         "stratified_sample": q_stratified_sample,
         "skew_agg": q_skew_agg,
-        "tpch_q20": q_tpch_q20,  # round-8 plan rewrite (red pushdown)
-        # ==== ~driver window boundary (50) ================================
-        "pii_redact": q_pii_redact,
-        # below: hash-green in an earlier round's CORRECTNESS_r*.json
-        "dedup_keep_best": q_dedup_keep_best,
-        "quality_quantile_mix": q_quality_quantile_mix,
-        "event_cube": q_event_cube,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "upsert_merge": q_upsert_merge,
-        "doc_percentiles": q_doc_percentiles,
-        "rolling_avg": q_rolling_avg,
-        "span_dedup": q_span_dedup,
-        "span_dedup_apply": q_span_dedup_apply,
-        "weighted_sample": q_weighted_sample,
-        "having_subquery": q_having_subquery,
-        "nation_volume": q_nation_volume,
-        "case_pivot": q_case_pivot,
-        "scalar_subquery": q_scalar_subquery,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "text_normalize": q_text_normalize,
-        "profile_table": q_profile_table,
-        "posting_lists": q_posting_lists,
-        "grouping_sets": q_grouping_sets,
-        "gap_fill": q_gap_fill,
-        "json_extract": q_json_extract,
-        "attribution_join": q_attribution_join,
-        "event_rollup_hopping": q_event_rollup_hopping,
-        "embedding_gram": q_embedding_gram,
-        "event_rollup": q_event_rollup,
-        "event_topk_windowed": q_event_topk_windowed,
-        "unigram_nll": q_unigram_nll,
-        "temperature_mix": q_temperature_mix,
-        "dedup_incremental": q_dedup_incremental,
-        "first_touch": q_first_touch,
-        "doc_chunks": q_doc_chunks,
-        "cms_counts": q_cms_counts,
-        "distinct_users": q_distinct_users,
-        "profile_approx": q_profile_approx,
-        "percentile_approx": q_percentile_approx,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tfidf_pairs": q_tfidf_pairs,
-        "bigram_nll": q_bigram_nll,
-        "linear_interp": q_linear_interp,
-        "knn_pagerank": q_knn_pagerank,
-        "bm25_rank": q_bm25_rank,
-        "scd_asof": q_scd_asof,
-        "trailing_window": q_trailing_window,
-        "set_ops": q_set_ops,
-        "unpivot_measures": q_unpivot_measures,
-        "weighted_sample_stratified": q_weighted_sample_stratified,
-        "incremental_rollup": q_incremental_rollup,
-        "corpus_diff": q_corpus_diff,
-        "table_digest": q_table_digest,
-        "group_split": q_group_split,
-        "stats_agg": q_stats_agg,
-        "ntile_deciles": q_ntile_deciles,
-        "fuzzy_match": q_fuzzy_match,
-        "mom_revenue": q_mom_revenue,
-        "price_ranks": q_price_ranks,
-        "native_pivot": q_native_pivot,
-        "bloom_join": q_bloom_join,
-        "zorder_layout": q_zorder_layout,
-        "tpch_q15": q_tpch_q15,
-        "cume_dist": q_cume_dist,
-        # -- the r6/r7 window (freshest driver evidence, rotated out) ------
-        "kmeans_fixed": q_kmeans_fixed,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "session_rollup": q_session_rollup,
-        "perceptron_filter": q_perceptron_filter,
-        "filter_calibration": q_filter_calibration,
-        "epoch_shuffle": q_epoch_shuffle,
-        "stream_rollup": q_stream_rollup,
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "dsir_resample": q_dsir_resample,
-        "ann_pq_topk": q_ann_pq_topk,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "knn_pagerank_lsh": q_knn_pagerank_lsh,
-        "first_last_ignore_nulls": q_first_last_ignore_nulls,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "embedding_decontam": q_embedding_decontam,
-        "pmi_collocations": q_pmi_collocations,
-        "source_kl": q_source_kl,
-        "interval_overlap_join": q_interval_overlap_join,
-        "event_transitions": q_event_transitions,
-        "robust_outliers": q_robust_outliers,
+        "tpch_q20": q_tpch_q20,
     }
 
 

@@ -10,7 +10,12 @@ IMA/DVI ADPCM compressed audio (WAV tag 0x0011), and lossless FLAC
 (RFC 9639, mono subset with Rice/FIXED/LPC) — dispatched by
 magic bytes; formats needing external codec libraries (MP3, video,
 … not in this environment) fall back to a
-STUBBED decode: with
+STUBBED decode. MP3 specifically stays a documented stub by choice:
+a correct MPEG-1 Layer I/II/III decoder requires the ISO 11172-3
+512-coefficient synthesis-window table (spec constants, not
+derivable), and shipping an approximated window would decode real
+files subtly wrong — worse than the loud stub. With
+``deterministic_fake=True`` the stub derives stable pseudo-features from
 ``deterministic_fake=True`` it derives stable pseudo-features from
 the bytes (md5-seeded), otherwise it raises NotImplementedError. The
 Spark-side plumbing — schemas, batch iteration, partitioning, UDF
@@ -1133,6 +1138,23 @@ def decode_features(payload: bytes, n: int, deterministic_fake: bool) -> np.ndar
             )
         except (ValueError, IndexError):
             pass  # corrupt / unsupported-shape FLAC → unknown format
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        # MPEG audio (MP3 family) detected by ID3 tag / frame sync:
+        # named explicitly so the stub is loud about WHICH format it
+        # declined (documented decision — see module docstring)
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "MPEG-audio (MP3) decode is a documented stub: the ISO "
+                "11172-3 synthesis-window constants are not reproducible "
+                "here and an approximated window would decode real files "
+                "subtly wrong; plug an external decoder into "
+                "decode_features or pass deterministic_fake=True"
+            )
+        return _fake_decode(payload, n)
     if not deterministic_fake:
         raise NotImplementedError(
             "no built-in codec for this format and real media codec "

@@ -484,6 +484,16 @@ def test_magic_collision_falls_back_to_stub():
     # and with the stub disabled, it surfaces as unsupported-format
     with pytest.raises(NotImplementedError):
         mm.decode_features(fake_ppm, 4, deterministic_fake=False)
+    # MPEG audio is recognized (ID3 tag or frame sync) and named in
+    # the documented-stub error rather than falling through as an
+    # anonymous unknown format
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes(32)
+    sync = b"\xff\xfb\x90\x00" + bytes(32)
+    for payload in (id3, sync):
+        got = mm.decode_features(payload, 4, deterministic_fake=True)
+        assert np.array_equal(got, mm._fake_decode(payload, 4))
+        with pytest.raises(NotImplementedError, match="MP3"):
+            mm.decode_features(payload, 4, deterministic_fake=False)
 
 
 def test_ngram_jaccard_max_df_caps_hot_shingles(spark):

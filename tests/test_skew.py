@@ -101,3 +101,47 @@ def test_salt_spreads_identical_duplicate_rows(spark):
         df, ["k"], {"n": (F.count, F.sum, None), "s": (F.sum, F.sum, "v")}
     ).collect()
     assert [(r.k, r.n, r.s) for r in out] == [("hot", 4000, 4000)]
+
+
+def test_bucketed_range_join_zipf_probe_skew(spark):
+    """J1's bucketed shuffle strategy under the production probe shape
+    (bench block ``j1_skewed_probes``): 90% of probes are DUPLICATED
+    values concentrated in ~1/64 of the key space, i.e. one shuffle
+    bucket family absorbs almost all probes. Results must equal the
+    broadcast strategy's (value parity between the two physical J1
+    forms is the invariant the strategy switch relies on), and the
+    hot-bucket probes must resolve to the correct ranges."""
+    from annotation_service_spark.operators import interval as iv
+
+    dom = 64 * 100
+    ranges = spark.range(0, 64).select(
+        (F.col("id") * 100).alias("low"),
+        (F.col("id") * 100 + 49).alias("high"),
+        F.concat(F.lit("r"), F.col("id")).alias("tag"),
+    )
+    ids = spark.range(0, 20_000)
+    v = (
+        F.when((F.col("id") % 10) < 9, (F.col("id") * 7919) % 50)
+        .otherwise((F.col("id") * 104729) % dom)
+        .cast("long")
+    )
+    probes = ids.select(F.col("id").alias("probe_id"), v.alias("v"))
+
+    bucketed = iv.range_join_bucketed(
+        probes, ranges, probe_col="v", low="low", high="high",
+        payload=["tag"], bucket_width=128, how="left",
+    )
+    got = {(r.probe_id, r.tag) for r in bucketed.collect()}
+    # reference: plain correlated lookup via a broadcast BETWEEN join
+    want = {
+        (r.probe_id, r.tag)
+        for r in probes.join(
+            F.broadcast(ranges),
+            (F.col("v") >= F.col("low")) & (F.col("v") <= F.col("high")),
+            "left",
+        ).collect()
+    }
+    assert got == want
+    # the skewed 90% (v < 100) all landed in-range and resolved to r0
+    hot = [t for p, t in got if p % 10 < 9]
+    assert set(hot) == {"r0"} and len(hot) == 18_000

@@ -381,7 +381,13 @@ def ensure_sf1_tpch(spark, base_sf_dir: str, out: str) -> None:
 
     from annotation_service_spark.sources.testdata import load_table
 
-    marker = os.path.join(out, "_BUILT_TPCH_10X")
+    # v2: part ships 1x UNREPLICATED — the synthetic 10.x.y.0/24 network
+    # scheme caps p_partkey at 65535 (x must fit a dotted-quad octet),
+    # and the realistic anchor shape is 10x PROBES against the 1x
+    # snapshot anyway (request volume scales; the MaxMind-analog build
+    # table does not). l_partkey keeps its 1x values so the part FK
+    # stays valid in every replica.
+    marker = os.path.join(out, "_BUILT_TPCH_10X_v2")
     if os.path.exists(marker):
         return
     li = load_table(spark, base_sf_dir, "lineitem")
@@ -390,7 +396,6 @@ def ensure_sf1_tpch(spark, base_sf_dir: str, out: str) -> None:
     part = load_table(spark, base_sf_dir, "part")
     max_o = orders.agg(F.max("o_orderkey")).first()[0] + 1
     max_c = cust.agg(F.max("c_custkey")).first()[0] + 1
-    max_p = part.agg(F.max("p_partkey")).first()[0] + 1
 
     def replicate(df, offsets: dict[str, int]):
         parts = []
@@ -404,18 +409,16 @@ def ensure_sf1_tpch(spark, base_sf_dir: str, out: str) -> None:
             u = u.unionByName(p)
         return u
 
-    replicate(li, {"l_orderkey": max_o, "l_partkey": max_p}).repartition(
-        64
-    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    replicate(li, {"l_orderkey": max_o}).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "lineitem.parquet"))
     replicate(orders, {"o_orderkey": max_o, "o_custkey": max_c}).repartition(
         32
     ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     replicate(cust, {"c_custkey": max_c}).repartition(16).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "customer.parquet"))
-    replicate(part, {"p_partkey": max_p}).repartition(16).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "part.parquet"))
+    part.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
     with open(marker, "w") as fh:
         fh.write("ok\n")
 
@@ -623,6 +626,19 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             skew_block[tag] = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
+
+        # untimed warmups: each strategy's plan shape compiles once
+        # here, so the timed skew-vs-uniform comparison below measures
+        # probes, not first-run codegen/JIT of the block's plans
+        em._annotate_join(spark, sf_dir, skew_probes_ip(10_000, True)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        ivx.range_join_bucketed(
+            skew_probes_num(10_000, True), num_ranges, probe_col="v",
+            low="low", high="high", payload=["brand"],
+            bucket_width=4096, how="left",
+        ).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
         for mult, n in (("1m", 1_000_000), ("10m", 10_000_000)):
             run_skew(

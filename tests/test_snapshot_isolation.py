@@ -185,3 +185,64 @@ def test_refresh_loop_publishes_versioned_snapshots(spark, tmp_path):
     assert store.get("t").count() == 3
     # the pre-refresh handle still scans its own snapshot
     assert first.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Property: arbitrary commit/replace/retain sequences keep the manifest's
+# invariants (pure filesystem metadata — no Spark needed, so Hypothesis can
+# hammer it)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["commit", "replace", "retain"]),
+        st.integers(min_value=1, max_value=3),  # dirs per commit / keep
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(_OPS)
+@settings(max_examples=150, deadline=None)
+def test_manifest_invariants_under_op_sequences(tmp_path_factory, ops):
+    """Invariants after ANY op sequence:
+    1. CURRENT always resolves to a readable manifest whose dirs exist;
+    2. resolve(v) of any retained version names only existing dirs
+       (a snapshot stays scannable while its manifest is retained);
+    3. retention never deletes a dir a retained manifest references;
+    4. epochs are monotonic: replaying any past epoch is a no-op."""
+    out = str(tmp_path_factory.mktemp("vtm"))
+    m = VersionedTableManifest(out)
+    epoch = 0
+    ndir = 0
+    committed_any = False
+    for op, arg in ops:
+        if op == "retain":
+            if committed_any:
+                m.retain(keep=arg)
+        else:
+            dirs = []
+            for _ in range(arg):
+                d = os.path.join(out, f"batch={ndir}")
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+                    fh.write(b"\x00")
+                dirs.append(d)
+                ndir += 1
+            got = m.commit(epoch, dirs, replace=(op == "replace"))
+            assert got == epoch
+            # replaying the same (and any earlier) epoch is a no-op
+            assert m.commit(epoch, dirs) == epoch
+            if epoch > 0:
+                assert m.commit(epoch - 1, dirs) == epoch
+            epoch += 1
+            committed_any = True
+        if committed_any:
+            cur = m.current_version()
+            assert cur is not None and cur in m.versions()
+            for v in m.versions():  # every RETAINED version fully scannable
+                for d in m.resolve(v):
+                    assert os.path.isdir(d), (v, d)

@@ -144,8 +144,24 @@ def test_connected_components_random_differential(spark):
     want = {v: find(v) for v in verts}
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # default path (size-gated local union-find)
     got = {r.id: r.cluster_id for r in cl.connected_components(df).collect()}
     assert got == want
+    # distributed pointer-jumping path — must agree exactly
+    got_dist = {
+        r.id: r.cluster_id
+        for r in cl.connected_components(df, local_edge_limit=None).collect()
+    }
+    assert got_dist == want
+    # gate boundary: a limit smaller than the edge count routes to the
+    # distributed path; equal-or-above stays local — same labels both ways
+    got_edge = {
+        r.id: r.cluster_id
+        for r in cl.connected_components(
+            df, local_edge_limit=len(edges) - 1
+        ).collect()
+    }
+    assert got_edge == want
 
 
 def test_repetition_metrics_random_differential(spark):

@@ -3593,11 +3593,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "knn_pagerank": q_knn_pagerank,
         "linear_interp": q_linear_interp,
-        "nation_volume": q_nation_volume,
-        "percentile_approx": q_percentile_approx,
+        # -- swapped in late-r9: consumers of the size-gated local
+        #    connected-components fast path (touched gates beat fill)
+        "dedup_clusters": q_dedup_clusters,
+        "leakage_safe_split": q_leakage_safe_split,
         # ==== ~driver window boundary (50) ================================
         # below: hash-green in an earlier round's CORRECTNESS_r*.json;
         # the remaining round-5 pool heads the next rotation
+        "nation_volume": q_nation_volume,
+        "percentile_approx": q_percentile_approx,
         "posting_lists": q_posting_lists,
         "profile_approx": q_profile_approx,
         "profile_table": q_profile_table,
@@ -3634,7 +3638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": q_interval_overlap_join,
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank_lsh": q_knn_pagerank_lsh,
-        "leakage_safe_split": q_leakage_safe_split,
         "mom_revenue": q_mom_revenue,
         "multimodal_pipeline": q_multimodal_pipeline,
         "native_pivot": q_native_pivot,
@@ -3677,7 +3680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_annotators": q_merge_annotators,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
         "legacy_annotate": q_legacy_annotate,
         "skew_join": q_skew_join,
         "interval_merge": q_interval_merge,

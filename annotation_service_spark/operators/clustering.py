@@ -99,11 +99,18 @@ def connected_components(
     is recomputed there, but one extra pass on a graph that big is
     noise next to its own clustering rounds. ``local_edge_limit=None``
     forces the distributed form (used by its own tests).
+
+    NOTE the fast path is EAGER: the bounded probe executes the
+    (possibly expensive) upstream pairs plan at DataFrame-construction
+    time — composite-plan authors building but not yet executing
+    should pass ``local_edge_limit=None`` to stay lazy. Null src/dst
+    rows are dropped before the probe, matching the distributed
+    path's tolerance (joins there discard null keys).
     """
     edges = pairs.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    )
+    ).na.drop()
     if local_edge_limit:
         probe = edges.limit(local_edge_limit + 1).toPandas()
         if len(probe) <= local_edge_limit:

@@ -603,31 +603,40 @@ def simhash_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
-def cap_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+def cap_shingles(sh: DataFrame, max_df: int, hot_limit: int = 100_000) -> DataFrame:
     """Drop shingles with document frequency > ``max_df`` from a shared
     (id, s) shingle table — the stop-shingle cap that keeps one hot
     boilerplate shingle from fanning out df² candidate pairs on a
-    single shuffle key. The hot set is tiny (it IS the skew), so the
-    anti-join is explicitly broadcast — AQE-independent; the plan
-    guard pins it. Composite pipelines (pipeline_full) call this ONCE
-    over the shared cached shingle table and hand the capped result to
-    every pair stage, so the df aggregation isn't re-run per stage.
+    single shuffle key. The hot set is usually tiny (it IS the skew),
+    so the common path embeds it as a broadcast literal table —
+    AQE-independent; the plan guard pins the broadcast anti-join.
+    Composite pipelines (pipeline_full) call this ONCE over the shared
+    cached shingle table and hand the capped result to every pair
+    stage, so the df aggregation isn't re-run per stage.
 
-    The hot set itself is CACHED here: the capped table feeds three
-    consumers downstream (per-id sizes + both sides of the pair
-    self-join), and without the cache each would replay the full
-    df aggregation — the dominant cost of the cap (measured ~0.5 s
-    per replay at sf0.1). The cache is k rows (it is the skew set,
-    bounded by n_shingles/max_df), so the residency cost is nil; the
-    anti-join replays map-side from the caller's cached shingle
-    table."""
-    hot = (
+    Size-gated, EAGER: a bounded ``limit(hot_limit+1)`` probe (one
+    Arrow fetch, ≤ hot_limit+1 short strings) runs the df aggregation
+    at CONSTRUCTION time. When the hot set fits, it becomes a driver
+    literal — the aggregation runs exactly once for all downstream
+    consumers (per-id sizes + both sides of the pair self-join) with
+    no lingering ``.cache()`` to leak across invocations (r9 cached
+    here and never unpersisted — every call accumulated a cached
+    DataFrame for the session's lifetime). When the hot set exceeds
+    ``hot_limit`` (a small max_df over a huge corpus), it falls back
+    to a plain shuffle anti-join instead of force-broadcasting an
+    oversized table."""
+    hot_plan = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_df)
         .select("s")
-        .cache()
     )
+    probe = hot_plan.limit(hot_limit + 1).toPandas()
+    if len(probe) > hot_limit:
+        # oversized hot set: shuffle anti-join (no broadcast hint)
+        return sh.join(hot_plan, "s", "left_anti")
+    spark = sh.sparkSession
+    hot = spark.createDataFrame(probe, schema=sh.select("s").schema)
     return sh.join(F.broadcast(hot), "s", "left_anti")
 
 

@@ -16,7 +16,6 @@ a correct MPEG-1 Layer I/II/III decoder requires the ISO 11172-3
 derivable), and shipping an approximated window would decode real
 files subtly wrong — worse than the loud stub. With
 ``deterministic_fake=True`` the stub derives stable pseudo-features from
-``deterministic_fake=True`` it derives stable pseudo-features from
 the bytes (md5-seeded), otherwise it raises NotImplementedError. The
 Spark-side plumbing — schemas, batch iteration, partitioning, UDF
 signatures — is identical for real and stubbed formats; plugging in

@@ -401,15 +401,19 @@ def start_event_refresh(
         bdir = os.path.join(output_dir, f"batch={int(epoch_id)}")
         # overwrite is safe pre-commit: no version manifest names bdir yet
         built.write.mode("overwrite").partitionBy("dataset_date").parquet(bdir)
-        # publish the loaded-paths manifest only after the data commit;
-        # atomic rename
+        version_manifest.commit(epoch_id, [bdir])
+        # Publish the loaded-paths manifest only AFTER the version
+        # commit: a crash between the two must leave the paths
+        # UN-marked so the at-least-once retry re-loads them (commit
+        # is idempotent under same-epoch replay, so the reordering is
+        # safe); the reverse order would mark the paths loaded while
+        # the batch dir stays invisible — permanent data loss.
         os.makedirs(manifest_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             fh.write("\n".join(norm(p) for p in new) + "\n")
         os.replace(tmp, os.path.join(manifest_dir, f"batch-{int(epoch_id)}.txt"))
         loaded.update(norm(p) for p in new)
-        version_manifest.commit(epoch_id, [bdir])
         store.swap(table_name, version_manifest.read(spark))
 
     writer = (

@@ -99,43 +99,123 @@ class VersionedTableManifest:
       reader contract is "a snapshot stays scannable while its
       manifest is retained", the same contract as Delta's VACUUM
       horizon.
+    - MULTI-WRITER FENCING (r10): ``commit`` and ``retain`` serialize
+      through an atomic lock file (``_versions/LOCK``, O_CREAT|O_EXCL
+      — rename-atomic storage is already this class's substrate
+      assumption), and ``commit`` re-reads CURRENT *inside* the lock
+      (epoch-CAS). Two refresh jobs with independent epoch counters
+      can no longer lose updates: a writer whose epoch was overtaken
+      by the other job gets a freshly allocated version number layered
+      on the other's dirs, while a true same-epoch foreachBatch replay
+      (its dirs already in CURRENT) is still skipped idempotently. A
+      crashed writer's lock is broken after ``stale_after`` seconds
+      via a rename (only one contender's rename succeeds, so the
+      break itself cannot race).
     """
 
-    def __init__(self, output_dir: str) -> None:
+    def __init__(
+        self,
+        output_dir: str,
+        lock_timeout: float = 30.0,
+        lock_stale_after: float = 300.0,
+    ) -> None:
         self.output_dir = output_dir
         self.versions_dir = os.path.join(output_dir, "_versions")
         self._cur = os.path.join(self.versions_dir, "CURRENT")
+        self._lockpath = os.path.join(self.versions_dir, "LOCK")
+        self.lock_timeout = lock_timeout
+        self.lock_stale_after = lock_stale_after
+
+    # -- writer fencing ---------------------------------------------------
+    def _acquire_lock(self) -> None:
+        """Take the inter-process writer lock. O_CREAT|O_EXCL is atomic
+        on the rename-atomic filesystems this class targets. A lock
+        older than ``stale_after`` (crashed writer) is broken by
+        renaming it aside — os.replace succeeds for exactly one
+        contender; the loser's ENOENT just sends it back to retry."""
+        os.makedirs(self.versions_dir, exist_ok=True)
+        deadline = time.monotonic() + self.lock_timeout
+        while True:
+            try:
+                fd = os.open(
+                    self._lockpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(f"pid={os.getpid()} t={time.time()}\n")
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lockpath)
+                    if age > self.lock_stale_after:
+                        os.replace(
+                            self._lockpath,
+                            self._lockpath + f".broken.{os.getpid()}",
+                        )
+                        continue  # retry the exclusive create
+                except FileNotFoundError:
+                    continue  # holder released between check and stat
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"manifest writer lock {self._lockpath} held for "
+                        f">{self.lock_timeout}s; a concurrent refresh job "
+                        "is committing (or crashed less than "
+                        f"{self.lock_stale_after}s ago)"
+                    )
+                time.sleep(0.05)
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lockpath)
+        except FileNotFoundError:
+            pass  # broken as stale by a contender; nothing to release
 
     # -- commit side ----------------------------------------------------
     def commit(
         self, epoch_id: int, new_dirs: list[str], replace: bool = False
     ) -> int:
-        """Publish snapshot ``epoch_id`` = previous snapshot + ``new_dirs``
-        (or exactly ``new_dirs`` when ``replace=True`` — the reference's
+        """Publish snapshot = previous snapshot + ``new_dirs`` (or
+        exactly ``new_dirs`` when ``replace=True`` — the reference's
         full-directory swap; superseded directories stay on disk until
         ``retain`` ages their manifests out, which is precisely what
-        keeps in-flight readers consistent). Idempotent under
-        at-least-once replay: an epoch at or below the current one is
-        skipped (the retry already committed)."""
+        keeps in-flight readers consistent).
+
+        Idempotent under at-least-once replay AND safe under
+        concurrent writers (both inside the writer lock):
+        - replay of an epoch whose dirs are already visible in CURRENT
+          is skipped (returns the current version);
+        - an epoch overtaken by ANOTHER writer's larger epoch number
+          (independent streaming queries number epochs independently)
+          is NOT dropped — it commits under a freshly allocated
+          version ``cur+1`` layered on the other writer's dirs, so
+          neither writer's directories are lost."""
         epoch_id = int(epoch_id)
-        cur = self.current_version()
-        if cur is not None and epoch_id <= cur:
-            return cur
-        dirs = [] if replace or cur is None else list(self.resolve(cur))
-        for d in new_dirs:
-            if d not in dirs:
-                dirs.append(d)
-        os.makedirs(self.versions_dir, exist_ok=True)
-        manifest = os.path.join(self.versions_dir, f"v{epoch_id}.json")
-        fd, tmp = tempfile.mkstemp(dir=self.versions_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"epoch": epoch_id, "dirs": dirs}, fh)
-        os.replace(tmp, manifest)  # manifest durable before the pointer
-        fd, tmp = tempfile.mkstemp(dir=self.versions_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(epoch_id))
-        os.replace(tmp, self._cur)
-        return epoch_id
+        self._acquire_lock()
+        try:
+            cur = self.current_version()  # CAS: re-read inside the lock
+            if cur is not None and epoch_id <= cur:
+                committed = self.resolve(cur)
+                already = all(d in committed for d in new_dirs)
+                if already and (not replace or set(committed) == set(new_dirs)):
+                    return cur  # true replay: this batch is already visible
+                version = cur + 1  # overtaken by a concurrent writer
+            else:
+                version = epoch_id
+            dirs = [] if replace or cur is None else list(self.resolve(cur))
+            for d in new_dirs:
+                if d not in dirs:
+                    dirs.append(d)
+            manifest = os.path.join(self.versions_dir, f"v{version}.json")
+            fd, tmp = tempfile.mkstemp(dir=self.versions_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"epoch": version, "dirs": dirs}, fh)
+            os.replace(tmp, manifest)  # manifest durable before the pointer
+            fd, tmp = tempfile.mkstemp(dir=self.versions_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, self._cur)
+            return version
+        finally:
+            self._release_lock()
 
     # -- read side --------------------------------------------------------
     def current_version(self) -> int | None:
@@ -180,24 +260,32 @@ class VersionedTableManifest:
     def retain(self, keep: int = 3) -> list[str]:
         """Keep the newest ``keep`` manifests; delete older manifests
         and any batch directory no retained manifest references.
-        Returns the deleted directories (for tests/observability)."""
+        Returns the deleted directories (for tests/observability).
+        Runs inside the writer lock: without it, a commit landing
+        between this method's hold-list resolution and its rmtree
+        could publish a manifest referencing a directory being
+        deleted (the classic VACUUM/commit race)."""
         import shutil
 
-        vs = self.versions()
-        if len(vs) <= keep:
-            return []
-        drop, hold = vs[:-keep], vs[-keep:]
-        referenced: set[str] = set()
-        for v in hold:
-            referenced.update(self.resolve(v))
-        deleted: list[str] = []
-        for v in drop:
-            for d in self.resolve(v):
-                if d not in referenced and os.path.isdir(d):
-                    shutil.rmtree(d)
-                    deleted.append(d)
-            os.remove(os.path.join(self.versions_dir, f"v{v}.json"))
-        return deleted
+        self._acquire_lock()
+        try:
+            vs = self.versions()
+            if len(vs) <= keep:
+                return []
+            drop, hold = vs[:-keep], vs[-keep:]
+            referenced: set[str] = set()
+            for v in hold:
+                referenced.update(self.resolve(v))
+            deleted: list[str] = []
+            for v in drop:
+                for d in self.resolve(v):
+                    if d not in referenced and os.path.isdir(d):
+                        shutil.rmtree(d)
+                        deleted.append(d)
+                os.remove(os.path.join(self.versions_dir, f"v{v}.json"))
+            return deleted
+        finally:
+            self._release_lock()
 
 
 def watch_new_files(
@@ -351,6 +439,7 @@ def start_event_refresh(
     output_dir: str,
     path_col: str = "path",
     available_now: bool = True,
+    writer_id: str | None = None,
 ):
     """ST2 as a TRUE EVENT stream (the Pub/Sub analog,
     handler/pubsub.go:20-42): the stream carries file-arrival
@@ -375,6 +464,15 @@ def start_event_refresh(
     the data files, so a partially-written batch is re-loaded rather
     than silently skipped, and recovery cost is O(batches), not
     O(rows).
+
+    ``writer_id`` namespaces the batch directories — REQUIRED (with a
+    distinct value per job) when more than one refresh job publishes
+    into the same ``output_dir``: two queries number epochs
+    independently, so without the namespace they could both stage
+    ``batch=5`` and overwrite each other's data before commit. The
+    commit protocol itself is multi-writer-safe (lock + epoch-CAS in
+    ``VersionedTableManifest``); the namespace closes the data-plane
+    side.
     """
     spark = event_stream.sparkSession
     manifest_dir = os.path.join(output_dir, "_manifest")
@@ -398,7 +496,8 @@ def start_event_refresh(
         if not new:
             return
         built = build_paths_batch(new)
-        bdir = os.path.join(output_dir, f"batch={int(epoch_id)}")
+        tag = f"{writer_id}-{int(epoch_id)}" if writer_id else str(int(epoch_id))
+        bdir = os.path.join(output_dir, f"batch={tag}")
         # overwrite is safe pre-commit: no version manifest names bdir yet
         built.write.mode("overwrite").partitionBy("dataset_date").parquet(bdir)
         version_manifest.commit(epoch_id, [bdir])
@@ -435,6 +534,7 @@ def start_refresh(
     checkpoint_dir: str,
     output_dir: str,
     available_now: bool = True,
+    writer_id: str | None = None,
 ):
     """Run the refresh loop: per micro-batch of newly-arrived rows,
     ``build_batch(batch_df) -> DataFrame`` produces new snapshot
@@ -450,6 +550,9 @@ def start_refresh(
     ``available_now=True`` drains pending files and stops — the
     scheduled-batch analog of the reference's randomized timer; pass
     False for a continuously-running watcher.
+
+    ``writer_id``: see ``start_event_refresh`` — distinct per job when
+    multiple refresh jobs share one ``output_dir``.
     """
     spark = stream_df.sparkSession
 
@@ -459,7 +562,8 @@ def start_refresh(
         if batch_df.isEmpty():
             return
         built = build_batch(batch_df)
-        bdir = os.path.join(output_dir, f"batch={int(epoch_id)}")
+        tag = f"{writer_id}-{int(epoch_id)}" if writer_id else str(int(epoch_id))
+        bdir = os.path.join(output_dir, f"batch={tag}")
         # overwrite is safe: bdir is uncommitted (no manifest names it)
         # until the commit below, so no reader can be scanning it
         built.write.mode("overwrite").partitionBy("dataset_date").parquet(bdir)

@@ -246,3 +246,102 @@ def test_manifest_invariants_under_op_sequences(tmp_path_factory, ops):
             for v in m.versions():  # every RETAINED version fully scannable
                 for d in m.resolve(v):
                     assert os.path.isdir(d), (v, d)
+
+
+# ---------------------------------------------------------------------------
+# Multi-writer fencing (VERDICT r9 #6): two refresh jobs with independent
+# epoch counters share one output_dir; neither may lose the other's dirs.
+# Pure filesystem metadata — no Spark session needed.
+# ---------------------------------------------------------------------------
+
+
+def _mkdirs(out, names):
+    dirs = []
+    for n in names:
+        d = os.path.join(out, f"batch={n}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"\x00")
+        dirs.append(d)
+    return dirs
+
+
+def test_two_writer_interleaved_commits_no_lost_update(tmp_path):
+    """Writer A and writer B number epochs independently (two streaming
+    queries). The classic lost update: B reads CURRENT, A commits, B
+    commits a manifest built from the stale read that drops A's dirs.
+    With the lock + epoch-CAS, every interleaving must preserve ALL
+    committed dirs; a writer whose epoch number was overtaken gets a
+    fresh version rather than a silent skip."""
+    out = str(tmp_path / "table")
+    a = VersionedTableManifest(out)
+    b = VersionedTableManifest(out)
+    (da0,) = _mkdirs(out, ["a-0"])
+    (db0,) = _mkdirs(out, ["b-0"])
+    (da1,) = _mkdirs(out, ["a-1"])
+    (db1,) = _mkdirs(out, ["b-1"])
+
+    assert a.commit(0, [da0]) == 0
+    # B's epoch 0 is NOT a replay of A's epoch 0 (different dirs): it
+    # must land as a new version, not be skipped
+    v = b.commit(0, [db0])
+    assert v == 1
+    assert set(b.resolve()) == {da0, db0}
+    # A's epoch 1 was overtaken by B's commit (cur=1): still lands
+    assert a.commit(1, [da1]) == 2
+    assert b.commit(1, [db1]) == 3
+    assert set(a.resolve()) == {da0, db0, da1, db1}
+    # true replays (dirs already visible) are still idempotent no-ops
+    assert a.commit(1, [da1]) == 3
+    assert b.commit(0, [db0]) == 3
+    assert len(a.versions()) == 4
+
+
+def test_two_writer_concurrent_hammer_all_dirs_survive(tmp_path):
+    """8 rounds x 2 threads racing commit() with overlapping epoch
+    numbers: the final CURRENT must reference every committed dir."""
+    out = str(tmp_path / "table")
+    writers = {
+        "a": VersionedTableManifest(out),
+        "b": VersionedTableManifest(out),
+    }
+    all_dirs = {w: _mkdirs(out, [f"{w}-{i}" for i in range(8)]) for w in writers}
+    errs: list = []
+
+    def run(w):
+        try:
+            for i, d in enumerate(all_dirs[w]):
+                writers[w].commit(i, [d])
+        except Exception as exc:  # pragma: no cover - failure path
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run, args=(w,)) for w in writers]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert not errs
+    final = set(writers["a"].resolve())
+    expect = {d for dirs in all_dirs.values() for d in dirs}
+    assert final == expect  # no writer lost the other's updates
+
+
+def test_writer_lock_loud_timeout_and_stale_break(tmp_path):
+    out = str(tmp_path / "table")
+    m = VersionedTableManifest(out, lock_timeout=0.3, lock_stale_after=9999)
+    (d0,) = _mkdirs(out, ["0"])
+    os.makedirs(m.versions_dir, exist_ok=True)
+    # a live (non-stale) lock held by "another job": the loser fails LOUDLY
+    with open(m._lockpath, "w") as fh:
+        fh.write("pid=other t=now\n")
+    with pytest.raises(TimeoutError, match="concurrent refresh job"):
+        m.commit(0, [d0])
+    assert m.current_version() is None  # nothing half-committed
+
+    # the same lock, aged past stale_after (crashed writer): broken and
+    # the commit proceeds
+    stale = VersionedTableManifest(out, lock_timeout=1.0, lock_stale_after=0.05)
+    time.sleep(0.1)
+    assert stale.commit(0, [d0]) == 0
+    assert stale.resolve() == [d0]
+    assert not os.path.exists(m._lockpath)  # released after commit

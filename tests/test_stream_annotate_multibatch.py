@@ -189,3 +189,89 @@ def test_snapshot_swap_between_micro_batches(spark, tmp_path):
             for r in _annotate(epoch_reqs, oracle).collect()
         )
         assert got == want
+
+
+def test_live_arrival_processing_time_trigger(spark, tmp_path):
+    """VERDICT r9 #5 — the reference's SERVING loop, not a drain: the
+    annotate stream runs under a processingTime trigger while an async
+    writer thread drops request files into the watched directory. New
+    files must be discovered and annotated by the live query (no
+    restart, no availableNow re-listing), across >= 3 non-empty
+    triggers, with exact row parity against the batch plan over
+    everything that arrived. Drops are made atomic the way a real
+    ingest does it: write to a staging dir, then os.rename the part
+    files in (the file source must never list a torn file)."""
+    import glob
+    import threading
+    import time as _t
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    ranges = _ranges_df(spark, "LIVE")
+
+    def make_chunk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("req_id"),
+            F.format_string("10.0.%d.%d", (F.col("id") / 64).cast("long"),
+                            F.col("id") % 256).alias("ip"),
+        )
+
+    def drop_chunk(i, lo, hi):
+        stage = str(tmp_path / f"stage_{i}")
+        make_chunk(lo, hi).coalesce(1).write.parquet(stage)
+        for j, p in enumerate(glob.glob(os.path.join(stage, "part-*.parquet"))):
+            os.rename(p, str(in_dir / f"chunk-{i}-{j}.parquet"))
+
+    drop_chunk(0, 0, 100)  # one file exists before the query starts
+    schema = make_chunk(0, 1).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        _annotate(stream, ranges)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # async arrivals WHILE the query is live
+        def writer():
+            for i in range(1, 4):
+                _t.sleep(0.8)
+                drop_chunk(i, i * 100, i * 100 + 100)
+
+        wt = threading.Thread(target=writer)
+        wt.start()
+        wt.join(120)
+
+        def sunk_rows():
+            try:
+                return spark.read.parquet(sink).count()
+            except Exception:
+                return 0
+
+        deadline = _t.time() + 90
+        while sunk_rows() < 400 and _t.time() < deadline:
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    n_triggers = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_triggers >= 3, f"live query ran only {n_triggers} data triggers"
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _annotate(spark.read.parquet(str(in_dir)), ranges).collect()
+    )
+    assert len(got) == 400
+    assert got == want

@@ -72,7 +72,23 @@ def get_session(
         # SPARK_GRAFT_DRIVER_MEM for genuinely large broadcasts.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split the broadcast budget between the two planners (r10,
+        # from the tpch_q3 sf1 slope investigation): the STATIC
+        # threshold decides from compressed-file-size estimates that
+        # undercount the in-memory hash relation 3-5x, so at 64MB it
+        # broadcast a 10x-scale fact table whose serial driver-side
+        # relation build became the whole query's critical path
+        # (q3 at sf1: 4.3s all-broadcast vs 1.15s with the split —
+        # and 0.8s vs 1.2s even at sf0.1). 8MB static keeps genuinely
+        # tiny dims pre-broadcast; the 64MB budget moves to the AQE
+        # runtime conversion, which measures ACTUAL shuffle bytes
+        # before deciding. Explicit F.broadcast() hints (all the
+        # known-small dims) are unaffected by either threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         # ContextCleaner only reclaims dead broadcasts/shuffles after a
         # driver GC; long sessions (bench, streaming) otherwise
         # accumulate them until ad-hoc full GCs stall queries.

@@ -22,6 +22,13 @@ Two timing bases per query (VERDICT r2 #5):
   serving-loop regime). Round-over-round comparisons should compare
   like with like.
 
+Trustworthiness (VERDICT r9 #2/#3): a CALIBRATION CANARY (pure-numpy
+GEMM + warm tpch_q1, median-of-3 each) is measured at run start, at
+the start of the scale blocks, and at run end, and recorded in
+BENCH_DETAIL — cross-round comparisons should normalize by it (see
+README "Reading the bench calibration canary"). Every 100x/sf1-anchor
+number is a median-of-3 with the raw runs recorded as ``<name>_runs``.
+
 Scale block (VERDICT r2 #8): ``sf1`` re-runs the documents-family
 operators on a 10x corpus (50k docs) derived from the sf0.1 parquet by
 per-replica alphabet rotation — replicas are mutually non-duplicate, so
@@ -509,6 +516,27 @@ def ensure_sf1_embeddings(
         fh.write("ok\n")
 
 
+def _gemm_canary() -> float:
+    """Pinned-cost CPU probe: median-of-3 1024x1024 float64 GEMMs
+    (~2.1 GFLOP each through the session's BLAS). Pure numpy, no
+    Spark — measures the MACHINE, not the engine. Recorded at fixed
+    points of every bench run so a loaded host is self-evident in the
+    artifact instead of a judge-side forensic (the r9 driver bench ran
+    33% hot and the only 'regressions' were load, VERDICT r9 #2)."""
+    import numpy as np
+
+    a = np.arange(1024 * 1024, dtype=np.float64).reshape(1024, 1024)
+    a = (a % 97) / 97.0
+    b = a.T.copy()
+    (a @ b).sum()  # untimed: BLAS threadpool/page-fault warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        runs.append(round(time.perf_counter() - t0, 4))
+    return sorted(runs)[1]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -522,6 +550,18 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, d).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
+
+    def spark_canary() -> float:
+        """Warm tpch_q1 median-of-3 — the Spark-side load probe (scan +
+        codegen paths resident; any inflation is machine state)."""
+        runs = [round(run("tpch_q1", sf_dir), 3) for _ in range(3)]
+        return sorted(runs)[1]
+
+    # calibration canary #1: run start (VERDICT r9 #2)
+    canary: dict[str, float] = {
+        "start_gemm_sec": _gemm_canary(),
+        "start_tpch_q1_warm_sec": spark_canary(),
+    }
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -688,6 +728,9 @@ def main() -> None:
         spark.stop()
         gc.collect()
         spark = get_session("bench_sf1")
+        # calibration canary #2: fresh session, start of the scale blocks
+        canary["scale_gemm_sec"] = _gemm_canary()
+        canary["scale_tpch_q1_warm_sec"] = spark_canary()
         for name in SF1_QUERIES:
             spark.catalog.clearCache()
             sf1_timings[name] = round(run(name, sf1_dir), 3)
@@ -792,6 +835,20 @@ def main() -> None:
     except Exception as exc:
         sf1_emb_timings = {"error": str(exc)[:200]}
 
+    # median-of-3 for every 100x/sf1-anchor number (VERDICT r9 #3: the
+    # r9 'regressions' were single-run numbers on a loaded host); the
+    # per-run spread lands in the block under <name>_runs so deltas
+    # can be checked against it like the headline's queries_runs.
+    def run_median3(block: dict, name: str, d: str, key: str | None = None):
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            runs.append(round(run(name, d), 3))
+            gc.collect()
+        key = key or name
+        block[f"{key}_runs"] = runs
+        block[key] = sorted(runs)[1]
+
     # 100x embeddings point (200k vectors): the two cheapest
     # scale-path ANN forms plus the candidate floor — the ratio vs
     # x10 is the "would it hold at 1000 executors" claim measured one
@@ -803,9 +860,7 @@ def main() -> None:
         )
         ensure_sf1_embeddings(spark, sf_dir, sf100_dir, n_replicas=100)
         for name in ("ann_ivfpq_topk", "ann_lsh_topk"):
-            spark.catalog.clearCache()
-            sf100_emb_timings[name] = round(run(name, sf100_dir), 3)
-            gc.collect()
+            run_median3(sf100_emb_timings, name, sf100_dir)
         spark.catalog.clearCache()
         from pyspark.sql import functions as F
 
@@ -844,12 +899,12 @@ def main() -> None:
             "span_dedup",
             "pipeline_full",
         ):
-            spark.catalog.clearCache()
-            sf100_docs_timings[name] = round(run(name, sf100d_dir), 3)
-            gc.collect()
+            run_median3(sf100_docs_timings, name, sf100d_dir)
         spark.catalog.clearCache()
         from annotation_service_spark.operators.dedup import (
+            cap_shingles,
             minhash_candidates,
+            shingle_table,
         )
         from annotation_service_spark.sources.testdata import load_table
 
@@ -867,6 +922,26 @@ def main() -> None:
             sf100_docs_timings[f"minhash_reduction_{tag}"] = round(
                 n * (n - 1) / 2 / max(1, n_cand), 1
             )
+            # capped-jaccard candidate observability (VERDICT r9 #7):
+            # the df<=max_df shingle equi-join's candidate pair count at
+            # the pipeline's max_df=1000 regime — the x100/x10 ratio
+            # near 10 is the measured sub-quadratic claim for the
+            # cap_shingles path (minhash has its own counts above).
+            from pyspark.sql import functions as F
+
+            sh = cap_shingles(
+                shingle_table(docs, "doc_id", "text", 3), max_df=1000
+            )
+            a = sh.select(F.col("id").alias("id_a"), "s")
+            b = sh.select(F.col("id").alias("id_b"), "s")
+            n_jc = (
+                a.join(b, "s")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+                .count()
+            )
+            sf100_docs_timings[f"jaccard_candidates_{tag}"] = n_jc
             spark.catalog.clearCache()
             gc.collect()
     except Exception as exc:
@@ -885,10 +960,14 @@ def main() -> None:
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
         ensure_sf1_tpch(spark, sf_dir, sf1_dir)
         for name in ("tpch_q1", "tpch_q6", "tpch_q3", "annotate", "dedup_exact"):
-            spark.catalog.clearCache()
-            sf1_anchor[f"{name}_sf01"] = round(run(name, sf_dir), 3)
-            spark.catalog.clearCache()
-            sf1_anchor[f"{name}_sf1"] = round(run(name, sf1_dir), 3)
+            # untimed warmup per (query, dir) pair (ADVICE r9): without
+            # it the sf0.1 control paid first-run codegen the sf1 run
+            # then reused, yielding sub-1x "ratios" that measured the
+            # JIT, not the data; median-of-3 then reads the steady state
+            for d in (sf_dir, sf1_dir):
+                run(name, d)
+            run_median3(sf1_anchor, name, sf_dir, key=f"{name}_sf01")
+            run_median3(sf1_anchor, name, sf1_dir, key=f"{name}_sf1")
             sf1_anchor[f"{name}_ratio_x10data"] = round(
                 sf1_anchor[f"{name}_sf1"] / max(0.001, sf1_anchor[f"{name}_sf01"]), 2
             )
@@ -897,6 +976,11 @@ def main() -> None:
     except Exception as exc:
         sf1_anchor = {"error": str(exc)[:200]}
 
+    # calibration canary #3: run end — start/scale/end triangulate
+    # whether load arrived mid-run
+    canary["end_gemm_sec"] = _gemm_canary()
+    canary["end_tpch_q1_warm_sec"] = spark_canary()
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # VERDICT r3 #4 (process): the r3 single ~4.5 KB JSON line outgrew the
@@ -904,6 +988,7 @@ def main() -> None:
     # detail maps on EARLIER lines + a sidecar file, and keep the FINAL line
     # a compact headline JSON (metric/value/queries only) that fits the tail.
     detail = {
+        "canary": canary,
         "queries_warm": warm,
         "queries_runs": runs_detail,
         "annotate_probe_sweep": sweep,
@@ -946,6 +1031,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline_q,
                 "n_queries": len(timings),
+                "canary_gemm": canary["start_gemm_sec"],
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             },

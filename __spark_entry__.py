@@ -3538,68 +3538,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     an earlier round's CORRECTNESS_r*.json; the r6/r7 window gates sit
     LAST — they carry the freshest driver evidence)."""
     return {
-        # -- gates changed by round-9 code ----------------------------------
-        # stream_annotate: multi-batch drain + parquet sink (r9 rewrite)
-        "stream_annotate": q_stream_annotate,
-        # pipeline_full + jaccard/containment: cap_shingles hoist
+        # -- gates touched by round-10 code ---------------------------------
+        # cap_shingles: cache-leak fix + size-gated broadcast-literal hot set
         "pipeline_full": q_pipeline_full,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
-        # the ANN family routing through the bounded tie-completion prune
-        "ann_gemm_topk": q_ann_gemm_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "semantic_dedup": q_semantic_dedup,
-        # -- the 11 gates whose newest driver row was round 3 (VERDICT r9 #1)
-        "pii_redact": q_pii_redact,
-        "dedup_keep_best": q_dedup_keep_best,
-        "quality_quantile_mix": q_quality_quantile_mix,
-        "event_cube": q_event_cube,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "upsert_merge": q_upsert_merge,
-        "doc_percentiles": q_doc_percentiles,
-        "rolling_avg": q_rolling_avg,
-        "span_dedup": q_span_dedup,
-        "span_dedup_apply": q_span_dedup_apply,
-        # -- rotation fill: 25 of the 46 round-5 gates (oldest remaining
-        #    evidence pool; the other 21 rotate in next round)
-        "anti_join": q_anti_join,
-        "attribution_join": q_attribution_join,
-        "bigram_nll": q_bigram_nll,
-        "bm25_rank": q_bm25_rank,
-        "case_pivot": q_case_pivot,
-        "cms_counts": q_cms_counts,
-        "corpus_diff": q_corpus_diff,
-        "dedup_incremental": q_dedup_incremental,
-        "distinct_users": q_distinct_users,
-        "doc_chunks": q_doc_chunks,
-        "embedding_gram": q_embedding_gram,
-        "event_rollup": q_event_rollup,
-        "event_rollup_hopping": q_event_rollup_hopping,
-        "event_topk_windowed": q_event_topk_windowed,
-        "first_touch": q_first_touch,
-        "gap_fill": q_gap_fill,
-        "group_split": q_group_split,
-        "grouping_sets": q_grouping_sets,
-        "having_subquery": q_having_subquery,
-        "incremental_rollup": q_incremental_rollup,
-        "json_extract": q_json_extract,
-        "knn_pagerank": q_knn_pagerank,
-        "linear_interp": q_linear_interp,
-        # -- swapped in late-r9: consumers of the size-gated local
-        #    connected-components fast path (touched gates beat fill)
+        # connected_components: null-drop before the local probe
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "leakage_safe_split": q_leakage_safe_split,
-        # ==== ~driver window boundary (50) ================================
-        # below: hash-green in an earlier round's CORRECTNESS_r*.json;
-        # the remaining round-5 pool heads the next rotation
+        # session broadcast-threshold split (static 8MB / adaptive 64MB)
+        # re-plans every join; the streaming gate exercises the most paths
+        "stream_annotate": q_stream_annotate,
+        # -- the 23 gates whose newest driver row was round 5 (VERDICT r9 #1)
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
         "posting_lists": q_posting_lists,
@@ -3623,7 +3574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": q_unpivot_measures,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_stratified": q_weighted_sample_stratified,
-        # r7-evidence pool
+        # -- rotation fill: 20 of the 37 round-7 gates (oldest remaining
+        #    evidence pool; the other 17 head the round-11 rotation)
         "bloom_join": q_bloom_join,
         "cume_dist": q_cume_dist,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
@@ -3644,6 +3596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "perceptron_filter": q_perceptron_filter,
         "pmi_collocations": q_pmi_collocations,
+        # ==== ~driver window boundary (50) ================================
+        # below: hash-green in an earlier round's CORRECTNESS_r*.json;
+        # the remaining 17 round-7 gates head the round-11 rotation
         "price_ranks": q_price_ranks,
         "robust_outliers": q_robust_outliers,
         "session_rollup": q_session_rollup,
@@ -3661,7 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "zorder_layout": q_zorder_layout,
-        # -- the r8 window (freshest driver evidence, rotated out) ---------
+        # -- the r8 window (rotated out in r9) ------------------------------
         "tpch_q9": q_tpch_q9,
         "tpch_q13": q_tpch_q13,
         "tpch_q21": q_tpch_q21,
@@ -3700,6 +3655,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "skew_agg": q_skew_agg,
         "tpch_q20": q_tpch_q20,
+        # -- the r9 window (freshest driver evidence, rotated out) ---------
+        "ann_gemm_topk": q_ann_gemm_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "pii_redact": q_pii_redact,
+        "quality_quantile_mix": q_quality_quantile_mix,
+        "event_cube": q_event_cube,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "upsert_merge": q_upsert_merge,
+        "doc_percentiles": q_doc_percentiles,
+        "rolling_avg": q_rolling_avg,
+        "span_dedup": q_span_dedup,
+        "span_dedup_apply": q_span_dedup_apply,
+        "anti_join": q_anti_join,
+        "attribution_join": q_attribution_join,
+        "bigram_nll": q_bigram_nll,
+        "bm25_rank": q_bm25_rank,
+        "case_pivot": q_case_pivot,
+        "cms_counts": q_cms_counts,
+        "corpus_diff": q_corpus_diff,
+        "dedup_incremental": q_dedup_incremental,
+        "distinct_users": q_distinct_users,
+        "doc_chunks": q_doc_chunks,
+        "embedding_gram": q_embedding_gram,
+        "event_rollup": q_event_rollup,
+        "event_rollup_hopping": q_event_rollup_hopping,
+        "event_topk_windowed": q_event_topk_windowed,
+        "first_touch": q_first_touch,
+        "gap_fill": q_gap_fill,
+        "group_split": q_group_split,
+        "grouping_sets": q_grouping_sets,
+        "having_subquery": q_having_subquery,
+        "incremental_rollup": q_incremental_rollup,
+        "json_extract": q_json_extract,
+        "knn_pagerank": q_knn_pagerank,
+        "linear_interp": q_linear_interp,
     }
 
 

@@ -345,3 +345,46 @@ def test_writer_lock_loud_timeout_and_stale_break(tmp_path):
     assert stale.commit(0, [d0]) == 0
     assert stale.resolve() == [d0]
     assert not os.path.exists(m._lockpath)  # released after commit
+
+
+def test_two_process_commit_fencing(tmp_path):
+    """The lock's real claim is CROSS-PROCESS (two refresh JOBS, not
+    two threads): O_CREAT|O_EXCL and rename are per-filesystem, so the
+    same guarantee must hold across process boundaries. Two
+    subprocesses race 12 commits each with overlapping epoch numbers;
+    every directory must be referenced by the final CURRENT."""
+    import subprocess
+    import sys
+    import textwrap
+
+    out = str(tmp_path / "table")
+    for w in ("a", "b"):
+        _mkdirs(out, [f"{w}-{i}" for i in range(12)])
+    prog = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, {root!r})
+        from annotation_service_spark.streaming.refresh import (
+            VersionedTableManifest,
+        )
+        out, w = sys.argv[1], sys.argv[2]
+        m = VersionedTableManifest(out)
+        for i in range(12):
+            m.commit(i, [os.path.join(out, f"batch={{w}}-{{i}}")])
+        """
+    ).format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen([sys.executable, "-c", prog, out, w])
+        for w in ("a", "b")
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    m = VersionedTableManifest(out)
+    final = set(m.resolve())
+    expect = {
+        os.path.join(out, f"batch={w}-{i}")
+        for w in ("a", "b")
+        for i in range(12)
+    }
+    assert final == expect
+    assert not os.path.exists(m._lockpath)

@@ -440,6 +440,7 @@ def start_event_refresh(
     path_col: str = "path",
     available_now: bool = True,
     writer_id: str | None = None,
+    trigger_interval: str = "10 seconds",
 ):
     """ST2 as a TRUE EVENT stream (the Pub/Sub analog,
     handler/pubsub.go:20-42): the stream carries file-arrival
@@ -522,7 +523,7 @@ def start_event_refresh(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="10 seconds")
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
 
 
@@ -535,6 +536,7 @@ def start_refresh(
     output_dir: str,
     available_now: bool = True,
     writer_id: str | None = None,
+    trigger_interval: str = "10 seconds",
 ):
     """Run the refresh loop: per micro-batch of newly-arrived rows,
     ``build_batch(batch_df) -> DataFrame`` produces new snapshot
@@ -577,5 +579,5 @@ def start_refresh(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="10 seconds")
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()

@@ -270,4 +270,6 @@ def test_ngram_jaccard_max_df_plan(spark):
     docs = load_table(spark, SF, "documents")
     p = _plan(dd.ngram_jaccard_pairs(docs, threshold=0.5, max_df=1000))
     _assert_no_blowups(p)
-    assert "LeftAnti" in p, p
+    # r10: the hot set is a collected broadcast LITERAL — the anti-join
+    # must plan broadcast even with the static threshold at 8MB
+    assert "BroadcastHashJoin LeftAnti" in p, p

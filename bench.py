@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "ann_cosine_topk",
     "ann_gemm_topk",
     "ann_lsh_topk",
@@ -942,6 +943,20 @@ def main() -> None:
                 .count()
             )
             sf100_docs_timings[f"jaccard_candidates_{tag}"] = n_jc
+            # prefix-filter candidate count at t=0.8 (x100 only — the
+            # claim point): pins the threshold-adaptive 26x reduction
+            # vs the t-independent plain count above (docs/SCALE.md
+            # "Prefix-filter jaccard")
+            if tag == "x100":
+                from annotation_service_spark.operators.dedup import (
+                    prefix_filter_candidates,
+                )
+
+                sf100_docs_timings["prefix_candidates_t08_x100"] = (
+                    prefix_filter_candidates(
+                        docs, ngram=3, threshold=0.8, max_df=1000
+                    ).count()
+                )
             spark.catalog.clearCache()
             gc.collect()
     except Exception as exc:

@@ -154,3 +154,54 @@ class TestFlattenProperties:
     @pytest.fixture(autouse=True)
     def _bind_spark(self, spark):
         type(self)._spark = spark
+
+
+def test_prefix_filter_jaccard_randomized_differential(spark):
+    """Randomized differential for the PPJoin-style prefix filter:
+    many seeded corpora with heavy shared-vocabulary overlap (pair
+    similarities densely straddling each threshold) — the prefix path
+    must agree with the plain equi-join form EXACTLY, rows and
+    jaccard doubles, at thresholds across the range, uncapped and
+    capped. Small vocab + short docs maximizes borderline pairs where
+    an off-by-one in the prefix length (the ceil/epsilon math) would
+    show as a missed pair."""
+    from annotation_service_spark.operators import dedup as dd
+
+    for seed, t, max_df in [
+        (7, 0.25, None),
+        (11, 0.5, None),
+        (13, 0.6, 12),
+        (17, 0.85, None),
+        (23, 1.0, 8),
+    ]:
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(14)]  # tiny vocab: dense overlap
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 16))))
+            for i in range(60)
+        ]
+        # plant near-dups at graded mutation distances so every
+        # threshold has pairs on both sides of its boundary
+        for j in range(12):
+            base = rows[j][1].split()
+            k = j % 4  # 0 = exact dup, 1-3 = increasingly mutated
+            mut = base[: max(1, len(base) - k)] + [f"m{j}"] * k
+            rows.append((500 + j, " ".join(mut)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        plain = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.ngram_jaccard_pairs(
+                df, threshold=t, max_df=max_df
+            ).collect()
+        )
+        pref = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.prefix_filter_jaccard_pairs(
+                df, threshold=t, max_df=max_df
+            ).collect()
+        )
+        assert pref == plain, f"seed={seed} t={t} max_df={max_df}"
+        # the corpora must actually exercise the boundary: the planted
+        # near-dups guarantee pairs at every threshold (exact dups
+        # survive even t=1.0)
+        assert len(plain) > 0, f"seed={seed}: degenerate corpus, no pairs"

@@ -370,6 +370,31 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED (multiset) 3-gram Jaccard >= 0.5
+    (operators/dedup.py weighted_jaccard_pairs): Σ min(tf) / Σ max(tf)
+    — the repetition-aware near-dup measure; a phrase pasted 50 times
+    scores like 50 pastes, not one. Same equi-join blocking and scale
+    shape as the set form, payload +2 small ints."""
+    return dd.weighted_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.5
+    )
+
+
+def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup at scale: MinHash over the tf-EXPANDED
+    multiset ("s#1".."s#min(tf,8)") + 16/8 banded LSH + exact capped
+    weighted-jaccard verify (operators/dedup.py
+    weighted_minhash_pairs). For integer weights the expansion
+    reduces weighted to set MinHash exactly, so the md5-portable
+    signature/banding machinery replays verbatim in the DuckDB
+    oracle."""
+    return dd.weighted_minhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        ngram=3, num_hashes=16, bands=8, threshold=0.5, tf_cap=8,
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 bigram collocations by PMI (min pair count 5) — the
     multi-word-expression / tokenizer-merge-candidate table. Totally
@@ -3573,6 +3598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracle family as dedup_ngram_jaccard — the gate proves the
         # prefix filter lossless end-to-end
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        # NEW this round: weighted (multiset) jaccard — exact form +
+        # tf-expansion MinHash LSH scale path
+        "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
+        "dedup_weighted_minhash": q_dedup_weighted_minhash,
         # -- the 23 gates whose newest driver row was round 5 (VERDICT r9 #1)
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
@@ -3740,6 +3769,86 @@ def _shingle_cte(n: int = 3) -> str:
                    unnest(list_transform(range(1, len(ws)-{n - 2}), i -> {joins})) AS s
             FROM w WHERE len(ws) >= {n}
         )
+    """
+
+
+def _shingle_tf_cte(n: int = 3) -> str:
+    """Shared DuckDB CTE: (id, shingle, tf) term frequencies — the
+    multiset twin of _shingle_cte (no DISTINCT; occurrences counted)."""
+    joins = "||' '||".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+        w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id AS id,
+                   unnest(list_transform(range(1, len(ws)-{n - 2}), i -> {joins})) AS s
+            FROM w WHERE len(ws) >= {n}
+        ),
+        tf AS (SELECT id, s, count(*) AS tf FROM occ GROUP BY 1, 2)
+    """
+
+
+def _weighted_minhash_oracle(
+    num_hashes: int = 16, bands: int = 8, thr: float = 0.5, tf_cap: int = 8
+) -> str:
+    """DuckDB replay of ``weighted_minhash_pairs``: tf-expansion
+    ("s#k" for k in 1..min(tf, cap)), the same md5/multiplicative
+    minhash family and banding as _minhash_oracle, then the exact
+    CAPPED weighted-jaccard verify from the tf relation."""
+    from annotation_service_spark.operators.dedup import MOD_40, cw_constants
+
+    r = num_hashes // bands
+    mins = ", ".join(
+        "min(({a}*h + {b}) % {p}) AS mh{i}".format(
+            a=cw_constants(i)[0], b=cw_constants(i)[1], p=MOD_40, i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+            b=b,
+            parts="||'|'||".join(f"mh{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_shingle_tf_cte(3)},
+        ctf AS (SELECT id, s, least(tf, {tf_cap}) AS ctf FROM tf),
+        exp AS (
+            SELECT id,
+                   s || '#' || CAST(unnest(generate_series(1, ctf)) AS VARCHAR) AS s
+            FROM ctf
+        ),
+        hw AS (
+            SELECT id,
+                   CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h
+            FROM exp
+        ),
+        sig AS (SELECT id, {mins} FROM hw GROUP BY id),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.id < b.id
+        ),
+        wts AS (SELECT id, sum(ctf) AS wt FROM ctf GROUP BY 1),
+        inter AS (
+            SELECT c.id_a, c.id_b, sum(least(x.ctf, y.ctf)) AS i
+            FROM cand c
+            JOIN ctf x ON x.id = c.id_a
+            JOIN ctf y ON y.id = c.id_b AND y.s = x.s
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) AS wjaccard
+        FROM inter
+        JOIN wts wa ON wa.id = id_a
+        JOIN wts wb ON wb.id = id_b
+        WHERE CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) >= {thr}
     """
 
 
@@ -4990,6 +5099,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
         """,
+        "dedup_weighted_jaccard": f"""
+            WITH {_shingle_tf_cte(3)},
+            wts AS (SELECT id, sum(tf) AS wt FROM tf GROUP BY 1),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       sum(least(a.tf, b.tf)) AS i
+                FROM tf a JOIN tf b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) AS wjaccard
+            FROM inter
+            JOIN wts wa ON wa.id = id_a
+            JOIN wts wb ON wb.id = id_b
+            WHERE CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) >= 0.5
+        """,
+        "dedup_weighted_minhash": _weighted_minhash_oracle(16, 8, 0.5, 8),
         # the prefix-filter gate's oracle is the PLAIN exact-jaccard SQL
         # (threshold 0.8): the prefix filter is lossless, so hash-equality
         # against the unfiltered form IS the losslessness proof

@@ -997,6 +997,180 @@ def _prefix_docs_and_candidates(
     return docs, cand
 
 
+def shingle_tf_table(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(id, s, tf) — shingle TERM FREQUENCIES (occurrence counts per
+    doc), the multiset feature relation the weighted-jaccard family
+    consumes where the set family consumes ``shingle_table``. One
+    groupBy over the occurrence rows; map-side combinable."""
+    occ = shingle_table(df, id_col, text_col, ngram, distinct=False)
+    return occ.groupBy("id", "s").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    tf_table: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED Jaccard pairs over n-gram term frequencies:
+    J_w(A,B) = Σ_s min(tf_A(s), tf_B(s)) / Σ_s max(tf_A(s), tf_B(s)).
+    The standard multiset generalization of set Jaccard ("generalized
+    Jaccard", e.g. Ioffe, ICDM 2010 — public): set Jaccard treats a
+    phrase pasted 50 times the same as pasted once; the weighted form
+    scores repetition-inflated near-dups (template spam, log spew,
+    lyric loops) the way a curation pipeline needs. Returns
+    (id_a, id_b, wjaccard), id_a < id_b.
+
+    Denominator identity used (keeps one aggregation): Σ max = W_A +
+    W_B − Σ min, with W = Σ tf the doc's total shingle count — so the
+    plan is exactly the set-form shape: one shingle equi-join carrying
+    two small ints, one pair groupBy summing min(tf), two broadcast-
+    able weight attaches. Same blocking (only docs sharing a shingle
+    meet), same ``max_df`` stop-shingle cap semantics (cap first, then
+    weights/intersections over the capped space), same scale
+    properties as ``ngram_jaccard_pairs``.
+
+    ``tf_table`` lets a composite pipeline pass a shared (id, s, tf)
+    relation (see shingle_tf_table) so tokenization runs once."""
+    tf = (
+        tf_table
+        if tf_table is not None
+        else shingle_tf_table(df, id_col, text_col, ngram)
+    )
+    if max_df is not None:
+        # cap_shingles counts rows per s, which on a (id, s, tf) table
+        # IS the document frequency (one row per doc containing s)
+        tf = cap_shingles(tf, max_df)
+    w = tf.groupBy("id").agg(F.sum("tf").alias("wt"))
+    a = tf.select(F.col("id").alias("id_a"), "s", F.col("tf").alias("tfa"))
+    b = tf.select(F.col("id").alias("id_b"), "s", F.col("tf").alias("tfb"))
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("i"))
+    )
+    return (
+        inter.join(
+            w.select(F.col("id").alias("id_a"), F.col("wt").alias("wa")),
+            "id_a",
+        )
+        .join(
+            w.select(F.col("id").alias("id_b"), F.col("wt").alias("wb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("wa") + F.col("wb") - F.col("i"))
+            ).alias("wjaccard"),
+        )
+        .where(F.col("wjaccard") >= threshold)
+    )
+
+
+def weighted_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    tf_cap: int = 8,
+) -> DataFrame:
+    """Weighted near-dup pairs at scale: MinHash over the TF-EXPANDED
+    multiset (each shingle s with frequency tf becomes distinct
+    elements "s#1".."s#min(tf, tf_cap)") + banded LSH + exact verify.
+    For integer weights, set Jaccard of the expanded sets EQUALS the
+    weighted Jaccard of the tf_cap-capped frequencies — the classic
+    integer-weight reduction, so the whole set-MinHash machinery
+    (signatures, banding, md5 portability) is reused verbatim.
+
+    ``tf_cap`` bounds the expansion (a pathological doc repeating one
+    shingle 10^6 times would otherwise blow up its row count); the
+    measure computed is J_w over min(tf, tf_cap) — EXACT for corpora
+    whose tf never exceeds the cap, a floor for ones that do (capped
+    repetition can only raise similarity of repetition-inflated
+    pairs... it clamps both min and max terms). Verification computes
+    the same capped measure from the tf relation directly (no
+    expanded rows cross the verify shuffle), so LSH candidacy is the
+    only approximation — identical in kind to minhash_lsh_pairs.
+
+    Returns (id_a, id_b, wjaccard), the capped weighted Jaccard,
+    >= threshold."""
+    tf = shingle_tf_table(df, id_col, text_col, ngram).cache()
+    capped = tf.select(
+        "id",
+        "s",
+        F.least(F.col("tf"), F.lit(tf_cap)).cast("int").alias("ctf"),
+    )
+    # tiny inner arrays (<= tf_cap), so explode(transform(sequence))
+    # is safe here — the O(n_grams^2) generator trap shingle_table
+    # documents applies to per-doc-sized arrays, not <=8-element ones
+    expanded = capped.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("ctf")),
+                lambda k: F.concat_ws("#", F.col("s"), k.cast("string")),
+            )
+        ).alias("s"),
+    )
+    # include_size=True: n = count of expanded rows per doc = Σ ctf =
+    # the capped total weight W — the denominator rides the signature
+    # groupBy, exactly like the set form's size piggyback
+    sig = minhash_signatures(expanded, num_hashes, include_size=True)
+    banded = _minhash_banded_rows(sig, num_hashes, bands, ["n"])
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("n").alias("wa"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("n").alias("wb"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "wa", "wb")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            capped.select(F.col("id").alias("id_a"), "s", F.col("ctf").alias("tfa")),
+            "id_a",
+        )
+        .join(
+            capped.select(
+                F.col("id").alias("id_b"),
+                F.col("s").alias("s2"),
+                F.col("ctf").alias("tfb"),
+            ),
+            "id_b",
+        )
+        .where(F.col("s") == F.col("s2"))
+        .groupBy("id_a", "id_b", "wa", "wb")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("i"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("wa") + F.col("wb") - F.col("i"))
+            ).alias("wjaccard"),
+        )
+        .where(F.col("wjaccard") >= threshold)
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     seen_hashes: DataFrame,

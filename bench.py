@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
+    "dedup_weighted_jaccard",
+    "dedup_weighted_minhash",
     "ann_cosine_topk",
     "ann_gemm_topk",
     "ann_lsh_topk",

@@ -715,3 +715,140 @@ def test_prefix_filter_candidates_superset_and_pruning(spark):
     # the prefix ordering must prune the bulk of them
     assert len(plain_cand) == 31 * 30 // 2
     assert len(pref_cand) < len(plain_cand) // 2
+
+
+def _brute_weighted_jaccard(a: str, b: str, ngram: int = 3, cap=None):
+    import re
+    from collections import Counter
+
+    def tf(t):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        c = Counter(
+            " ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)
+        )
+        if cap is not None:
+            c = Counter({k: min(v, cap) for k, v in c.items()})
+        return c
+
+    ca, cb = tf(a), tf(b)
+    keys = set(ca) | set(cb)
+    den = sum(max(ca[k], cb[k]) for k in keys)
+    return sum(min(ca[k], cb[k]) for k in keys) / den if den else 0.0
+
+
+def test_weighted_jaccard_exact_vs_bruteforce(spark):
+    """weighted_jaccard_pairs against a per-pair python Counter brute
+    force on a seeded corpus with heavy repetition structure; also
+    pins the discrimination the weighted form exists for — a
+    repetition-inflated pair with IDENTICAL shingle sets scores 1.0 on
+    set jaccard but < 1 weighted."""
+    import itertools
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(25):
+        base = [rng.choice(vocab) for _ in range(rng.randint(4, 10))]
+        # repeat a random slice to create genuine tf > 1 structure
+        rep = base[: rng.randint(1, len(base))] * rng.randint(1, 4)
+        rows.append((i, " ".join(base + rep)))
+    # cyclic phrase repetition: both docs have the SAME 3-gram set
+    # {xyz, yzx, zxy} but very different term frequencies
+    rows.append((100, "xx yy zz " * 10))
+    rows.append((101, "xx yy zz " * 5))  # weighted ≈ 13/28 ≈ 0.46
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.wjaccard
+        for r in dd.weighted_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        v = _brute_weighted_jaccard(a, b)
+        if v >= 0.3:
+            expect[(i, j)] = v
+    assert got == pytest.approx(expect)
+
+    # the flagship discrimination: identical sets, inflated tf
+    sets = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert sets[(100, 101)] == 1.0
+    assert got[(100, 101)] < 0.5
+
+
+def test_weighted_jaccard_max_df_and_tf_table(spark):
+    """The max_df stop-shingle cap and the shared tf_table path must
+    agree with the direct form (cap semantics: weights and
+    intersections both computed over the df <= max_df space)."""
+    boiler = " common boilerplate phrase here"
+    rows = [
+        (i, f"doc {i} unique words number {i * 3}" + boiler * 2)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = {
+        (r.id_a, r.id_b): r.wjaccard
+        for r in dd.weighted_jaccard_pairs(df, threshold=0.1, max_df=5).collect()
+    }
+    tf = dd.shingle_tf_table(df, "doc_id", "text", 3)
+    shared = {
+        (r.id_a, r.id_b): r.wjaccard
+        for r in dd.weighted_jaccard_pairs(
+            df, threshold=0.1, max_df=5, tf_table=tf
+        ).collect()
+    }
+    assert direct == shared
+    # capping removed the boilerplate: without it nothing pairs up
+    uncapped = dd.weighted_jaccard_pairs(df, threshold=0.1).count()
+    assert uncapped > 0 and len(direct) == 0
+
+
+def test_weighted_minhash_recall_and_capped_values(spark):
+    """LSH path: (a) verified pairs carry the EXACT capped weighted
+    jaccard (one double, bit-equal to brute force); (b) planted
+    near-dup pairs are recalled; (c) results are a subset of the
+    capped exact form's output."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(30)
+    ]
+    # planted near-dups with repetition
+    for j in range(5):
+        toks = rows[j][1].split()
+        rows.append((200 + j, " ".join(toks + toks[:3])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.wjaccard
+        for r in dd.weighted_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.wjaccard
+        for r in dd.weighted_minhash_pairs(df, threshold=0.5).collect()
+    }
+    # subset with equal values (tf never exceeds the default cap here,
+    # so capped == uncapped)
+    for k, v in lsh.items():
+        assert exact[k] == pytest.approx(v)
+    # planted pairs recalled (16/8 banding: ~0.9+ per pair at j>=0.8)
+    planted = {(j, 200 + j) for j in range(5)}
+    assert len(planted & set(lsh)) >= 4
+    # tf_cap semantics: a doc repeating one phrase 50x pairs with its
+    # 3x-repeat twin under the CAPPED measure
+    extreme = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " * 50),
+            (2, "alpha beta gamma " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    got = dd.weighted_minhash_pairs(extreme, threshold=0.5, tf_cap=2).collect()
+    brute = _brute_weighted_jaccard(
+        "alpha beta gamma " * 50, "alpha beta gamma " * 3, cap=2
+    )
+    assert len(got) == 1 and got[0].wjaccard == pytest.approx(brute)

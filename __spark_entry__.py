@@ -395,6 +395,21 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint pairs (operators/dedup.py
+    winnow_fingerprints/winnow_pairs — the MOSS algorithm, SIGMOD
+    2003): 5-gram hashes, window 4, rightmost-min selection packed
+    into one BIGINT key; pairs sharing >= 2 selected hashes with the
+    df <= 1000 stop-hash cap. Position-aware shared-passage evidence
+    (guarantee: every shared run of >= 8 tokens shares a
+    fingerprint), complementing the whole-doc jaccard/minhash
+    families."""
+    return dd.winnow_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=5, window=4, min_shared=2, max_df=1000,
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 bigram collocations by PMI (min pair count 5) — the
     multi-word-expression / tokenizer-merge-candidate table. Totally
@@ -3602,6 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tf-expansion MinHash LSH scale path
         "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
         "dedup_weighted_minhash": q_dedup_weighted_minhash,
+        # NEW this round: MOSS winnowing fingerprints (shared-passage
+        # evidence with the w+k-1 guarantee)
+        "dedup_winnow": q_dedup_winnow,
         # -- the 23 gates whose newest driver row was round 5 (VERDICT r9 #1)
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
@@ -5116,6 +5134,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) >= 0.5
         """,
         "dedup_weighted_minhash": _weighted_minhash_oracle(16, 8, 0.5, 8),
+        # winnowing replay: parallel unnest keeps (pos, gram) aligned;
+        # the packed key h*2^20 + (2^20-1-pos) makes rightmost-min a
+        # plain BIGINT window min in both engines; // is exact BIGINT
+        # division (the Spark side uses shiftright)
+        "dedup_winnow": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id AS id,
+                       unnest(range(1, len(ws)-3)) - 1 AS pos,
+                       unnest(list_transform(range(1, len(ws)-3),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS s
+                FROM w WHERE len(ws) >= 5
+            ),
+            keyed AS (
+                SELECT id, pos,
+                       CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) * 1048576
+                           + (1048575 - pos) AS key
+                FROM g
+            ),
+            sel AS (
+                SELECT DISTINCT id,
+                       min(key) OVER (PARTITION BY id ORDER BY pos
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+                FROM keyed
+            ),
+            fp AS (SELECT DISTINCT id, mk // 1048576 AS h FROM sel),
+            hot AS (SELECT h FROM fp GROUP BY h HAVING count(*) > 1000),
+            fpc AS (SELECT * FROM fp ANTI JOIN hot USING (h)),
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+                FROM fpc a JOIN fpc b ON a.h = b.h AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_shared FROM prs WHERE n_shared >= 2
+        """,
         # the prefix-filter gate's oracle is the PLAIN exact-jaccard SQL
         # (threshold 0.8): the prefix filter is lossless, so hash-equality
         # against the unfiltered form IS the losslessness proof

@@ -1171,6 +1171,131 @@ def weighted_minhash_pairs(
     )
 
 
+WINNOW_POS_BITS = 20  # packed-key position lane; docs must have < 2^20 grams
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm; public). Hash every token
+    k-gram, slide a ``window``-wide window over the hash sequence,
+    and select each window's MINIMUM hash (ties → rightmost). Output:
+    (id, pos, h) — the selected fingerprints, ~2/(window+1) of all
+    grams, with the paper's GUARANTEE: any shared token run of length
+    >= window + k - 1 between two documents shares at least one
+    selected fingerprint — position-aware local dedup evidence that
+    global schemes (minhash: whole-doc similarity; mod-p selection:
+    unbounded gaps) cannot give.
+
+    Engine-portable selection trick: the rightmost-min tie-break
+    packs into ONE integer key per gram, h * 2^POS_BITS +
+    (2^POS_BITS - 1 - pos), so "min hash, tie -> max pos" is a plain
+    BIGINT ``min`` over a ROWS window — identical semantics in Spark
+    and the DuckDB oracle, no struct-ordering or argmin dialect
+    differences. h is the 40-bit md5 prefix the minhash family uses
+    (40 + 20 bits < 63, no overflow). Initial PARTIAL windows
+    (pos < window-1) also emit their running min — a deterministic
+    superset of the paper's full-window selection that both engines
+    compute identically; short docs (< window grams) still
+    fingerprint.
+
+    Scale: one posexplode + per-doc window pass (shuffle keyed by
+    doc id), one distinct — no joins; the fingerprint table is the
+    ~25%-density sparse representation downstream pair stages join
+    on. A document with >= 2^20 grams (~4 MB of text) RAISES rather
+    than silently corrupting packed keys."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_lead = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w_lead) for j in range(1, k)
+    ]
+    grams = (
+        tok.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("id", "pos", "s")
+    )
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 10), 16, 10).cast("long")
+    pos_cap = 1 << WINNOW_POS_BITS
+    key = F.when(
+        F.col("pos") >= F.lit(pos_cap),
+        F.raise_error(
+            f"winnow_fingerprints: document with >= 2^{WINNOW_POS_BITS} "
+            "grams overflows the packed position lane"
+        ).cast("long"),
+    ).otherwise(
+        h * F.lit(pos_cap) + (F.lit(pos_cap - 1) - F.col("pos"))
+    )
+    keyed = grams.select("id", "pos", key.alias("key"))
+    w_win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = keyed.select(
+        "id", F.min("key").over(w_win).alias("mk")
+    ).distinct()
+    # decode with integer ops only — float division of a 60-bit key
+    # would lose mantissa precision past 2^53
+    return sel.select(
+        "id",
+        (F.lit(pos_cap - 1) - (F.col("mk") % F.lit(pos_cap))).alias("pos"),
+        F.shiftright(F.col("mk"), WINNOW_POS_BITS).alias("h"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprint
+    HASHES (the MOSS match score): (id_a, id_b, n_shared). Because
+    winnowing guarantees a shared fingerprint for every shared run of
+    >= window+k-1 tokens, n_shared lower-bounds the count of distinct
+    long shared passages — cross-doc boilerplate/plagiarism evidence,
+    not whole-doc similarity (that is the jaccard/minhash families').
+
+    Same scale shape as every pair stage here: fingerprint equi-join
+    on h (the ~25%-density table, so emissions are ~16x fewer than
+    the raw shingle join at window=7), pair groupBy, ``max_df``
+    stop-hash cap against boilerplate fan-out."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        "id", "h"
+    ).distinct()
+    if max_df is not None:
+        fp = cap_shingles(fp.withColumnRenamed("h", "s"), max_df)
+        fp = fp.withColumnRenamed("s", "h")
+    a = fp.select(F.col("id").alias("id_a"), "h")
+    b = fp.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     seen_hashes: DataFrame,

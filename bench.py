@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_jaccard_prefix",
     "dedup_weighted_jaccard",
     "dedup_weighted_minhash",
+    "dedup_winnow",
     "ann_cosine_topk",
     "ann_gemm_topk",
     "ann_lsh_topk",

@@ -395,6 +395,23 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span decontamination (operators/decontam.py
+    decontaminate_spans): same corpus/benchmark split as
+    `decontaminate` (doc_id%100==0 is the benchmark), but instead of
+    flagging whole docs, every benchmark-colliding 3-gram masks its
+    pad-2 token window; overlapping masks merge (gaps-and-islands)
+    and only the masked spans are removed. Output per doc: token
+    totals, removed count, span count, and the md5 of the cleaned
+    token stream (empty-string md5 for fully-masked docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dc.decontaminate_spans(
+        docs.where(F.col("doc_id") % 100 != 0),
+        docs.where(F.col("doc_id") % 100 == 0),
+        ngram=3, pad=2,
+    )
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint pairs (operators/dedup.py
     winnow_fingerprints/winnow_pairs — the MOSS algorithm, SIGMOD
@@ -3620,6 +3637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round: MOSS winnowing fingerprints (shared-passage
         # evidence with the w+k-1 guarantee)
         "dedup_winnow": q_dedup_winnow,
+        # NEW this round: surgical span decontamination (mask + merge +
+        # remove, not whole-doc drop)
+        "decontaminate_spans": q_decontaminate_spans,
         # -- the 23 gates whose newest driver row was round 5 (VERDICT r9 #1)
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
@@ -5134,6 +5154,79 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) >= 0.5
         """,
         "dedup_weighted_minhash": _weighted_minhash_oracle(16, 8, 0.5, 8),
+        # span-decontamination replay: same tokenization, mask windows
+        # via gaps-and-islands (running-max window), coverage via a
+        # BETWEEN left join, cleaned text via ordered string_agg
+        # (NULLs skipped = the covered tokens; coalesce '' for
+        # fully-masked docs, matching Spark's concat_ws over empty)
+        "decontaminate_spans": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            ctok AS (
+                SELECT doc_id AS id,
+                       unnest(range(1, len(ws)+1)) - 1 AS pos,
+                       unnest(ws) AS tok
+                FROM w WHERE doc_id % 100 <> 0
+            ),
+            bsh AS (
+                SELECT DISTINCT
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+                FROM w WHERE doc_id % 100 = 0 AND len(ws) >= 3
+            ),
+            g AS (
+                SELECT doc_id AS id,
+                       unnest(range(1, len(ws)-1)) - 1 AS pos,
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+                FROM w WHERE doc_id % 100 <> 0 AND len(ws) >= 3
+            ),
+            hits AS (SELECT g.id, g.pos FROM g JOIN bsh USING (s)),
+            spans AS (
+                SELECT id, greatest(pos - 2, 0) AS lo, pos + 4 AS hi
+                FROM hits
+            ),
+            m1 AS (
+                SELECT id, lo, hi,
+                       CASE WHEN lo > coalesce(max(hi) OVER (
+                                PARTITION BY id ORDER BY lo, hi
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                -1)
+                            THEN 1 ELSE 0 END AS brk
+                FROM spans
+            ),
+            m2 AS (
+                SELECT id, lo, hi,
+                       sum(brk) OVER (PARTITION BY id ORDER BY lo, hi
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM m1
+            ),
+            merged AS (
+                SELECT id, grp, min(lo) AS lo, max(hi) AS hi
+                FROM m2 GROUP BY 1, 2
+            ),
+            nsp AS (SELECT id, count(*) AS n_spans FROM merged GROUP BY 1),
+            cov AS (
+                SELECT t.id, t.pos, t.tok, (m.lo IS NOT NULL) AS covered
+                FROM ctok t LEFT JOIN merged m
+                  ON m.id = t.id AND t.pos BETWEEN m.lo AND m.hi
+            ),
+            agg AS (
+                SELECT id, count(*) AS n_tokens,
+                       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                       md5(coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                                               ' ' ORDER BY pos), '')) AS clean_md5
+                FROM cov GROUP BY 1
+            )
+            SELECT agg.id AS doc_id, n_tokens, n_removed,
+                   CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+                   clean_md5
+            FROM agg LEFT JOIN nsp ON nsp.id = agg.id
+        """,
         # winnowing replay: parallel unnest keeps (pos, gram) aligned;
         # the packed key h*2^20 + (2^20-1-pos) makes rightmost-min a
         # plain BIGINT window min in both engines; // is exact BIGINT

@@ -129,3 +129,121 @@ def embedding_contamination_check(
         F.max("cos").alias("max_cos"),
         (F.max("cos") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    pad: int = 2,
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping a contaminated
+    document wholesale (contamination_check's regime), remove only
+    the token spans covered by benchmark-colliding n-grams — each hit
+    at token position p masks [p - pad, p + ngram - 1 + pad],
+    overlapping masks merged — and keep the rest of the document.
+    This is the removal style production pipelines actually apply
+    (GPT-3 appendix C removes a window around the collision, not the
+    document), preserving the uncontaminated bulk of long documents.
+
+    Returns one row per corpus doc with >= 1 token:
+    (doc_id, n_tokens, n_removed, n_spans, clean_md5) where clean_md5
+    hashes the kept tokens joined by single spaces (token-normalized
+    — reconstruction of original whitespace is out of scope) — docs
+    fully masked hash the empty string.
+
+    Scale shape: benchmark shingles BROADCAST (tiny by construction);
+    the corpus token/gram relations shuffle once keyed by doc id for
+    the window passes; mask merging is the classic gaps-and-islands
+    (running-max window) per doc; the coverage join is equi on doc id
+    with a BETWEEN residual against the doc's few merged spans. No
+    self-joins, nothing driver-side."""
+    from pyspark.sql import Window
+
+    from .dedup import shingle_table, tokens
+
+    tok = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_lead = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w_lead) for j in range(1, ngram)
+    ]
+    grams = (
+        tok.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("id", "pos", "s")
+    )
+    bsh = F.broadcast(
+        shingle_table(benchmark, id_col, text_col, ngram)
+        .select("s")
+        .distinct()
+    )
+    spans = grams.join(bsh, "s").select(
+        "id",
+        F.greatest(F.col("pos") - pad, F.lit(0)).alias("lo"),
+        (F.col("pos") + (ngram - 1) + pad).alias("hi"),
+    )
+    # gaps-and-islands merge: a span starts a new island when its lo
+    # clears every previous hi (running max over the (lo, hi) order)
+    w_ord = Window.partitionBy("id").orderBy("lo", "hi")
+    prev_max_hi = F.max("hi").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_hi.isNull() | (F.col("lo") > prev_max_hi), 1
+    ).otherwise(0)
+    grp = F.sum(brk).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        spans.withColumn("grp", grp)
+        .groupBy("id", "grp")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    n_spans = merged.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    # rename the span side's key before the non-equi join: both sides
+    # descend from `corpus`, so unrenamed columns trip Spark's
+    # ambiguous-self-join analysis
+    mspans = merged.select(F.col("id").alias("mid"), "lo", "hi")
+    cov = tok.join(
+        mspans,
+        on=[
+            F.col("id") == F.col("mid"),
+            F.col("pos").between(F.col("lo"), F.col("hi")),
+        ],
+        how="left",
+    ).select("id", "pos", "tok", F.col("lo").isNotNull().alias("covered"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.struct("pos", "covered", "tok"))
+    )
+    clean = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(kept_sorted, lambda x: ~x["covered"]),
+            lambda x: x["tok"],
+        ),
+    )
+    out = cov.groupBy(F.col("id")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(clean).alias("clean_md5"),
+    )
+    return (
+        out.join(n_spans, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_removed",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            "clean_md5",
+        )
+    )

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_weighted_jaccard",
     "dedup_weighted_minhash",
     "dedup_winnow",
+    "decontaminate_spans",
     "ann_cosine_topk",
     "ann_gemm_topk",
     "ann_lsh_topk",

@@ -242,3 +242,83 @@ def test_embedding_contamination_check_planted(spark):
     assert out[1000].n_hits >= 1 and out[1000].max_cos >= 0.8
     dirty = [i for i, r in out.items() if r.contaminated]
     assert set(dirty) == {1000, 1001}  # random 16-dim ⊥ at 0.8
+
+
+def test_decontaminate_spans_vs_bruteforce(spark):
+    """Surgical span decontamination against a python replay: random
+    corpora with planted benchmark passages at random offsets
+    (start/middle/end), overlapping plants (mask merge), fully-masked
+    short docs (empty-string md5), and clean docs (zero spans)."""
+    import hashlib
+    import random
+    import re
+
+    from annotation_service_spark.operators import decontam as dc
+
+    rng = random.Random(19)
+    bench_rows = [
+        (1000 + b, " ".join(f"bench{b}tok{t}" for t in range(8)))
+        for b in range(4)
+    ]
+
+    def plant(doc_toks, bench_text, where):
+        bt = bench_text.split()
+        cut = {"start": 0, "mid": len(doc_toks) // 2, "end": len(doc_toks)}[
+            where
+        ]
+        return doc_toks[:cut] + bt + doc_toks[cut:]
+
+    corpus_rows = []
+    for i in range(24):
+        base = [f"doc{i}tok{t}" for t in range(rng.randint(6, 30))]
+        mode = i % 4
+        if mode == 1:
+            base = plant(base, bench_rows[i % 4][1], rng.choice(["start", "mid", "end"]))
+        elif mode == 2:  # two plants -> likely merged or two spans
+            base = plant(base, bench_rows[0][1], "start")
+            base = plant(base, bench_rows[1][1], "end")
+        elif mode == 3 and i % 8 == 3:  # short fully-masked doc
+            base = bench_rows[2][1].split()
+        corpus_rows.append((i, " ".join(base)))
+
+    cdf = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_spans, r.clean_md5)
+        for r in dc.decontaminate_spans(cdf, bdf, ngram=3, pad=2).collect()
+    }
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    bsh = set()
+    for _, t in bench_rows:
+        w = toks(t)
+        bsh |= {" ".join(w[p : p + 3]) for p in range(len(w) - 2)}
+    for i, t in corpus_rows:
+        w = toks(t)
+        hits = [p for p in range(len(w) - 2) if " ".join(w[p : p + 3]) in bsh]
+        spans = []
+        for p in hits:
+            lo, hi = max(p - 2, 0), p + 4
+            if spans and lo <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], hi))
+            else:
+                spans.append((lo, hi))
+        covered = set()
+        for lo, hi in spans:
+            covered |= set(range(lo, hi + 1))
+        covered &= set(range(len(w)))
+        clean = " ".join(w[p] for p in range(len(w)) if p not in covered)
+        exp = (
+            len(w),
+            len(covered),
+            len(spans),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+        assert got[i] == exp, f"doc {i}: {got[i]} != {exp}"
+    # regime sanity: the corpus exercised clean, planted, merged, and
+    # fully-masked docs
+    assert any(v[2] == 0 for v in got.values())
+    assert any(v[2] >= 2 for v in got.values())
+    assert any(v[1] == v[0] for v in got.values())

@@ -389,3 +389,73 @@ def test_refresh_writer_id_namespaces_batch_dirs(spark, tmp_path):
     dirs = m.resolve()
     assert all(os.path.basename(d).startswith("batch=jobA-") for d in dirs), dirs
     assert os.path.isdir(dirs[0])
+
+
+def test_event_refresh_crash_between_commit_and_marker(spark, tmp_path):
+    """The r10 ADVICE-medium window, pinned end-to-end: a crash AFTER
+    version_manifest.commit() but BEFORE the loaded-paths marker
+    write must leave the path un-marked, so the at-least-once retry
+    re-builds it; the epoch-keyed overwrite + idempotent same-dir
+    commit make the net effect exactly-once (no loss — the old
+    reversed order lost the batch forever; no dup — same directory
+    name, overwritten not appended)."""
+    import json
+
+    data_dir = tmp_path / "datasets"
+    data_dir.mkdir()
+    events = tmp_path / "events"
+    events.mkdir()
+    out = tmp_path / "table"
+    ckpt = tmp_path / "ckpt"
+    store = rf.SnapshotStore()
+
+    f1 = data_dir / "20200101T000000Z-data.csv"
+    f1.write_text("k,v\na,1\nb,2\n")
+    f2 = data_dir / "20200601T000000Z-data.csv"
+    f2.write_text("k,v\nc,3\nd,4\n")
+
+    def build(paths):
+        df = spark.read.csv(paths, header=True)
+        return df.withColumn(
+            "dataset_date",
+            F.to_date(
+                F.regexp_extract(F.input_file_name(), r"(\d{8})T", 1),
+                "yyyyMMdd",
+            ),
+        )
+
+    msg_schema = T.StructType([T.StructField("path", T.StringType())])
+    (events / "m1.json").write_text(json.dumps({"path": str(f1)}))
+    stream = spark.readStream.format("json").schema(msg_schema).load(str(events))
+    q = rf.start_event_refresh(stream, build, store, "geo", str(ckpt), str(out))
+    q.awaitTermination(120)
+    assert store.get("geo").count() == 2
+
+    # simulate the crash window for the NEXT batch: f2's data is fully
+    # written AND version-committed (visible in CURRENT), but the
+    # loaded-paths marker was never written
+    bdir = out / "batch=1"
+    build([str(f2)]).write.mode("overwrite").partitionBy(
+        "dataset_date"
+    ).parquet(str(bdir))
+    vm = rf.VersionedTableManifest(str(out))
+    v_after_crash = vm.commit(1, [str(bdir)])
+    marker = out / "_manifest" / "batch-1.txt"
+    assert not marker.exists()  # the crash window: committed, unmarked
+
+    # restart: f2's announcement replays; the recovered loaded-set
+    # does NOT contain f2, so it re-builds into the SAME directory and
+    # re-commits idempotently
+    (events / "m2.json").write_text(json.dumps({"path": str(f2)}))
+    stream2 = spark.readStream.format("json").schema(msg_schema).load(str(events))
+    q2 = rf.start_event_refresh(stream2, build, store, "geo", str(ckpt), str(out))
+    q2.awaitTermination(120)
+
+    t = store.get("geo")
+    assert t.count() == 4  # exactly-once: no loss, no dup
+    assert t.where(F.col("dataset_date") == "2020-06-01").count() == 2
+    assert marker.exists()  # the retry completed the marker
+    # CURRENT must list batch=1 exactly once (idempotent re-commit of
+    # the same dir, not a second copy)
+    dirs = vm.resolve()
+    assert sum(1 for d in dirs if d.rstrip("/").endswith("batch=1")) == 1

@@ -395,6 +395,41 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (operators/spatial.py
+    grid_radius_join): deterministic md5-derived lat/lon per distinct
+    user (the stratified_sample hash pattern; lat in [-60, 60), lon in
+    [-180, 180)), all user pairs within 1000 km by haversine
+    (rounded 1e-6 km). The Spark side runs grid-cell blocking with
+    antimeridian seam replicas; the ORACLE brute-forces all pairs
+    with only a lat-band prefilter — an INDEPENDENT implementation,
+    so the gate checks the blocking's completeness, not just replay
+    agreement."""
+    from annotation_service_spark.operators.spatial import grid_radius_join
+
+    ev = _t(spark, sf_dir, "events")
+    uid = ev.select("user_id").distinct()
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+
+    pts = uid.select(
+        F.col("user_id").alias("id"),
+        ((h("lat") % 120000) / 1000.0 - 60.0).alias("lat"),
+        ((h("lon") % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    out = grid_radius_join(pts, pts, 1000.0)
+    return out.where(F.col("id_l") < F.col("id_r")).select(
+        "id_l", "id_r", "dist_km"
+    )
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical span decontamination (operators/decontam.py
     decontaminate_spans): same corpus/benchmark split as
@@ -3640,6 +3675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round: surgical span decontamination (mask + merge +
         # remove, not whole-doc drop)
         "decontaminate_spans": q_decontaminate_spans,
+        # NEW this round: spatial radius join (grid-cell blocking vs an
+        # independent brute-force oracle)
+        "geo_radius_join": q_geo_radius_join,
         # -- the 23 gates whose newest driver row was round 5 (VERDICT r9 #1)
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
@@ -5154,6 +5192,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) >= 0.5
         """,
         "dedup_weighted_minhash": _weighted_minhash_oracle(16, 8, 0.5, 8),
+        # spatial oracle: INDEPENDENT brute force (lat-band prefilter
+        # only — 9.2 deg > 1000km/111*1.02, so it never drops a true
+        # pair), not a replay of the grid blocking; round(, 6) absorbs
+        # libm trig ulps per the embedding-cosine precedent
+        "geo_radius_join": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            p AS (
+                SELECT user_id AS id,
+                       (CAST('0x'||substr(md5('lat'||CAST(user_id AS VARCHAR)),1,8) AS BIGINT)
+                            % 120000)/1000.0 - 60.0 AS lat,
+                       (CAST('0x'||substr(md5('lon'||CAST(user_id AS VARCHAR)),1,8) AS BIGINT)
+                            % 360000)/1000.0 - 180.0 AS lon
+                FROM u
+            ),
+            cand AS (
+                SELECT a.id AS id_l, b.id AS id_r,
+                       a.lat AS la, a.lon AS loa, b.lat AS lb, b.lon AS lob
+                FROM p a JOIN p b
+                  ON a.id < b.id AND abs(a.lat - b.lat) <= 9.2
+            ),
+            scored AS (
+                SELECT id_l, id_r,
+                       round(2*6371.0*asin(sqrt(
+                           sin(radians(lb-la)/2)*sin(radians(lb-la)/2)
+                           + cos(radians(la))*cos(radians(lb))
+                             *sin(radians(lob-loa)/2)*sin(radians(lob-loa)/2)
+                       )), 6) AS dist_km
+                FROM cand
+            )
+            SELECT id_l, id_r, dist_km FROM scored WHERE dist_km <= 1000.0
+        """,
         # span-decontamination replay: same tokenization, mask windows
         # via gaps-and-islands (running-max window), coverage via a
         # BETWEEN left join, cleaned text via ordered string_agg

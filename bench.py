@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_weighted_minhash",
     "dedup_winnow",
     "decontaminate_spans",
+    "geo_radius_join",
     "ann_cosine_topk",
     "ann_gemm_topk",
     "ann_lsh_topk",

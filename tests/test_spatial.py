@@ -1,0 +1,95 @@
+"""Spatial grid-radius join tests (operators/spatial.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from annotation_service_spark.operators.spatial import (
+    grid_radius_join,
+    haversine_km,
+)
+
+
+def _hav(a, b):
+    la1, lo1 = math.radians(a[0]), math.radians(a[1])
+    la2, lo2 = math.radians(b[0]), math.radians(b[1])
+    x = (
+        math.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+    )
+    return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+
+def test_grid_radius_join_vs_bruteforce(spark):
+    """Grid-blocked radius self-join against an all-pairs python brute
+    force: seeded uniform points plus planted adversarial pairs —
+    across the antimeridian seam, at the high-latitude edge of the
+    cell cover, and just inside/outside the radius boundary."""
+    rng = random.Random(4)
+    pts = [(i, rng.uniform(-60, 60), rng.uniform(-180, 180)) for i in range(250)]
+    pts += [
+        (1000, 10.0, 179.95),
+        (1001, 10.0, -179.95),  # ~11 km apart, across the seam
+        (1002, 59.0, 100.0),
+        (1003, 59.2, 100.3),    # close pair near max_abs_lat
+        (1004, -30.0, 50.0),
+        (1005, -30.0, 50.0),    # exact co-location (dist 0)
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    radius = 500.0
+    got = {
+        (r.id_l, r.id_r): r.dist_km
+        for r in grid_radius_join(df, df, radius)
+        .where("id_l < id_r")
+        .collect()
+    }
+    exp = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = round(_hav(pts[i][1:], pts[j][1:]), 6)
+            if d <= radius:
+                exp[(pts[i][0], pts[j][0])] = d
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6)
+    assert (1000, 1001) in got and (1002, 1003) in got
+    assert got[(1004, 1005)] == 0.0
+
+
+def test_grid_radius_join_two_sided_and_suffixes(spark):
+    """Left/right are independent tables; output carries suffixed
+    columns from both plus dist_km; every returned pair is within the
+    radius and every in-radius pair is returned."""
+    left = spark.createDataFrame(
+        [(1, 48.8, 2.3, "paris"), (2, 40.7, -74.0, "nyc")],
+        "id long, lat double, lon double, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, 51.5, -0.1, "london"), (11, 41.0, -73.0, "stamford")],
+        "id long, lat double, lon double, name string",
+    )
+    out = grid_radius_join(left, right, 400.0).collect()
+    pairs = {(r.name_l, r.name_r): r.dist_km for r in out}
+    assert set(pairs) == {("paris", "london"), ("nyc", "stamford")}
+    assert pairs[("paris", "london")] == pytest.approx(
+        _hav((48.8, 2.3), (51.5, -0.1)), abs=1e-5
+    )
+
+
+def test_grid_radius_join_polar_guard(spark):
+    """A latitude beyond max_abs_lat must RAISE loudly (the longitude
+    cell cover breaks there), not silently miss pairs."""
+    df = spark.createDataFrame(
+        [(1, 80.0, 0.0), (2, 80.0, 10.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="polar|max_abs_lat"):
+        grid_radius_join(df, df, 100.0).collect()
+    # and the same rows pass with a raised bound
+    ok = grid_radius_join(df, df, 300.0, max_abs_lat=81.0).where(
+        "id_l < id_r"
+    ).collect()
+    assert len(ok) == 1  # ~193 km apart at lat 80

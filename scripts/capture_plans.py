@@ -50,6 +50,10 @@ QUERIES = [
     # round 8 (stream_annotate is a streaming query — its batch twin
     # `annotate` above carries the identical plan)
     "dedup_embedding_lsh", "tpch_q9", "tpch_q13", "tpch_q21",
+    # round 10 continuation: the new operator families
+    "dedup_jaccard_prefix", "dedup_weighted_jaccard",
+    "dedup_weighted_minhash", "dedup_winnow", "decontaminate_spans",
+    "geo_radius_join",
 ]
 
 

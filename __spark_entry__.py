@@ -430,6 +430,48 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_annotate_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-thematic SERVING composition: annotate a client
+    probe (the J1 flagship) then assign its nearest serving site —
+    m-lab's actual production question ("which site should serve this
+    client"). Clients = annotated (non-miss) probes with md5-derived
+    coordinates; sites = the 25 nations with md5-derived coordinates;
+    assignment = grid_knn_join k=1 within 5000 km (operators/
+    spatial.py), deterministic (dist, site_id) ranking. Clients with
+    no site in radius are absent (both engines). The oracle replays
+    annotate's range join and brute-forces the nearest site with a
+    window rank — independent of the grid blocking."""
+    from annotation_service_spark.operators.spatial import grid_knn_join
+
+    ann = q_annotate(spark, sf_dir).where(F.col("brand") != "MISSING")
+
+    def h(tag: str, c):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), c.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+
+    clients = ann.select(
+        F.col("event_id").alias("id"),
+        "brand",
+        ((h("clat", F.col("event_id")) % 120000) / 1000.0 - 60.0).alias("lat"),
+        ((h("clon", F.col("event_id")) % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    sites = nation.select(
+        F.col("n_nationkey").alias("id"),
+        ((h("slat", F.col("n_nationkey")) % 120000) / 1000.0 - 60.0).alias("lat"),
+        ((h("slon", F.col("n_nationkey")) % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    out = grid_knn_join(clients, sites, k=1, radius_km=5000.0)
+    return out.select(
+        F.col("id_l").alias("event_id"),
+        F.col("brand_l").alias("brand"),
+        F.col("id_r").alias("site_id"),
+        "dist_km",
+    )
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical span decontamination (operators/decontam.py
     decontaminate_spans): same corpus/benchmark split as
@@ -3678,6 +3720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round: spatial radius join (grid-cell blocking vs an
         # independent brute-force oracle)
         "geo_radius_join": q_geo_radius_join,
+        # NEW this round: annotate -> nearest-site serving composition
+        "annotate_nearest_site": q_annotate_nearest_site,
         # -- the 23 gates whose newest driver row was round 5 (VERDICT r9 #1)
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
@@ -5222,6 +5266,63 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand
             )
             SELECT id_l, id_r, dist_km FROM scored WHERE dist_km <= 1000.0
+        """,
+        # serving composition: annotate's range join replayed (inner
+        # join = non-miss), nearest site brute-forced with a window
+        # rank — independent of the Spark side's grid blocking
+        "annotate_nearest_site": """
+            WITH mv AS (SELECT (max(p_partkey)+1)*10//9 AS m FROM part),
+            p1 AS (
+                SELECT event_id,
+                       (user_id * 131 + event_id * 7919) % (SELECT m FROM mv) AS k,
+                       event_id % 256 AS z
+                FROM events
+            ),
+            p2 AS (
+                SELECT event_id, 167772160 + k*256 + z AS v
+                FROM p1
+            ),
+            ranges AS (
+                SELECT 167772160 + p_partkey*256 AS low,
+                       167772160 + p_partkey*256 + 255 AS high,
+                       p_brand
+                FROM part
+            ),
+            ann AS (
+                SELECT p2.event_id, r.p_brand AS brand
+                FROM p2 JOIN ranges r ON p2.v BETWEEN r.low AND r.high
+            ),
+            clients AS (
+                SELECT event_id, brand,
+                       (CAST('0x'||substr(md5('clat'||CAST(event_id AS VARCHAR)),1,8) AS BIGINT)
+                            % 120000)/1000.0 - 60.0 AS lat,
+                       (CAST('0x'||substr(md5('clon'||CAST(event_id AS VARCHAR)),1,8) AS BIGINT)
+                            % 360000)/1000.0 - 180.0 AS lon
+                FROM ann
+            ),
+            sites AS (
+                SELECT n_nationkey AS site_id,
+                       (CAST('0x'||substr(md5('slat'||CAST(n_nationkey AS VARCHAR)),1,8) AS BIGINT)
+                            % 120000)/1000.0 - 60.0 AS lat,
+                       (CAST('0x'||substr(md5('slon'||CAST(n_nationkey AS VARCHAR)),1,8) AS BIGINT)
+                            % 360000)/1000.0 - 180.0 AS lon
+                FROM nation
+            ),
+            scored AS (
+                SELECT c.event_id, c.brand, s.site_id,
+                       round(2*6371.0*asin(sqrt(
+                           sin(radians(s.lat-c.lat)/2)*sin(radians(s.lat-c.lat)/2)
+                           + cos(radians(c.lat))*cos(radians(s.lat))
+                             *sin(radians(s.lon-c.lon)/2)*sin(radians(s.lon-c.lon)/2)
+                       )), 6) AS dist_km
+                FROM clients c CROSS JOIN sites s
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY event_id
+                              ORDER BY dist_km, site_id) AS rn
+                FROM scored WHERE dist_km <= 5000.0
+            )
+            SELECT event_id, brand, site_id, dist_km FROM ranked WHERE rn = 1
         """,
         # span-decontamination replay: same tokenization, mask windows
         # via gaps-and-islands (running-max window), coverage via a

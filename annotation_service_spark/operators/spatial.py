@@ -142,3 +142,48 @@ def grid_radius_join(
         .where(F.col("dist_km") <= F.lit(float(radius_km)))
         .drop("cell_lat", "cell_lon", "__vlon", "__dlat", "__dlon")
     )
+
+
+def grid_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 1,
+    radius_km: float = 1000.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "id",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """For each left point, its ``k`` nearest right points WITHIN
+    ``radius_km`` (the nearest-site assignment query: "which serving
+    site is closest to this client"). Built on grid_radius_join's
+    blocked candidates + one per-left-point window rank — the radius
+    bound is what makes k-NN scale-safe here (a global k-NN with no
+    radius would need every left×right pair; production assignment
+    always has a service-radius cutoff, and a left point with NO
+    right point in radius is reported nowhere — callers needing
+    misses left-join the output back).
+
+    Ranking is fully deterministic: (dist_km, right id) — distance
+    first (rounded 1e-6 km upstream), right id as the tie-break so
+    co-located candidates order stably in both engines.
+
+    Returns the radius join's suffixed columns plus ``knn_rank``
+    (1-based)."""
+    from pyspark.sql import Window
+
+    cand = grid_radius_join(
+        left,
+        right,
+        radius_km,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        max_abs_lat=max_abs_lat,
+    )
+    w = Window.partitionBy(id_col + "_l").orderBy(
+        F.col("dist_km"), F.col(id_col + "_r")
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_winnow",
     "decontaminate_spans",
     "geo_radius_join",
+    "annotate_nearest_site",
     "ann_cosine_topk",
     "ann_gemm_topk",
     "ann_lsh_topk",

@@ -52,6 +52,7 @@ QUERIES = [
     "dedup_embedding_lsh", "tpch_q9", "tpch_q13", "tpch_q21",
     # round 10 continuation: the new operator families
     "dedup_jaccard_prefix", "dedup_weighted_jaccard",
+    "annotate_nearest_site",
     "dedup_weighted_minhash", "dedup_winnow", "decontaminate_spans",
     "geo_radius_join",
 ]

@@ -93,3 +93,38 @@ def test_grid_radius_join_polar_guard(spark):
         "id_l < id_r"
     ).collect()
     assert len(ok) == 1  # ~193 km apart at lat 80
+
+
+def test_grid_knn_join_vs_bruteforce(spark):
+    """k-NN assignment against python brute force: every left point
+    gets its k nearest in-radius rights in (dist, id) order; points
+    with nothing in radius are absent; co-located rights tie-break by
+    id deterministically."""
+    from annotation_service_spark.operators.spatial import grid_knn_join
+
+    rng = random.Random(12)
+    lefts = [(i, rng.uniform(-55, 55), rng.uniform(-175, 175)) for i in range(60)]
+    rights = [(100 + j, rng.uniform(-55, 55), rng.uniform(-175, 175)) for j in range(25)]
+    # co-located pair of rights near left 0 for the tie-break
+    rights += [(900, lefts[0][1], lefts[0][2]), (901, lefts[0][1], lefts[0][2])]
+    ldf = spark.createDataFrame(lefts, "id long, lat double, lon double")
+    rdf = spark.createDataFrame(rights, "id long, lat double, lon double")
+    out = grid_knn_join(ldf, rdf, k=2, radius_km=2000.0).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id_l, []).append((r.knn_rank, r.id_r, r.dist_km))
+    exp = {}
+    for li, la, lo in lefts:
+        cands = sorted(
+            (round(_hav((la, lo), (rl, rlon)), 6), rid)
+            for rid, rl, rlon in rights
+            if _hav((la, lo), (rl, rlon)) <= 2000.0
+        )
+        if cands:
+            exp[li] = [(n + 1, rid, d) for n, (d, rid) in enumerate(cands[:2])]
+    assert set(got) == set(exp)
+    for li in exp:
+        assert sorted(got[li]) == exp[li], f"left {li}"
+    # the co-located tie: 900 before 901
+    first = [t for t in got[lefts[0][0]] if t[0] == 1][0]
+    assert first[1] == 900 and first[2] == 0.0

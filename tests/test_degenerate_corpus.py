@@ -111,3 +111,48 @@ def test_tfidf_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert tfidf_shingle_pairs(empty).count() == 0
+
+
+def test_r10_new_operators_degenerate_inputs(spark):
+    """Empty and no-feature corpora through every r10-continuation
+    operator: zero rows out, no crash — the contract every pair stage
+    already honors."""
+    from annotation_service_spark.operators import decontam as dc
+    from annotation_service_spark.operators import dedup as dd
+    from annotation_service_spark.operators.spatial import (
+        grid_knn_join,
+        grid_radius_join,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    tiny = spark.createDataFrame(
+        [(1, "xy"), (2, "")], "doc_id long, text string"
+    )  # no 3-gram features
+    for df in (empty, tiny):
+        assert dd.prefix_filter_jaccard_pairs(df, threshold=0.5).count() == 0
+        assert dd.weighted_jaccard_pairs(df, threshold=0.5).count() == 0
+        assert dd.weighted_minhash_pairs(df, threshold=0.5).count() == 0
+        assert dd.winnow_pairs(df, k=5, window=4).count() == 0
+    # decontaminate_spans: empty corpus -> empty; corpus with no
+    # grams -> rows pass through unmasked (tokens exist, no hits)
+    bench = spark.createDataFrame(
+        [(100, "some benchmark text here")], "doc_id long, text string"
+    )
+    assert dc.decontaminate_spans(empty, bench).count() == 0
+    rows = {r.doc_id: r for r in dc.decontaminate_spans(tiny, bench).collect()}
+    assert rows[1].n_removed == 0 and rows[1].n_spans == 0
+    assert 2 not in rows  # zero tokens -> no row, like the flag form
+    # empty BENCHMARK: nothing masked anywhere
+    docs = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    out = dc.decontaminate_spans(docs, empty).collect()
+    assert out[0].n_removed == 0 and out[0].n_spans == 0
+    # spatial: empty sides
+    epts = spark.createDataFrame([], "id long, lat double, lon double")
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "id long, lat double, lon double"
+    )
+    assert grid_radius_join(epts, pts, 100.0).count() == 0
+    assert grid_radius_join(pts, epts, 100.0).count() == 0
+    assert grid_knn_join(pts, epts, k=1).count() == 0

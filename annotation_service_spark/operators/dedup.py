@@ -568,11 +568,30 @@ def _simhash_band_candidates(
     ≤ probe_bits bits — by pigeonhole that guarantees detection of
     every pair with total hamming ≤ bands·(probe_bits+1)−1 while the
     band keyspace stays the full 2^(bits/bands)."""
+    sh = simhash_table(df, id_col, text_col, ngram, bits).cache()
+    return band_candidates_from_fingerprints(
+        sh, bits, bands, probe_bits, carry_sig
+    )
+
+
+def band_candidates_from_fingerprints(
+    sh: DataFrame,
+    bits: int,
+    bands: int,
+    probe_bits: int,
+    carry_sig: bool,
+) -> DataFrame:
+    """Generic banded candidate join over ANY (id, sh) fingerprint
+    table (simhash, image phash, audio fingerprint): shift+mask band
+    keys, multi-probe self-equi-join, deduped (id_a, id_b) pairs
+    (optionally carrying both fingerprints for a hamming verify).
+    Fingerprints are signed longs; arithmetic shiftright's sign fill
+    lands above the band mask, so keys are correct for any bit
+    pattern with bit 63 clear."""
     from annotation_service_spark.operators.similarity import _probe_keys
 
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
-    sh = simhash_table(df, id_col, text_col, ngram, bits).cache()
     band_arr = F.array(
         *[
             F.struct(

@@ -1299,3 +1299,131 @@ def resize_media(
     return media.select(id_col, media_col).mapInPandas(
         fn, f"{id_col} long, payload binary, width int, height int, resized boolean"
     )
+
+
+_DCT32 = None
+
+
+def _dct32_basis() -> np.ndarray:
+    """Orthonormal 32x32 DCT-II basis (the 8x8 _dct_basis at pHash
+    size): C = A @ img @ A.T concentrates image energy in the
+    top-left coefficients."""
+    global _DCT32
+    if _DCT32 is None:
+        a = np.zeros((32, 32))
+        for u in range(32):
+            c = np.sqrt(1.0 / 32) if u == 0 else np.sqrt(2.0 / 32)
+            for x in range(32):
+                a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 64)
+        _DCT32 = a
+    return _DCT32
+
+
+def phash63(img: np.ndarray) -> int:
+    """63-bit perceptual image hash (the classic pHash recipe —
+    public: Zauner 2010 / the pHash.org algorithm): luma → 32x32
+    nearest resize → 32x32 DCT-II → top-left 8x8 block minus the DC
+    term (63 low-frequency coefficients) → 1 bit per coefficient
+    above their median. Structural: recompression, mild noise, and
+    small edits move few bits; unrelated images differ in ~31.
+
+    63 bits (not 64) so the hash always fits a SIGNED Spark long
+    with bit 63 clear — the banded join's shift+mask keys then never
+    see sign fill. Median split guarantees a balanced 31/32 bit
+    pattern, so the hamming scale is corpus-independent."""
+    if img.ndim == 3:
+        # integer-exact luma (ITU-R 601 weights scaled by 1000) then
+        # one float division — deterministic everywhere
+        g = (
+            299 * img[:, :, 0].astype(np.int64)
+            + 587 * img[:, :, 1].astype(np.int64)
+            + 114 * img[:, :, 2].astype(np.int64)
+        ).astype(np.float64) / 1000.0
+    else:
+        g = img.astype(np.float64)
+    g32 = resize_nearest(g[:, :, None], 32, 32)[:, :, 0]
+    a = _dct32_basis()
+    coef = a @ g32 @ a.T
+    ac = coef[:8, :8].reshape(-1)[1:]  # row-major, DC dropped
+    med = float(np.median(ac))
+    h = 0
+    for i, v in enumerate(ac):
+        if v > med:
+            h |= 1 << i
+    return h
+
+
+def image_phash_table(
+    media: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """(id, sh, decoded) — 63-bit pHash per decodable image payload
+    (PPM/PNG/JPEG via this module's real codecs), as one Arrow-batched
+    mapInPandas pass. Payloads no codec accepts emit
+    (id, sh=0, decoded=false) — skip-don't-kill, like
+    decode_features. The (id, sh) projection feeds
+    ``dedup.band_candidates_from_fingerprints`` exactly like a
+    simhash table."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            ids, hs, flags = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(payload)
+                img = None
+                for dec in (decode_ppm, decode_png, decode_jpeg):
+                    try:
+                        img = dec(payload)
+                        break
+                    except (ValueError, IndexError, OSError):
+                        continue
+                ids.append(mid)
+                if img is None:
+                    hs.append(0)
+                    flags.append(False)
+                else:
+                    hs.append(phash63(img))
+                    flags.append(True)
+            yield pd.DataFrame({"id": ids, "sh": hs, "decoded": flags})
+
+    return media.select(
+        F.col(id_col).alias(id_col), media_col
+    ).mapInPandas(fn, "id long, sh long, decoded boolean")
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 7,
+    probe_bits: int = 0,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: pHash table → banded
+    candidate join (7 bands × 9-bit keys over the 63-bit hash;
+    pigeonhole guarantees every pair with hamming <= bands-1 = 6 at
+    probe_bits=0, the recompression/mild-edit radius) → xor-popcount
+    verify. Returns (id_a, id_b, hamming). Undecodable payloads are
+    excluded before banding (their sh=0 rows would otherwise all
+    collide). Scale shape identical to simhash_pairs: band keys are
+    uniform hash bits, candidates ∝ true near-dups, no all-pairs."""
+    from annotation_service_spark.operators.dedup import (
+        band_candidates_from_fingerprints,
+    )
+
+    sh = (
+        image_phash_table(media, id_col, media_col)
+        .where(F.col("decoded"))
+        .select("id", "sh")
+        .cache()
+    )
+    cand = band_candidates_from_fingerprints(
+        sh, 63, bands, probe_bits, carry_sig=True
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -299,3 +299,88 @@ def test_jpeg_partial_component_scan_rejected():
     bad = payload[:i] + new_seg + payload[i + 2 + seglen :]
     with pytest.raises(ValueError, match="multi-scan baseline"):
         mm._jpeg_decode_blocks(bad)
+
+
+def _ppm_bytes(arr):
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _gradient_img(seed, h=48, w=64, noise=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x * 255 / w + y * 97 / h) % 256).astype(np.int64)
+    img = np.stack([base, (base * 2) % 256, (255 - base) % 256], axis=2)
+    if noise:
+        img = img + rng.randint(-noise, noise + 1, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_phash_structural_properties():
+    """phash63: identical image -> hamming 0; mildly-noised version
+    of the same structure -> small hamming; structurally unrelated
+    images -> near the 31-bit expectation; always 63-bit balanced."""
+    from annotation_service_spark.operators import multimodal as mm
+
+    a = mm.phash63(_gradient_img(1))
+    a2 = mm.phash63(_gradient_img(1))
+    near = mm.phash63(_gradient_img(1, noise=6))
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    unrelated = mm.phash63(rng.randint(0, 256, (48, 64, 3)).astype(np.uint8))
+    assert a == a2
+    assert a < 1 << 63 and a >= 0
+    assert bin(a).count("1") in (31, 32)  # median split balance
+    d_near = bin(a ^ near).count("1")
+    d_far = bin(a ^ unrelated).count("1")
+    assert d_near <= 6, d_near
+    assert d_far >= 18, d_far
+    # grayscale path and resize invariance of structure
+    g = mm.phash63(_gradient_img(1)[:, :, 0])
+    assert isinstance(g, int)
+
+
+def test_image_phash_pairs_pipeline(spark):
+    """End-to-end perceptual dedup through Spark: planted noised
+    twins pair up within the guaranteed hamming radius, unrelated
+    images do not, and undecodable payloads are skipped (not crashed,
+    and their sh=0 rows never collide into fake pairs)."""
+    import numpy as np
+
+    from annotation_service_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(8):
+        rows.append((i, bytearray(_ppm_bytes(_gradient_img(i)))))
+    # noised twins of 0 and 3
+    rows.append((100, bytearray(_ppm_bytes(_gradient_img(0, noise=5)))))
+    rows.append((103, bytearray(_ppm_bytes(_gradient_img(3, noise=5)))))
+    # unrelated random images + undecodable junk
+    rng = np.random.RandomState(77)
+    for j in range(4):
+        rows.append(
+            (200 + j, bytearray(_ppm_bytes(rng.randint(0, 256, (40, 40, 3)))))
+        )
+    rows.append((300, bytearray(b"not an image at all")))
+    rows.append((301, bytearray(b"junk junk junk")))
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+
+    tbl = {r.id: (r.sh, r.decoded) for r in mm.image_phash_table(df).collect()}
+    assert not tbl[300][1] and not tbl[301][1]
+    assert all(tbl[i][1] for i in range(8))
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.image_phash_pairs(df, max_hamming=6).collect()
+    }
+    assert (0, 100) in pairs and (3, 103) in pairs
+    assert all(a != 300 and a != 301 and b != 300 and b != 301 for a, b in pairs)
+    # python-side differential: every reported pair's hamming matches
+    # the phash63 recomputation
+    for (a, b), hm in pairs.items():
+        assert bin(tbl[a][0] ^ tbl[b][0]).count("1") == hm

@@ -198,3 +198,75 @@ def test_resize_media_roundtrips_ppm(spark):
     ref = resize_nearest(px.reshape(h, w, 3).astype(np.uint8), 16, 12)
     assert np.array_equal(back, ref)
     assert not out[2].resized and bytes(out[2].payload) == b"not an image"
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        x = np.clip(np.asarray(samples) * 32767, -32768, 32767).astype("<i2")
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _tone_mix(seed, n=4000, noise=0.0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 8000.0
+    x = np.zeros(n)
+    for _ in range(3):
+        f = rng.uniform(100, 3000)
+        x += rng.uniform(0.2, 0.5) * np.sin(2 * np.pi * f * t)
+    if noise:
+        x += rng.normal(0, noise, n)
+    return x / np.max(np.abs(x))
+
+
+def test_afp_structural_properties():
+    """afp63: identical clip -> 0 hamming; noised/rescaled variant ->
+    small hamming; different tonal content -> large; 63-bit range."""
+    from annotation_service_spark.operators import multimodal as mm
+
+    a = mm.afp63(_tone_mix(1))
+    assert a == mm.afp63(_tone_mix(1))
+    assert 0 <= a < 1 << 63
+    # amplitude invariance: scaling the waveform changes nothing
+    assert mm.afp63(_tone_mix(1) * 0.3) == a
+    near = mm.afp63(_tone_mix(1, noise=0.02))
+    far = mm.afp63(_tone_mix(2))
+    d_near = bin(a ^ near).count("1")
+    d_far = bin(a ^ far).count("1")
+    assert d_near <= 6, d_near
+    assert d_far >= 10, d_far
+
+
+def test_audio_fingerprint_pairs_pipeline(spark):
+    """End-to-end audio near-dup through Spark: noised re-encodes
+    pair with their originals inside the guaranteed radius; unrelated
+    clips and undecodable payloads never pair."""
+    from annotation_service_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(6):
+        rows.append((i, bytearray(_wav_bytes(_tone_mix(i)))))
+    rows.append((100, bytearray(_wav_bytes(_tone_mix(0, noise=0.02)))))
+    rows.append((104, bytearray(_wav_bytes(_tone_mix(4, noise=0.02)))))
+    rows.append((300, bytearray(b"definitely not audio")))
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    tbl = {r.id: r for r in mm.audio_fingerprint_table(df).collect()}
+    assert not tbl[300].decoded and all(tbl[i].decoded for i in range(6))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.audio_fingerprint_pairs(df, max_hamming=6).collect()
+    }
+    assert (0, 100) in pairs and (4, 104) in pairs
+    assert all(300 not in p for p in pairs)

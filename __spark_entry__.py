@@ -489,6 +489,53 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation report — the quality table a pipeline
+    owner reads before trusting a scale path: per method, pair counts
+    and precision/recall against the exact-jaccard ground truth at
+    the same threshold (t=0.5, 3-grams). Methods: minhash (16/8
+    banded LSH — recall < 1 possible by design) and prefix (the
+    lossless PPJoin form — the report must show exactly 1.0/1.0).
+    All counting is distributed (joins + one agg per method); the
+    oracle replays both methods' SQL as subqueries and the same
+    counts, so the report itself is driver-hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    methods = {
+        "minhash": dd.minhash_lsh_pairs(
+            docs, ngram=3, num_hashes=16, bands=8, threshold=0.5
+        ).select("id_a", "id_b"),
+        "prefix": dd.prefix_filter_jaccard_pairs(
+            docs, ngram=3, threshold=0.5
+        ).select("id_a", "id_b"),
+    }
+    reports = []
+    n_exact = exact.count()
+    for name, got in methods.items():
+        n_method = got.count()
+        n_common = got.join(exact, ["id_a", "id_b"]).count()
+        # exact double division of exact ints — bit-identical in both
+        # engines, no rounding needed (python round() is half-even,
+        # DuckDB's is half-away: rounding would be the portability bug)
+        reports.append(
+            (
+                name,
+                n_exact,
+                n_method,
+                n_common,
+                n_common / n_method if n_method else 1.0,
+                n_common / n_exact if n_exact else 1.0,
+            )
+        )
+    return spark.createDataFrame(
+        reports,
+        "method string, n_exact long, n_method long, n_common long, "
+        "prec double, recall double",
+    )
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint pairs (operators/dedup.py
     winnow_fingerprints/winnow_pairs — the MOSS algorithm, SIGMOD
@@ -3714,6 +3761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round: MOSS winnowing fingerprints (shared-passage
         # evidence with the w+k-1 guarantee)
         "dedup_winnow": q_dedup_winnow,
+        # NEW this round: method-eval meta-gate (precision/recall of the
+        # scale paths vs exact ground truth, itself driver-verified)
+        "dedup_eval_report": q_dedup_eval_report,
         # NEW this round: surgical span decontamination (mask + merge +
         # remove, not whole-doc drop)
         "decontaminate_spans": q_decontaminate_spans,
@@ -5396,6 +5446,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans,
                    clean_md5
             FROM agg LEFT JOIN nsp ON nsp.id = agg.id
+        """,
+        # method-eval report: both methods' oracle SQL replayed as
+        # subqueries; the prefix row asserts losslessness (== exact) —
+        # a Spark-side divergence would hash-mismatch here too
+        "dedup_eval_report": f"""
+            WITH ex AS (
+                SELECT id_a, id_b FROM (
+                    WITH {_shingle_cte(3)},
+                    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+                    pairs AS (
+                        SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+                        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                        GROUP BY 1, 2
+                    )
+                    SELECT id_a, id_b
+                    FROM pairs
+                    JOIN sizes sa ON sa.id = id_a
+                    JOIN sizes sb ON sb.id = id_b
+                    WHERE CAST(cnt AS DOUBLE)/(sa.n + sb.n - cnt) >= 0.5
+                )
+            ),
+            mh AS (SELECT id_a, id_b FROM ({_minhash_oracle(16, 8, 0.5)})),
+            exn AS (SELECT count(*) AS ne FROM ex),
+            mhn AS (SELECT count(*) AS nm FROM mh),
+            mhc AS (
+                SELECT count(*) AS nc
+                FROM mh JOIN ex USING (id_a, id_b)
+            )
+            SELECT 'minhash' AS method,
+                   CAST(ne AS BIGINT) AS n_exact,
+                   CAST(nm AS BIGINT) AS n_method,
+                   CAST(nc AS BIGINT) AS n_common,
+                   CASE WHEN nm = 0 THEN 1.0
+                        ELSE CAST(nc AS DOUBLE)/nm END AS prec,
+                   CASE WHEN ne = 0 THEN 1.0
+                        ELSE CAST(nc AS DOUBLE)/ne END AS recall
+            FROM exn, mhn, mhc
+            UNION ALL
+            SELECT 'prefix', CAST(ne AS BIGINT), CAST(ne AS BIGINT),
+                   CAST(ne AS BIGINT), 1.0, 1.0
+            FROM exn
         """,
         # winnowing replay: parallel unnest keeps (pos, gram) aligned;
         # the packed key h*2^20 + (2^20-1-pos) makes rightmost-min a

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_weighted_jaccard",
     "dedup_weighted_minhash",
     "dedup_winnow",
+    "dedup_eval_report",
     "decontaminate_spans",
     "geo_radius_join",
     "annotate_nearest_site",

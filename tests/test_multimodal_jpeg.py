@@ -313,7 +313,11 @@ def _gradient_img(seed, h=48, w=64, noise=0):
 
     rng = np.random.RandomState(seed)
     y, x = np.mgrid[0:h, 0:w]
-    base = ((x * 255 / w + y * 97 / h) % 256).astype(np.int64)
+    # the base STRUCTURE must depend on the seed (an early version
+    # seeded only the noise, so every "different" image was identical)
+    base = (
+        (x * (11 + 3 * seed) / w * 23 + y * (5 + 7 * seed) / h * 31) % 256
+    ).astype(np.int64)
     img = np.stack([base, (base * 2) % 256, (255 - base) % 256], axis=2)
     if noise:
         img = img + rng.randint(-noise, noise + 1, img.shape)
@@ -384,3 +388,43 @@ def test_image_phash_pairs_pipeline(spark):
     # the phash63 recomputation
     for (a, b), hm in pairs.items():
         assert bin(tbl[a][0] ^ tbl[b][0]).count("1") == hm
+
+
+def test_video_near_dup_pairs(spark):
+    """Video near-dup over frame pHash band-key sets: a noised
+    re-encode pairs with its original near jaccard 1.0; a video
+    sharing half its frames scores ~the shared fraction; unrelated
+    videos never pair; undecodable frames are skipped not fatal."""
+    import numpy as np
+
+    from annotation_service_spark.operators import multimodal as mm
+
+    def frames(seed_list, noise=0):
+        return [bytearray(_ppm_bytes(_gradient_img(s, noise=noise))) for s in seed_list]
+
+    rows = [
+        (1, frames([0, 1, 2, 3, 4, 5])),
+        (2, frames([0, 1, 2, 3, 4, 5], noise=4)),       # noised re-encode of 1
+        (6, frames([0, 1, 2, 3, 4, 5])),                # exact copy of 1
+        (3, frames([0, 1, 2, 30, 31, 32])),             # shares half of 1's scenes
+        (4, frames([40, 41, 42, 43, 44, 45])),          # unrelated
+        (5, frames([50, 51]) + [bytearray(b"junk frame")]),  # partial junk
+    ]
+    df = spark.createDataFrame(rows, "media_id long, frames array<binary>")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in mm.video_near_dup_pairs(df, threshold=0.05).collect()
+    }
+    assert pairs[(1, 6)] == 1.0                          # exact copy
+    assert pairs[(1, 2)] >= 0.4, pairs.get((1, 2))       # noised re-encode
+    assert 0.2 <= pairs[(1, 3)] <= 0.5, pairs.get((1, 3))  # scene subset
+    assert pairs[(1, 2)] > pairs[(1, 3)]                 # graded ordering
+    assert (1, 4) not in pairs and (2, 4) not in pairs   # unrelated
+    assert all(5 not in p or pairs[p] < 0.2 for p in pairs)
+    # frame sampling: every_n=2 halves the feature set but keeps the
+    # exact-copy and re-encode pairs
+    sampled = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in mm.video_near_dup_pairs(df, every_n=2, threshold=0.3).collect()
+    }
+    assert (1, 6) in sampled and (1, 2) in sampled

@@ -246,3 +246,66 @@ def test_pubsub_real_client_import_gated():
         pass
     with _pytest.raises(ImportError, match="staging"):
         rf.start_pubsub_subscriber("proj", "downloader-new-files", "/tmp/x")
+
+
+def test_stream_annotate_nearest_site_equals_batch(spark, tmp_path):
+    """Serving-loop composition under streaming: a file stream of
+    probe events -> foreachBatch(annotate + nearest-site assignment)
+    -> parquet sink must equal the batch annotate_nearest_site gate
+    row-for-row. foreachBatch is the right host for the k-NN stage
+    (window ranks are illegal on a streaming DF but fine inside the
+    batch callback — the production micro-batch serving pattern)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r.event_id, r.brand, r.site_id, r.dist_km)
+        for r in em.q_annotate_nearest_site(spark, sf).collect()
+    }
+    # stream the events table in as files (2 chunks -> >= 2 batches)
+    src = tmp_path / "probes"
+    src.mkdir()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n = ev.count()
+    half = ev.limit(n // 2)
+    rest = ev.subtract(half)
+    half.write.mode("overwrite").parquet(str(src / "a"))
+    rest.write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(str(src / "*"))
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def process(batch_df, epoch_id):
+        import __spark_entry__ as em2
+
+        # replay the batch composition over this micro-batch's probes:
+        # swap the events source for the batch rows via a temp view
+        batch_df.createOrReplaceTempView("__stream_probes")
+        spark2 = batch_df.sparkSession
+        # the gate reads events from parquet; rebuild its pipeline on
+        # the batch rows by monkey-wiring _t for this call
+        orig = em2._t
+        try:
+            em2._t = lambda s, d, name: (
+                spark2.table("__stream_probes") if name == "events"
+                else orig(s, d, name)
+            )
+            res = em2.q_annotate_nearest_site(spark2, sf)
+            res.write.mode("append").parquet(out_dir)
+        finally:
+            em2._t = orig
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.brand, r.site_id, r.dist_km)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want and len(got) > 0

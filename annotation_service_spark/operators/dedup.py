@@ -1445,3 +1445,57 @@ def incremental_minhash_dedup(
         .distinct()
     )
     return fresh.join(dominated, "id", "left_anti").select("id", *mh_cols)
+
+
+def lsh_band_plan(
+    threshold: float, num_hashes: int | None = None, max_hashes: int = 256
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) so the banded-LSH S-curve's
+    50%-candidacy point sits at ``threshold`` (MMDS ch. 3, public:
+    candidacy P(j) = 1 - (1 - j^r)^b crosses 1/2 near
+    (1/b)^(1/r)). With ``num_hashes`` fixed, picks the factorization
+    b*r = num_hashes minimizing |(1/b)^(1/r) - threshold|. Otherwise
+    searches b*r <= max_hashes and, among plans within 0.02 of the
+    target, returns the SHARPEST curve the budget allows (largest
+    b*r, then deepest rows): a tiny plan like (b=2, r=1) can sit
+    exactly on the 50% point while being nearly linear — sharpness,
+    not signature size, is what separates dups from background; the
+    caller caps the cost via num_hashes / max_hashes.
+
+    Pure planning arithmetic (no Spark): feed the result to
+    minhash_signatures/minhash_lsh_pairs. Raises on unreachable
+    targets instead of silently returning a far-off curve."""
+    if not (0.05 <= threshold <= 0.95):
+        raise ValueError("threshold outside the plannable (0.05, 0.95) range")
+
+    def crossing(b: int, r: int) -> float:
+        return (1.0 / b) ** (1.0 / r)
+
+    cands: list[tuple[float, int, int, tuple[int, int]]] = []
+    if num_hashes is not None:
+        for b in range(1, num_hashes + 1):
+            if num_hashes % b == 0:
+                r = num_hashes // b
+                cands.append(
+                    (abs(crossing(b, r) - threshold), num_hashes, r, (b, r))
+                )
+        cands.sort(key=lambda t: t[0])
+    else:
+        for total in range(4, max_hashes + 1):
+            for b in range(2, total + 1):
+                if total % b == 0:
+                    r = total // b
+                    if r < 2:
+                        continue  # r=1 curves are linear, never sharp
+                    err = abs(crossing(b, r) - threshold)
+                    if err <= 0.02:
+                        cands.append((err, total, r, (b, r)))
+        # sharpest within tolerance: largest signature, then deepest
+        # rows, then smallest error
+        cands.sort(key=lambda t: (-t[1], -t[2], t[0]))
+    if not cands:
+        raise ValueError(
+            f"no b*r plan within tolerance of threshold {threshold}; "
+            f"raise max_hashes (searched <= {max_hashes})"
+        )
+    return cands[0][3]

@@ -500,16 +500,21 @@ def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays both methods' SQL as subqueries and the same
     counts, so the report itself is driver-hash-verified."""
     docs = _t(spark, sf_dir, "documents")
-    exact = dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5).select(
-        "id_a", "id_b"
+    # cache each PAIR SET (tiny: the near-dup pairs, not the corpus) —
+    # without it every count/intersection replays the whole pipeline
+    # (measured 21.5 s -> the cached form's cost is one run of each)
+    exact = (
+        dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .cache()
     )
     methods = {
         "minhash": dd.minhash_lsh_pairs(
             docs, ngram=3, num_hashes=16, bands=8, threshold=0.5
-        ).select("id_a", "id_b"),
+        ).select("id_a", "id_b").cache(),
         "prefix": dd.prefix_filter_jaccard_pairs(
             docs, ngram=3, threshold=0.5
-        ).select("id_a", "id_b"),
+        ).select("id_a", "id_b").cache(),
     }
     reports = []
     n_exact = exact.count()

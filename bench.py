@@ -216,6 +216,11 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_weighted_jaccard",
+    "dedup_weighted_minhash",
+    "dedup_winnow",
+    "decontaminate_spans",
     "text_metrics",
     "lang_id",
     "pii_redact",
@@ -906,6 +911,10 @@ def main() -> None:
             "dedup_simhash",
             "span_dedup",
             "pipeline_full",
+            # r10 continuation: the weighted family's LSH path one
+            # decade further out — its tf-expansion must not change
+            # the banded join's scale shape
+            "dedup_weighted_minhash",
         ):
             run_median3(sf100_docs_timings, name, sf100d_dir)
         spark.catalog.clearCache()

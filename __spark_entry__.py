@@ -3734,87 +3734,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_annotate(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Gate registry. ORDER MATTERS: the correctness driver verifies the
-    FIRST ~50 entries (rows+schema+value-hash vs the DuckDB oracle), so the
-    newest / riskiest gates go first (VERDICT r3 top item), then the gates
-    touched by this round's code changes, then a rotation of long-stale
-    stable gates fills the window, then the remainder (each hash-green in
-    an earlier round's CORRECTNESS_r*.json; the r6/r7 window gates sit
-    LAST — they carry the freshest driver evidence)."""
+DRIVER_WINDOW = 50  # the correctness driver hash-verifies the FIRST this-many
+
+
+def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The exactly-DRIVER_WINDOW gates the r11 driver run verifies
+    (rows + schema + value-hash vs the DuckDB oracle).  Composition,
+    per VERDICT r10 items 1 and 8: the gates whose source this round's
+    code changes touch go first, then the 25 gates whose newest driver
+    evidence was round 7 (the full recomputed list — the r10 boundary
+    comment had drifted 8 positions and hid 8 of them), then a fill of
+    the oldest round-8 gates.  `queries()` asserts the count so a
+    rotation edit can never silently misplace the boundary again."""
     return {
-        # -- gates touched by round-10 code ---------------------------------
-        # cap_shingles: cache-leak fix + size-gated broadcast-literal hot set
-        "pipeline_full": q_pipeline_full,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_containment": q_dedup_containment,
-        # connected_components: null-drop before the local probe
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "leakage_safe_split": q_leakage_safe_split,
-        # session broadcast-threshold split (static 8MB / adaptive 64MB)
-        # re-plans every join; the streaming gate exercises the most paths
-        "stream_annotate": q_stream_annotate,
-        # NEW this round: PPJoin-style prefix-filter exact jaccard (t=0.8);
-        # same oracle family as dedup_ngram_jaccard — the gate proves the
-        # prefix filter lossless end-to-end
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        # NEW this round: weighted (multiset) jaccard — exact form +
-        # tf-expansion MinHash LSH scale path
-        "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
-        "dedup_weighted_minhash": q_dedup_weighted_minhash,
-        # NEW this round: MOSS winnowing fingerprints (shared-passage
-        # evidence with the w+k-1 guarantee)
-        "dedup_winnow": q_dedup_winnow,
-        # NEW this round: method-eval meta-gate (precision/recall of the
-        # scale paths vs exact ground truth, itself driver-verified)
-        "dedup_eval_report": q_dedup_eval_report,
-        # NEW this round: surgical span decontamination (mask + merge +
-        # remove, not whole-doc drop)
-        "decontaminate_spans": q_decontaminate_spans,
-        # NEW this round: spatial radius join (grid-cell blocking vs an
-        # independent brute-force oracle)
+        # -- touched by round-11 code (spatial antimeridian-overlap guard,
+        #    fingerprint-family cache lifecycle, eval-report unpersists) --
         "geo_radius_join": q_geo_radius_join,
-        # NEW this round: annotate -> nearest-site serving composition
         "annotate_nearest_site": q_annotate_nearest_site,
-        # -- the 23 gates whose newest driver row was round 5 (VERDICT r9 #1)
-        "nation_volume": q_nation_volume,
-        "percentile_approx": q_percentile_approx,
-        "posting_lists": q_posting_lists,
-        "profile_approx": q_profile_approx,
-        "profile_table": q_profile_table,
-        "scalar_subquery": q_scalar_subquery,
-        "scd_asof": q_scd_asof,
-        "semi_join": q_semi_join,
-        "set_ops": q_set_ops,
-        "table_digest": q_table_digest,
-        "temperature_mix": q_temperature_mix,
-        "text_normalize": q_text_normalize,
-        "tfidf_pairs": q_tfidf_pairs,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "trailing_window": q_trailing_window,
-        "unigram_nll": q_unigram_nll,
-        "unpivot_measures": q_unpivot_measures,
-        "weighted_sample": q_weighted_sample,
-        "weighted_sample_stratified": q_weighted_sample_stratified,
-        # -- rotation fill: 20 of the 37 round-7 gates (oldest remaining
-        #    evidence pool; the other 17 head the round-11 rotation)
-        "bloom_join": q_bloom_join,
-        "cume_dist": q_cume_dist,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "dsir_resample": q_dsir_resample,
-        "embedding_decontam": q_embedding_decontam,
-        "epoch_shuffle": q_epoch_shuffle,
-        "event_transitions": q_event_transitions,
-        "filter_calibration": q_filter_calibration,
-        "first_last_ignore_nulls": q_first_last_ignore_nulls,
-        "fuzzy_match": q_fuzzy_match,
-        "interval_overlap_join": q_interval_overlap_join,
+        "dedup_weighted_minhash": q_dedup_weighted_minhash,
+        "dedup_eval_report": q_dedup_eval_report,
+        # -- the 25 gates whose newest driver row was round 7 ------------
         "kmeans_fixed": q_kmeans_fixed,
         "knn_pagerank_lsh": q_knn_pagerank_lsh,
         "mom_revenue": q_mom_revenue,
@@ -3823,16 +3763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "perceptron_filter": q_perceptron_filter,
         "pmi_collocations": q_pmi_collocations,
-        # ==== ~driver window boundary (50) ================================
-        # below: hash-green in an earlier round's CORRECTNESS_r*.json;
-        # the remaining 17 round-7 gates head the round-11 rotation
         "price_ranks": q_price_ranks,
         "robust_outliers": q_robust_outliers,
         "session_rollup": q_session_rollup,
         "source_kl": q_source_kl,
         "stats_agg": q_stats_agg,
-        "stream_rollup": q_stream_rollup,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_rollup": q_stream_rollup,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
@@ -3843,46 +3780,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "zorder_layout": q_zorder_layout,
-        # -- the r8 window (rotated out in r9) ------------------------------
-        "tpch_q9": q_tpch_q9,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q21": q_tpch_q21,
-        "corpus_curation": q_corpus_curation,
-        "vocab_topk": q_vocab_topk,
-        "pack_chunks": q_pack_chunks,
-        "heavy_hitters": q_heavy_hitters,
+        # -- fill: 20 of the 38 round-8 gates (oldest remaining pool) ----
         "annotate": q_annotate,
-        "triangle_count": q_triangle_count,
-        "kcore": q_kcore,
-        "lpa_communities": q_lpa_communities,
-        "range_lookup": q_range_lookup,
+        "annotate_multisnapshot": q_annotate_multisnapshot,
+        "asn_decode": q_asn_decode,
         "asof_select": q_asof_select,
-        "tpch_q1": q_tpch_q1,
-        "interval_flatten": q_interval_flatten,
-        "merge_annotators": q_merge_annotators,
+        "corpus_curation": q_corpus_curation,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "legacy_annotate": q_legacy_annotate,
-        "skew_join": q_skew_join,
-        "interval_merge": q_interval_merge,
-        "sessionize": q_sessionize,
-        "histogram": q_histogram,
-        "asn_decode": q_asn_decode,
-        "response_keys": q_response_keys,
-        "decontaminate": q_decontaminate,
-        "repetition_filter": q_repetition_filter,
         "group_quantiles": q_group_quantiles,
-        "text_metrics": q_text_metrics,
+        "heavy_hitters": q_heavy_hitters,
+        "histogram": q_histogram,
+        "interval_flatten": q_interval_flatten,
+        "interval_merge": q_interval_merge,
+        "kcore": q_kcore,
         "lang_id": q_lang_id,
+        "legacy_annotate": q_legacy_annotate,
+        "lpa_communities": q_lpa_communities,
+        "merge_annotators": q_merge_annotators,
+        "pack_chunks": q_pack_chunks,
+        "range_lookup": q_range_lookup,
+    }
+
+
+def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates below the driver window — every one hash-green in an earlier
+    round's CORRECTNESS_r*.json over since-unchanged source.  Ordered
+    oldest evidence first so the next rotation is a straight slice: the
+    18 remaining round-8 gates head the r12 window, then the r9 cohort,
+    then the r10 cohort (freshest evidence, rotated out last)."""
+    return {
+        # -- remaining round-8 gates (head of the r12 rotation) ----------
+        "repetition_filter": q_repetition_filter,
+        "response_keys": q_response_keys,
+        "sessionize": q_sessionize,
+        "skew_agg": q_skew_agg,
+        "skew_join": q_skew_join,
+        "stratified_sample": q_stratified_sample,
+        "text_metrics": q_text_metrics,
+        "topk_per_group": q_topk_per_group,
+        "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
-        "topk_per_group": q_topk_per_group,
-        "annotate_multisnapshot": q_annotate_multisnapshot,
-        "stratified_sample": q_stratified_sample,
-        "skew_agg": q_skew_agg,
+        "tpch_q13": q_tpch_q13,
         "tpch_q20": q_tpch_q20,
-        # -- the r9 window (freshest driver evidence, rotated out) ---------
+        "tpch_q21": q_tpch_q21,
+        "triangle_count": q_triangle_count,
+        "vocab_topk": q_vocab_topk,
+        # -- the r9 cohort ----------------------------------------------
         "ann_gemm_topk": q_ann_gemm_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -3926,7 +3874,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "knn_pagerank": q_knn_pagerank,
         "linear_interp": q_linear_interp,
+        # -- the r10 cohort (freshest driver evidence) -------------------
+        "pipeline_full": q_pipeline_full,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "leakage_safe_split": q_leakage_safe_split,
+        "stream_annotate": q_stream_annotate,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
+        "dedup_winnow": q_dedup_winnow,
+        "decontaminate_spans": q_decontaminate_spans,
+        "nation_volume": q_nation_volume,
+        "percentile_approx": q_percentile_approx,
+        "posting_lists": q_posting_lists,
+        "profile_approx": q_profile_approx,
+        "profile_table": q_profile_table,
+        "scalar_subquery": q_scalar_subquery,
+        "scd_asof": q_scd_asof,
+        "semi_join": q_semi_join,
+        "set_ops": q_set_ops,
+        "table_digest": q_table_digest,
+        "temperature_mix": q_temperature_mix,
+        "text_normalize": q_text_normalize,
+        "tfidf_pairs": q_tfidf_pairs,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "trailing_window": q_trailing_window,
+        "unigram_nll": q_unigram_nll,
+        "unpivot_measures": q_unpivot_measures,
+        "weighted_sample": q_weighted_sample,
+        "weighted_sample_stratified": q_weighted_sample_stratified,
+        "bloom_join": q_bloom_join,
+        "cume_dist": q_cume_dist,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dsir_resample": q_dsir_resample,
+        "embedding_decontam": q_embedding_decontam,
+        "epoch_shuffle": q_epoch_shuffle,
+        "event_transitions": q_event_transitions,
+        "filter_calibration": q_filter_calibration,
+        "first_last_ignore_nulls": q_first_last_ignore_nulls,
+        "fuzzy_match": q_fuzzy_match,
+        "interval_overlap_join": q_interval_overlap_join,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry.  ORDER MATTERS: the correctness driver verifies the
+    FIRST DRIVER_WINDOW entries, so staleness rotation is done by editing
+    `_window_gates` / `_backlog_gates`; the asserts below make a
+    miscounted rotation fail every pytest run instead of silently
+    shifting the boundary (VERDICT r10 nit 1)."""
+    window = _window_gates()
+    backlog = _backlog_gates()
+    assert len(window) == DRIVER_WINDOW, (
+        f"_window_gates must hold exactly {DRIVER_WINDOW} gates, "
+        f"got {len(window)}"
+    )
+    dup = window.keys() & backlog.keys()
+    assert not dup, f"gates listed in both window and backlog: {sorted(dup)}"
+    return {**window, **backlog}
 
 
 def _shingle_cte(n: int = 3) -> str:

@@ -26,6 +26,7 @@ from annotation_service_spark.operators import decontam as dc
 from annotation_service_spark.operators import dedup as dd
 from annotation_service_spark.operators import interval as iv
 from annotation_service_spark.operators import similarity as sim
+from annotation_service_spark.caching import scoped_cache
 from annotation_service_spark.sources.testdata import TABLES, load_table
 
 _t = load_table
@@ -503,18 +504,24 @@ def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache each PAIR SET (tiny: the near-dup pairs, not the corpus) —
     # without it every count/intersection replays the whole pipeline
     # (measured 21.5 s -> the cached form's cost is one run of each)
-    exact = (
+    exact = scoped_cache(
+        "entry.eval_report.exact",
         dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5)
-        .select("id_a", "id_b")
-        .cache()
+        .select("id_a", "id_b"),
     )
     methods = {
-        "minhash": dd.minhash_lsh_pairs(
-            docs, ngram=3, num_hashes=16, bands=8, threshold=0.5
-        ).select("id_a", "id_b").cache(),
-        "prefix": dd.prefix_filter_jaccard_pairs(
-            docs, ngram=3, threshold=0.5
-        ).select("id_a", "id_b").cache(),
+        "minhash": scoped_cache(
+            "entry.eval_report.minhash",
+            dd.minhash_lsh_pairs(
+                docs, ngram=3, num_hashes=16, bands=8, threshold=0.5
+            ).select("id_a", "id_b"),
+        ),
+        "prefix": scoped_cache(
+            "entry.eval_report.prefix",
+            dd.prefix_filter_jaccard_pairs(
+                docs, ngram=3, threshold=0.5
+            ).select("id_a", "id_b"),
+        ),
     }
     reports = []
     n_exact = exact.count()
@@ -688,7 +695,10 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 100 == 0)
     # tokenize+shingle the corpus ONCE; decontam and the jaccard
     # pair stage both consume the shared cached table
-    csh = dd.shingle_table(corpus, "doc_id", "text", 3).cache()
+    csh = scoped_cache(
+        "entry.pipeline_full.shingles",
+        dd.shingle_table(corpus, "doc_id", "text", 3),
+    )
     rep_keep = (
         txt.repetition_metrics_table(corpus)
         .where(F.col("keep"))
@@ -3447,11 +3457,12 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimator side); in production it's a cheap parquet read, here
     # it's a full shingle+minhash pipeline worth computing once
     seen_sigs = (
-        dd.minhash_signatures(
-            dd.shingle_table(seen_docs, "doc_id", "text", 3), 16
+        scoped_cache(
+            "entry.incremental_minhash.seen_sig",
+            dd.minhash_signatures(
+                dd.shingle_table(seen_docs, "doc_id", "text", 3), 16
+            ).withColumnRenamed("id", "doc_id"),
         )
-        .withColumnRenamed("id", "doc_id")
-        .cache()
     )
     incoming = (
         docs.where(F.col("doc_id") % 3 != 0)

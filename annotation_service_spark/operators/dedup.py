@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from annotation_service_spark.caching import scoped_cache
+
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
@@ -187,7 +189,9 @@ def minhash_candidates(
     tests/test_candidate_bounds.py pins the bound on a planted-dup
     corpus."""
     sh = shingle_table(df, id_col, text_col, ngram)
-    sig = minhash_signatures(sh, num_hashes).cache()
+    sig = scoped_cache(
+        "dedup.minhash_candidates.sig", minhash_signatures(sh, num_hashes)
+    )
     banded = _minhash_banded_rows(sig, num_hashes, bands, [])
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -215,7 +219,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard). With r=num_hashes/bands, candidate
     probability is 1-(1-j^r)^b (~0.9 at j=0.5 for 16/8).
     """
-    sh = shingle_table(df, id_col, text_col, ngram).cache()
+    sh = scoped_cache(
+        "dedup.minhash_lsh.shingles", shingle_table(df, id_col, text_col, ngram)
+    )
     sig = minhash_signatures(sh, num_hashes, include_size=True)
 
     # the per-doc shingle count n rides the band rows (2 extra longs
@@ -568,7 +574,10 @@ def _simhash_band_candidates(
     ≤ probe_bits bits — by pigeonhole that guarantees detection of
     every pair with total hamming ≤ bands·(probe_bits+1)−1 while the
     band keyspace stays the full 2^(bits/bands)."""
-    sh = simhash_table(df, id_col, text_col, ngram, bits).cache()
+    sh = scoped_cache(
+        "dedup.simhash.fingerprints",
+        simhash_table(df, id_col, text_col, ngram, bits),
+    )
     return band_candidates_from_fingerprints(
         sh, bits, bands, probe_bits, carry_sig
     )
@@ -753,7 +762,10 @@ def ngram_jaccard_pairs(
     sh = (
         shingles
         if shingles is not None
-        else shingle_table(df, id_col, text_col, ngram).cache()
+        else scoped_cache(
+            "dedup.ngram_jaccard.shingles",
+            shingle_table(df, id_col, text_col, ngram),
+        )
     )
     if max_df is not None:
         sh = cap_shingles(sh, max_df)
@@ -812,7 +824,10 @@ def ngram_containment_pairs(
     sh = (
         shingles
         if shingles is not None
-        else shingle_table(df, id_col, text_col, ngram).cache()
+        else scoped_cache(
+            "dedup.containment.shingles",
+            shingle_table(df, id_col, text_col, ngram),
+        )
     )
     if max_df is not None:
         sh = cap_shingles(sh, max_df)
@@ -1125,7 +1140,10 @@ def weighted_minhash_pairs(
 
     Returns (id_a, id_b, wjaccard), the capped weighted Jaccard,
     >= threshold."""
-    tf = shingle_tf_table(df, id_col, text_col, ngram).cache()
+    tf = scoped_cache(
+        "dedup.weighted_minhash.tf",
+        shingle_tf_table(df, id_col, text_col, ngram),
+    )
     capped = tf.select(
         "id",
         "s",
@@ -1371,7 +1389,9 @@ def incremental_minhash_dedup(
     estimator join moves only signatures. The corpus text is read
     once (shingle → signature aggregation, map-side combinable)."""
     sh = shingle_table(new_docs, id_col, text_col, ngram)
-    sig_new = minhash_signatures(sh, num_hashes).cache()
+    sig_new = scoped_cache(
+        "dedup.incremental_minhash.sig", minhash_signatures(sh, num_hashes)
+    )
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
     need = int(-(-threshold * num_hashes // 1))  # ceil(threshold·n)
 
@@ -1453,8 +1473,15 @@ def lsh_band_plan(
     """Choose (bands, rows_per_band) so the banded-LSH S-curve's
     50%-candidacy point sits at ``threshold`` (MMDS ch. 3, public:
     candidacy P(j) = 1 - (1 - j^r)^b crosses 1/2 near
-    (1/b)^(1/r)). With ``num_hashes`` fixed, picks the factorization
-    b*r = num_hashes minimizing |(1/b)^(1/r) - threshold|. Otherwise
+    (1/b)^(1/r)). With ``num_hashes`` fixed, picks the b >= 2,
+    r >= 2 factorization of b*r = num_hashes minimizing
+    |(1/b)^(1/r) - threshold| — r=1 curves are linear (never sharp)
+    and b=1 is no banding at all, so both degenerate factorizations
+    are excluded and a prime/too-small ``num_hashes`` RAISES with a
+    pick-a-composite hint, as does a best plan further than 0.25 from
+    the target (same raise-not-far-off contract as the free search,
+    with a wider bar because fixed budgets have sparse
+    factorizations). Otherwise
     searches b*r <= max_hashes and, among plans within 0.02 of the
     target, returns the SHARPEST curve the budget allows (largest
     b*r, then deepest rows): a tiny plan like (b=2, r=1) can sit
@@ -1473,13 +1500,29 @@ def lsh_band_plan(
 
     cands: list[tuple[float, int, int, tuple[int, int]]] = []
     if num_hashes is not None:
-        for b in range(1, num_hashes + 1):
+        for b in range(2, num_hashes + 1):
             if num_hashes % b == 0:
                 r = num_hashes // b
+                if r < 2:
+                    continue  # r=1 curves are linear, never sharp
                 cands.append(
                     (abs(crossing(b, r) - threshold), num_hashes, r, (b, r))
                 )
+        if not cands:
+            raise ValueError(
+                f"num_hashes={num_hashes} has no b>=2, r>=2 factorization "
+                "(prime or < 4) — only degenerate linear/no-banding plans "
+                "exist; choose a composite signature size (e.g. 16, 64)"
+            )
         cands.sort(key=lambda t: t[0])
+        if cands[0][0] > 0.25:
+            b, r = cands[0][3]
+            raise ValueError(
+                f"best factorization of num_hashes={num_hashes} puts the "
+                f"S-curve crossing at {crossing(b, r):.3f}, more than 0.25 "
+                f"from threshold {threshold}; free the budget (num_hashes="
+                "None) or pick a richer composite size"
+            )
     else:
         for total in range(4, max_hashes + 1):
             for b in range(2, total + 1):

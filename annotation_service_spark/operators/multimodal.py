@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from annotation_service_spark.caching import scoped_cache
+
 MEDIA_META_TYPE = T.StructType(
     [
         T.StructField("media_type", T.StringType()),
@@ -1413,11 +1415,11 @@ def image_phash_pairs(
         band_candidates_from_fingerprints,
     )
 
-    sh = (
+    sh = scoped_cache(
+        "multimodal.image_phash.fingerprints",
         image_phash_table(media, id_col, media_col)
         .where(F.col("decoded"))
-        .select("id", "sh")
-        .cache()
+        .select("id", "sh"),
     )
     cand = band_candidates_from_fingerprints(
         sh, 63, bands, probe_bits, carry_sig=True
@@ -1533,11 +1535,11 @@ def audio_fingerprint_pairs(
         band_candidates_from_fingerprints,
     )
 
-    sh = (
+    sh = scoped_cache(
+        "multimodal.audio_afp.fingerprints",
         audio_fingerprint_table(media, id_col, media_col)
         .where(F.col("decoded"))
-        .select("id", "sh")
-        .cache()
+        .select("id", "sh"),
     )
     cand = band_candidates_from_fingerprints(
         sh, 63, bands, probe_bits, carry_sig=True
@@ -1624,7 +1626,15 @@ def video_near_dup_pairs(
         ngram_jaccard_pairs,
     )
 
-    sh = video_frame_hashes(videos, id_col, frames_col, every_n)
+    # the band-key table is the expensive half (mapInPandas frame
+    # decode + 32x32 DCT per frame) and ngram_jaccard_pairs consumes a
+    # passed `shingles` table three times (sizes + both self-join
+    # sides) under a caller-owns-persistence contract — scope-cache it
+    # like the image/audio siblings (ADVICE r10)
+    sh = scoped_cache(
+        "multimodal.video_frames.bandkeys",
+        video_frame_hashes(videos, id_col, frames_col, every_n),
+    )
     return ngram_jaccard_pairs(
         videos, id_col=id_col, text_col="unused",
         threshold=threshold, shingles=sh,

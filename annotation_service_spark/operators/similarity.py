@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from annotation_service_spark.caching import scoped_cache
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -1042,7 +1044,10 @@ def semantic_dedup(
         kmeans_centroids,
     )
 
-    q = _quantized(embeddings, vec_col, id_col, FIXED_SCALE).cache()
+    q = scoped_cache(
+        "similarity.semantic_dedup.quantized",
+        _quantized(embeddings, vec_col, id_col, FIXED_SCALE),
+    )
     centroids = kmeans_centroids(
         embeddings, k, iterations, vec_col, id_col, FIXED_SCALE, quantized=q
     )

@@ -18,6 +18,9 @@ Design notes, 100 TB framing:
   against the left side's single home cell — each true pair meets on
   exactly ONE (cell_lat, cell_lon) key, so there is no distinct;
   emissions are bounded by 9 x |right| with uniform md5-free keys;
+  the exactly-once claim requires >= 3 lon cells around the globe
+  (d_lon <= 120 deg), enforced with a plan-time raise — beyond it an
+  antimeridian replica's cells overlap the home neighbourhood;
 - the antimeridian seam (lon +-180) is handled by adding shifted
   replicas (lon +- 360) for right points within one cell of the seam
   BEFORE cell assignment; haversine itself is periodic in dlon so the
@@ -83,6 +86,22 @@ def grid_radius_join(
     d_lon = (
         radius_km / (KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat)))
     ) * 1.02
+    # Exactly-once depends on fewer than one lon cell in 3 spanning the
+    # globe: with d_lon > 120 deg an antimeridian-shifted replica's 3x3
+    # cells can overlap the original replica's (floor((lon±360)/d_lon)
+    # differs by <=2), so a pair would meet on TWO keys and duplicate —
+    # and grid_knn_join would then rank the same right point twice.
+    # Same raise-rather-than-guess contract as the polar guard; this
+    # regime means radius_km is a third of the planet and blocking has
+    # degenerated anyway — split the workload or go all-pairs.
+    if 360.0 / d_lon < 3.0:
+        raise ValueError(
+            f"grid_radius_join: lon cell {d_lon:.1f} deg > 120 (radius_km="
+            f"{radius_km}, max_abs_lat={max_abs_lat}) — antimeridian "
+            "replicas would overlap the home 3x3 neighbourhood and emit "
+            "duplicate pairs; reduce radius_km/max_abs_lat or use an "
+            "all-pairs join at this scale"
+        )
 
     def guarded_lat(col_name: str):
         # the guard must live INSIDE the expression the blocking
@@ -162,7 +181,10 @@ def grid_knn_join(
     radius would need every left×right pair; production assignment
     always has a service-radius cutoff, and a left point with NO
     right point in radius is reported nowhere — callers needing
-    misses left-join the output back).
+    misses left-join the output back). Planet-scale radii degenerate
+    the blocking (every point in every cell) and ultimately hit the
+    d_lon > 120 deg raise in grid_radius_join; if the right side is a
+    small site table, broadcast an all-pairs join instead.
 
     Ranking is fully deterministic: (dist_km, right id) — distance
     first (rounded 1e-6 km upstream), right id as the tie-break so

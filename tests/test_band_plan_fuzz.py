@@ -36,6 +36,28 @@ def test_lsh_band_plan_crossing_and_sharpness():
         lsh_band_plan(0.5, max_hashes=3)
 
 
+def test_lsh_band_plan_fixed_budget_degenerate_raises():
+    """The fixed-num_hashes branch must never hand back a degenerate
+    factorization: a prime budget only factors as (1,n)/(n,1) — r=1 is
+    linear (never sharp) and b=1 is no banding — so it raises with a
+    pick-a-composite hint instead of silently returning a flat curve
+    (ADVICE r10). A composite budget whose best crossing is >0.25 from
+    the target raises too, matching the free search's tolerance
+    contract."""
+    for prime in (13, 17, 31):
+        with pytest.raises(ValueError, match="composite"):
+            lsh_band_plan(0.5, num_hashes=prime)
+    with pytest.raises(ValueError, match="composite"):
+        lsh_band_plan(0.5, num_hashes=2)
+    # composite but hopeless: 4 = 2x2 only, crossing 0.707 vs t=0.3
+    with pytest.raises(ValueError, match="0.25"):
+        lsh_band_plan(0.3, num_hashes=4)
+    # composite and reachable budgets still resolve to real plans
+    b, r = lsh_band_plan(0.8, num_hashes=64)
+    assert b >= 2 and r >= 2 and b * r == 64
+    assert abs((1.0 / b) ** (1.0 / r) - 0.8) <= 0.25
+
+
 def test_phash_fuzz_corrupt_payload_paths():
     """phash63/afp63 over adversarial arrays: extreme shapes and
     degenerate content must return well-formed 63-bit ints or raise

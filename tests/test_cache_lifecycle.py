@@ -1,0 +1,60 @@
+"""Scoped plan-cache lifecycle (annotation_service_spark/caching.py).
+
+VERDICT r10 nit 2: the fingerprint-family builders cached their
+self-join intermediates and never released them, so a long-lived
+pipeline calling the same operator repeatedly accumulated cached
+DataFrames without bound. The scoped-cache contract bounds that to
+one live cache per call-site key (replace-on-reentry) with an
+explicit release_caches() for deterministic cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from annotation_service_spark import caching
+from annotation_service_spark.operators import dedup as dd
+
+
+def _docs(spark, n=30, tag=""):
+    rows = [(i, f"alpha beta gamma delta {tag} doc {i % 7} words here") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repeat_invocations_do_not_accumulate(spark):
+    caching.release_caches()
+    assert caching.live_cache_count() == 0
+    for tag in ("a", "b", "c"):
+        dd.minhash_lsh_pairs(_docs(spark, tag=tag)).count()
+    # three invocations of the same operator hold exactly the caches of
+    # ONE invocation (shingles), not three generations of them
+    assert caching.live_cache_count() == 1
+    for tag in ("a", "b"):
+        dd.simhash_pairs(_docs(spark, tag=tag)).count()
+    assert caching.live_cache_count() == 2  # +1 simhash fingerprint table
+    caching.release_caches()
+    assert caching.live_cache_count() == 0
+
+
+def test_replace_on_reentry_keeps_answers_correct(spark):
+    """Unpersisting the previous generation mid-stream can only lose a
+    cache hit, never change results: the second call's pairs match a
+    fresh-session-equivalent recompute."""
+    caching.release_caches()
+    d1 = _docs(spark, tag="x")
+    first = {tuple(r) for r in dd.minhash_lsh_pairs(d1).select("id_a", "id_b").collect()}
+    second = {tuple(r) for r in dd.minhash_lsh_pairs(d1).select("id_a", "id_b").collect()}
+    assert first == second
+    caching.release_caches()
+
+
+def test_distinct_keys_coexist(spark):
+    """Intermediates that legitimately coexist in one computation use
+    distinct keys and never evict each other (eval report's pattern)."""
+    caching.release_caches()
+    a = caching.scoped_cache("t.one", _docs(spark).where(F.col("doc_id") < 5))
+    b = caching.scoped_cache("t.two", _docs(spark).where(F.col("doc_id") >= 5))
+    assert a.count() == 5 and b.count() == 25
+    assert caching.live_cache_count() == 2
+    caching.release_caches()
+    assert caching.live_cache_count() == 0

@@ -95,6 +95,51 @@ def test_grid_radius_join_polar_guard(spark):
     assert len(ok) == 1  # ~193 km apart at lat 80
 
 
+def test_grid_radius_join_wrap_overlap_guard(spark):
+    """d_lon > 120 deg (fewer than 3 lon cells around the globe) must
+    RAISE at plan time: an antimeridian-shifted replica's 3x3 cells
+    would overlap the home replica's and emit duplicate pairs. Both
+    routes into the regime are covered — huge radius at the default
+    bound, and moderate radius at a high max_abs_lat."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 179.9), (2, 10.0, -179.9)], "id long, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="120|antimeridian"):
+        grid_radius_join(df, df, 5400.0)  # d_lon ~122 deg at lat 66
+    with pytest.raises(ValueError, match="120|antimeridian"):
+        grid_radius_join(df, df, 2400.0, max_abs_lat=80.0)  # ~127 deg
+
+
+def test_grid_radius_join_exactly_once_near_wrap_limit(spark):
+    """Just inside the 120-deg guard (radius 5200 km -> d_lon ~118.6
+    deg) each pair still meets on exactly ONE cell key: seam-straddling
+    and same-side points all emit once, and the pair set matches the
+    all-pairs brute force."""
+    pts = [
+        (1, 10.0, 179.5),
+        (2, 10.0, -179.5),  # across the seam
+        (3, 0.0, 0.0),
+        (4, 30.0, 40.0),
+        (5, -20.0, -120.0),
+        (6, 12.0, 170.0),
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    radius = 5200.0
+    rows = grid_radius_join(df, df, radius).where("id_l < id_r").collect()
+    got = {}
+    for r in rows:
+        assert (r.id_l, r.id_r) not in got, "duplicate pair emitted"
+        got[(r.id_l, r.id_r)] = r.dist_km
+    exp = {
+        (a[0], b[0]): round(_hav(a[1:], b[1:]), 6)
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if round(_hav(a[1:], b[1:]), 6) <= radius
+    }
+    assert got == {k: pytest.approx(v, abs=1e-6) for k, v in exp.items()}
+    assert (1, 2) in got  # the seam pair survived
+
+
 def test_grid_knn_join_vs_bruteforce(spark):
     """k-NN assignment against python brute force: every left point
     gets its k nearest in-radius rights in (dist, id) order; points

@@ -22,12 +22,17 @@ Two timing bases per query (VERDICT r2 #5):
   serving-loop regime). Round-over-round comparisons should compare
   like with like.
 
-Trustworthiness (VERDICT r9 #2/#3): a CALIBRATION CANARY (pure-numpy
-GEMM + warm tpch_q1, median-of-3 each) is measured at run start, at
-the start of the scale blocks, and at run end, and recorded in
-BENCH_DETAIL — cross-round comparisons should normalize by it (see
-README "Reading the bench calibration canary"). Every 100x/sf1-anchor
-number is a median-of-3 with the raw runs recorded as ``<name>_runs``.
+Trustworthiness (VERDICT r9 #2/#3, r10 #2): a CALIBRATION CANARY
+(pure-numpy GEMM + warm tpch_q1, median-of-3 each) is measured at run
+start, at the start of the scale blocks, and at run end; a warm
+tpch_q1 canary is ALSO interleaved every ~26 headline queries
+(``canary.batch_tpch_q1_warm_sec``) and its max/min ratio echoed on
+the headline line as ``canary_q1_ratio`` — Spark-level contention the
+GEMM can't see (the r10 driver run) shows there, per batch, in the
+artifact itself. The headline line also carries ``value_warm`` (sum
+of the steady-state runs) as the contention cross-check; see README
+"Reading the bench calibration canary". Every 100x/sf1-anchor number
+is a median-of-3 with the raw runs recorded as ``<name>_runs``.
 
 Scale block (VERDICT r2 #8): ``sf1`` re-runs the documents-family
 operators on a 10x corpus (50k docs) derived from the sf0.1 parquet by
@@ -579,7 +584,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    # Interleaved Spark-side canary (VERDICT r10 #2): the GEMM canary
+    # reads BLAS-level machine load but missed the r10 driver run's
+    # Spark/JVM-scheduling contention (uniform multi-second adders with
+    # GEMM steady). A warm tpch_q1 median-of-3 BETWEEN query batches
+    # makes that regime self-evident in the artifact: each entry is
+    # (index of the next headline query, canary seconds); the max/min
+    # ratio across batches is echoed on the headline line as
+    # canary_q1_ratio — a loaded run shows >>1 there, a regression
+    # shows in the queries with the canary flat.
+    batch_canaries: list[list[float]] = []
+    CANARY_EVERY = 26
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi % CANARY_EVERY == 0:
+            batch_canaries.append([qi, spark_canary()])
         runs: list[float] = []
         for _ in range(3):  # median-of-3 (VERDICT r7 #3)
             # clearCache BEFORE each iteration so every timing is a
@@ -599,6 +617,10 @@ def main() -> None:
         # otherwise accumulates across ~160 actions, degrading late
         # queries via GC pressure)
         gc.collect()
+    batch_canaries.append([len(BENCH_QUERIES), spark_canary()])
+    canary["batch_tpch_q1_warm_sec"] = batch_canaries
+    _vals = [v for _, v in batch_canaries]
+    canary["q1_ratio_max_min"] = round(max(_vals) / max(1e-9, min(_vals)), 2)
     spark.catalog.clearCache()
 
     # probe-scale sweep: the broadcast-range-join design promises a
@@ -959,6 +981,21 @@ def main() -> None:
                 .count()
             )
             sf100_docs_timings[f"jaccard_candidates_{tag}"] = n_jc
+            # winnow + weighted-minhash candidate observability
+            # (VERDICT r10 #6): the two r10 pair families' scale growth,
+            # measured like the jaccard/minhash/prefix counts — the
+            # x100/x10 ratio near 10 is the sub-quadratic claim.
+            from annotation_service_spark.operators.dedup import (
+                weighted_minhash_candidates,
+                winnow_pairs,
+            )
+
+            sf100_docs_timings[f"winnow_candidates_{tag}"] = winnow_pairs(
+                docs, min_shared=1, max_df=1000
+            ).count()
+            sf100_docs_timings[f"weighted_minhash_candidates_{tag}"] = (
+                weighted_minhash_candidates(docs).count()
+            )
             # prefix-filter candidate count at t=0.8 (x100 only — the
             # claim point): pins the threshold-adaptive 26x reduction
             # vs the t-independent plain count above (docs/SCALE.md
@@ -990,7 +1027,27 @@ def main() -> None:
     try:
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
         ensure_sf1_tpch(spark, sf_dir, sf1_dir)
-        for name in ("tpch_q1", "tpch_q6", "tpch_q3", "annotate", "dedup_exact"):
+        # dedup_exact's slope is measured one decade up (10x -> 100x
+        # docs, base ~1.5 s) instead of sf0.1 -> sf1 (base 0.15 s):
+        # at a 0.15 s base the ratio reads stage-launch overhead, not
+        # the plan — the r10 "3.28x" was that artifact (VERDICT r10
+        # #4). The plan is one md5 groupBy either way.
+        sf100d = os.environ.get(
+            "SPARK_GRAFT_SF100DOCS_DIR", "/tmp/spark_graft_sf100docs"
+        )
+        if os.path.exists(os.path.join(sf100d, "documents.parquet")):
+            for d in (sf1_dir, sf100d):
+                run("dedup_exact", d)
+            run_median3(sf1_anchor, "dedup_exact", sf1_dir, key="dedup_exact_sf1")
+            run_median3(
+                sf1_anchor, "dedup_exact", sf100d, key="dedup_exact_sf100"
+            )
+            sf1_anchor["dedup_exact_ratio_x10data"] = round(
+                sf1_anchor["dedup_exact_sf100"]
+                / max(0.001, sf1_anchor["dedup_exact_sf1"]),
+                2,
+            )
+        for name in ("tpch_q1", "tpch_q6", "tpch_q3", "annotate"):
             # untimed warmup per (query, dir) pair (ADVICE r9): without
             # it the sf0.1 control paid first-run codegen the sf1 run
             # then reused, yielding sub-1x "ratios" that measured the
@@ -1059,10 +1116,17 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                # warm companion total (VERDICT r10 #2): the steady-state
+                # sum is the serving-loop cost basis AND the contention
+                # cross-check — a load-inflated run lifts value and
+                # value_warm together while canary_q1_ratio reads >>1;
+                # a real regression moves them with the canary flat.
+                "value_warm": round(sum(warm.values()), 3),
                 "unit": "sec",
                 "queries": headline_q,
                 "n_queries": len(timings),
                 "canary_gemm": canary["start_gemm_sec"],
+                "canary_q1_ratio": canary.get("q1_ratio_max_min"),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             },

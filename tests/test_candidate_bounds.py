@@ -74,6 +74,24 @@ def test_minhash_candidates_bounded(spark, planted_docs):
     assert 0 < n <= 3 * N_PLANTED, f"candidate blow-up: {n}"
 
 
+def test_weighted_minhash_candidates_bounded_and_complete(spark, planted_docs):
+    """The weighted family's candidate table (tf-expanded signatures,
+    banded join, BEFORE the verify) stays ∝ planted near-dups AND
+    covers every pair the verified operator keeps — the observability
+    count the bench records at x10/x100 is a true superset of the
+    answer, so its growth rate bounds the operator's."""
+    cand = {
+        (r.id_a, r.id_b)
+        for r in dd.weighted_minhash_candidates(planted_docs).collect()
+    }
+    assert 0 < len(cand) <= 3 * N_PLANTED, f"candidate blow-up: {len(cand)}"
+    kept = {
+        (r.id_a, r.id_b)
+        for r in dd.weighted_minhash_pairs(planted_docs).collect()
+    }
+    assert kept <= cand
+
+
 def test_simhash_pairs_guaranteed_radius(spark, planted_docs):
     """Every candidate pair the verify keeps is a planted pair, and
     every planted pair within the guaranteed radius (total hamming ≤

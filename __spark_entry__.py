@@ -1583,6 +1583,29 @@ def q_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token runs between document pairs with
+    positions (ExactSubstr evidence, Lee et al. 2022): k=8 anchor
+    grams, max_df=1000 stop-gram cap (the production path — the
+    oracle replicates the cap), default min run 2k-1=15 tokens.
+    Output (id_a, id_b, start_a, start_b, length), the dot-plot
+    diagonal islands as rows."""
+    return dd.shared_passages(
+        _t(spark, sf_dir, "documents"), k=8, max_df=1000
+    ).orderBy("id_a", "id_b", "start_a")
+
+
+def q_span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first span dedup (the literal Lee et al. 'all but one'
+    semantics): each duplicated 8-token passage keeps exactly its
+    first corpus occurrence in (id, pos) order; every other
+    occurrence is cut. Compare span_dedup_apply, which cuts them
+    all."""
+    return dd.remove_duplicate_spans_keep_first(
+        _t(spark, sf_dir, "documents"), k=8
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion dedup: docs with doc_id%3==0 are the
     already-seen corpus (their hashes the state table); the incoming
@@ -3758,6 +3781,9 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the oldest round-8 gates.  `queries()` asserts the count so a
     rotation edit can never silently misplace the boundary again."""
     return {
+        # -- NEW round-11 operators (riskiest first) ----------------------
+        "shared_passages": q_shared_passages,
+        "span_dedup_keep_first": q_span_dedup_keep_first,
         # -- touched by round-11 code (spatial antimeridian-overlap guard,
         #    fingerprint-family cache lifecycle, eval-report unpersists) --
         "geo_radius_join": q_geo_radius_join,
@@ -3810,8 +3836,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_annotate": q_legacy_annotate,
         "lpa_communities": q_lpa_communities,
         "merge_annotators": q_merge_annotators,
-        "pack_chunks": q_pack_chunks,
-        "range_lookup": q_range_lookup,
     }
 
 
@@ -3822,7 +3846,10 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     18 remaining round-8 gates head the r12 window, then the r9 cohort,
     then the r10 cohort (freshest evidence, rotated out last)."""
     return {
-        # -- remaining round-8 gates (head of the r12 rotation) ----------
+        # -- remaining round-8 gates (head of the r12 rotation; the two
+        #    new r11 operators displaced pack_chunks/range_lookup here) --
+        "pack_chunks": q_pack_chunks,
+        "range_lookup": q_range_lookup,
         "repetition_filter": q_repetition_filter,
         "response_keys": q_response_keys,
         "sessionize": q_sessionize,
@@ -6858,6 +6885,104 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT id,
                        unnest(range(pos, pos + 8)) AS pos
                 FROM grams JOIN dup USING (g)
+            ),
+            tok AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)+1),
+                              i -> {'pos': i, 'tok': ws[i]}),
+                              recursive := true)
+                FROM w
+            ),
+            kept AS (
+                SELECT t.id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+                FROM tok t ANTI JOIN covered c
+                     ON t.id = c.id AND t.pos = c.pos
+                GROUP BY t.id
+            )
+            SELECT w.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(kept.clean_text, '') AS clean_text
+            FROM w LEFT JOIN kept ON w.doc_id = kept.id
+        """,
+        # shared_passages: k=8 anchor grams (0-based positions to
+        # match posexplode), df<=1000 stop-gram cap, diagonal
+        # gaps-and-islands (pa - row_number), maximal runs >= 15
+        # tokens. Gram identity is the joined token string — Spark
+        # md5s it, but equal strings <=> equal md5s, so the pair set
+        # is identical.
+        "shared_passages": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-6),
+                              i -> {'pos': i - 1,
+                                    'g': array_to_string(ws[i:i+7], ' ')}),
+                              recursive := true)
+                FROM w WHERE len(ws) >= 8
+            ),
+            capped AS (
+                SELECT * FROM grams
+                WHERE g IN (SELECT g FROM grams GROUP BY g
+                            HAVING count(*) <= 1000)
+            ),
+            anchors AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       a.pos AS pa, b.pos AS pb,
+                       a.pos - b.pos AS diag
+                FROM capped a JOIN capped b ON a.g = b.g AND a.id < b.id
+            ),
+            runs AS (
+                SELECT id_a, id_b, diag, pa, pb,
+                       pa - row_number() OVER (
+                           PARTITION BY id_a, id_b, diag ORDER BY pa
+                       ) AS grp
+                FROM anchors
+            )
+            SELECT id_a, id_b,
+                   CAST(min(pa) AS BIGINT) AS start_a,
+                   CAST(min(pb) AS BIGINT) AS start_b,
+                   CAST(max(pa) - min(pa) + 8 AS BIGINT) AS length
+            FROM runs
+            GROUP BY id_a, id_b, diag, grp
+            HAVING max(pa) - min(pa) + 8 >= 15
+        """,
+        # span_dedup_keep_first: the canonical survivor of each
+        # duplicated gram is its first (id, pos) occurrence; only
+        # non-canonical occurrences mark spans.
+        "span_dedup_keep_first": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)-6),
+                              i -> {'pos': i,
+                                    'g': array_to_string(ws[i:i+7], ' ')}),
+                              recursive := true)
+                FROM w WHERE len(ws) >= 8
+            ),
+            ranked AS (
+                SELECT id, pos, g,
+                       row_number() OVER (PARTITION BY g ORDER BY id, pos)
+                           AS rn,
+                       count(*) OVER (PARTITION BY g) AS cnt
+                FROM grams
+            ),
+            covered AS (
+                SELECT DISTINCT id,
+                       unnest(range(pos, pos + 8)) AS pos
+                FROM ranked WHERE cnt > 1 AND rn > 1
             ),
             tok AS (
                 SELECT doc_id AS id,

@@ -263,15 +263,15 @@ def minhash_lsh_pairs(
     return out
 
 
-def _span_tokens_and_marks(
+def _span_grams(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared span machinery: (token positions, marked span starts).
+    """Shared span machinery: (token positions, k-gram table).
 
-    ``tok`` is (id, pos, tok) from one posexplode; ``marked`` is the
-    (id, pos) of every k-gram occurrence whose gram appears >= twice
-    corpus-wide (window-assembled grams, hash groupBy + equi-join —
-    both shuffles keyed by content hash)."""
+    ``tok`` is (id, pos, tok) from one posexplode; ``grams`` is
+    (id, pos, gh) — the md5 of each window-assembled k-gram at every
+    start position (lead() over the per-doc position window, one
+    shuffle keyed by doc id)."""
     from pyspark.sql import Window
 
     tok = df.select(
@@ -290,6 +290,17 @@ def _span_tokens_and_marks(
         .where(F.col("_last").isNotNull())
         .drop("_last")
     )
+    return tok, grams
+
+
+def _span_tokens_and_marks(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(token positions, marked span starts): ``marked`` is the
+    (id, pos) of every k-gram occurrence whose gram appears >= twice
+    corpus-wide (hash groupBy + equi-join — both shuffles keyed by
+    content hash)."""
+    tok, grams = _span_grams(df, id_col, text_col, k)
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -298,6 +309,135 @@ def _span_tokens_and_marks(
     )
     marked = grams.join(dup, "gh").select("id", "pos")
     return tok, marked
+
+
+def shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """MAXIMAL shared token runs between document pairs, with
+    positions — the pairwise evidence form of exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr; public): not just THAT two docs
+    share a duplicated passage (winnow_pairs) or WHICH positions are
+    duplicated corpus-wide (span_dedup), but between WHOM, WHERE, and
+    HOW LONG each maximal shared run is — contamination forensics,
+    plagiarism attribution, boilerplate mining.
+
+    Construction is pure equi-join + windows (no all-pairs, no
+    per-pair text re-access): shared k-gram hash join gives matching
+    (pos_a, pos_b) anchor pairs; a run of L consecutive matching
+    anchors on one DIAGONAL (pos_a - pos_b constant) is exactly a
+    shared substring of L + k - 1 tokens, so gaps-and-islands over
+    pos_a within (id_a, id_b, diagonal) recovers every maximal run —
+    the dot-plot diagonal trick from sequence alignment, as a window
+    function. Returns (id_a, id_b, start_a, start_b, length) with
+    id_a < id_b and length (in tokens) >= ``min_tokens``
+    (default 2k-1: runs of at least two overlapping anchors, so a
+    lone colliding k-gram doesn't report).
+
+    Scale: the anchor join is the shingle equi-join shape — only docs
+    sharing a gram meet; ``max_df`` stop-gram capping bounds the hot
+    key fan-out. Capping splits runs THROUGH a beyond-cap gram (the
+    run reports as two shorter runs) — maximality is exact for runs
+    whose interior grams stay under the cap, the same honesty note as
+    every capped pair family here."""
+    from pyspark.sql import Window
+
+    if min_tokens is None:
+        min_tokens = 2 * k - 1
+    _tok, grams = _span_grams(df, id_col, text_col, k)
+    g = grams
+    if max_df is not None:
+        g = cap_shingles(
+            grams.select("id", "pos", F.col("gh").alias("s")), max_df
+        ).select("id", "pos", F.col("s").alias("gh"))
+    a = g.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "gh")
+    b = g.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "gh")
+    anchors = (
+        a.join(b, "gh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = anchors.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + k).alias("length"),
+        )
+        .where(F.col("length") >= F.lit(min_tokens))
+        .select("id_a", "id_b", "start_a", "start_b", "length")
+    )
+
+
+def remove_duplicate_spans_keep_first(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Keep-first variant of span-level dedup — the literal Lee et
+    al. 2022 semantics ("remove all but ONE occurrence" of each
+    duplicated passage), where ``remove_duplicate_spans`` removes
+    EVERY occurrence (the decontamination-style total cut). The
+    canonical survivor of each duplicated k-gram is its first corpus
+    occurrence in (id, pos) order — deterministic under any
+    partitioning because it is a min over values, not an encounter
+    order — and only NON-canonical occurrences mark their spans for
+    removal. One copy of every passage therefore survives; corpus
+    token mass is preserved up to the duplicates themselves.
+
+    Same output contract as remove_duplicate_spans:
+    (id, n_tokens, n_kept, clean_text)."""
+    tok, grams = _span_grams(df, id_col, text_col, k)
+    # min_by struct: the gram's first (id, pos) corpus occurrence
+    first = grams.groupBy("gh").agg(
+        F.min(F.struct("id", "pos")).alias("f"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    marked = (
+        grams.join(first.where(F.col("cnt") > 1), "gh")
+        .where(
+            (F.col("id") != F.col("f.id")) | (F.col("pos") != F.col("f.pos"))
+        )
+        .select("id", "pos")
+    )
+    covered = marked.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
 
 
 def remove_duplicate_spans(

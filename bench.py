@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "pipeline_full",
     "span_dedup",
     "span_dedup_apply",
+    "span_dedup_keep_first",
+    "shared_passages",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",
@@ -233,6 +235,7 @@ SF1_QUERIES = [
     "repetition_filter",
     "pipeline_full",
     "span_dedup",
+    "shared_passages",
     "vocab_topk",
     "text_normalize",
     "posting_lists",

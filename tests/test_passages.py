@@ -1,0 +1,146 @@
+"""Maximal shared-passage extraction + keep-first span dedup.
+
+Differential tests against an independent pure-python oracle:
+`shared_passages` must report exactly the maximal shared token runs
+(ExactSubstr semantics, Lee et al. 2022 — the dot-plot diagonal
+construction), and `remove_duplicate_spans_keep_first` must keep one
+canonical copy of every duplicated passage where
+`remove_duplicate_spans` cuts all of them.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from annotation_service_spark.operators import dedup as dd
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _brute_passages(docs, k, min_tokens):
+    """All maximal shared runs between doc pairs, by diagonal scan."""
+    toks = {i: _toks(t) for i, t in docs}
+    grams = {
+        i: [tuple(ts[p : p + k]) for p in range(len(ts) - k + 1)]
+        for i, ts in toks.items()
+    }
+    out = set()
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            matches = {
+                (pa, pb)
+                for pa, ga in enumerate(grams[a])
+                for pb, gb in enumerate(grams[b])
+                if ga == gb
+            }
+            by_diag: dict[int, list[int]] = {}
+            for pa, pb in matches:
+                by_diag.setdefault(pa - pb, []).append(pa)
+            for diag, pas in by_diag.items():
+                pas.sort()
+                run_start = pas[0]
+                prev = pas[0]
+                for pa in pas[1:] + [None]:
+                    if pa is not None and pa == prev + 1:
+                        prev = pa
+                        continue
+                    length = prev - run_start + k
+                    if length >= min_tokens:
+                        out.add((a, b, run_start, run_start - diag, length))
+                    if pa is not None:
+                        run_start = prev = pa
+    return out
+
+
+PASSAGE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture()
+def passage_docs(spark):
+    rows = [
+        # 1 and 2 share PASSAGE (13 tokens) at different offsets
+        (1, "alpha beta " + PASSAGE + " gamma delta epsilon zeta"),
+        (2, "one two three four " + PASSAGE + " five six"),
+        # 3 shares a shorter run with 1/2 (first 9 tokens of PASSAGE)
+        (3, "unrelated prefix words here " + " ".join(PASSAGE.split()[:9]) + " totally different tail"),
+        # 4 shares nothing
+        (4, "completely independent document content with no overlap at all whatsoever"),
+        # 5 duplicates PASSAGE twice internally and shares with 1/2
+        (5, PASSAGE + " interlude words " + PASSAGE),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_passages_matches_bruteforce(spark, passage_docs):
+    rows, df = passage_docs
+    k, mt = 4, 7
+    got = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.length)
+        for r in dd.shared_passages(df, k=k, min_tokens=mt, max_df=None).collect()
+    }
+    exp = _brute_passages(rows, k, mt)
+    assert got == exp
+    # sanity on the planted structure: the full 13-token passage is
+    # reported between 1 and 2, and 5 reports TWO runs against 1
+    lens_12 = {t[4] for t in got if t[:2] == (1, 2)}
+    assert 13 in lens_12
+    assert sum(1 for t in got if t[:2] == (1, 5)) == 2
+
+
+def test_shared_passages_default_threshold_suppresses_lone_anchors(
+    spark, passage_docs
+):
+    """With the default min_tokens=2k-1, a single colliding k-gram
+    (run of one anchor, length k) never reports."""
+    rows, df = passage_docs
+    out = dd.shared_passages(df, k=4, max_df=None).collect()
+    assert all(r.length >= 7 for r in out)
+    exp = _brute_passages(rows, 4, 7)
+    assert {(r.id_a, r.id_b, r.start_a, r.start_b, r.length) for r in out} == exp
+
+
+def test_keep_first_preserves_one_copy(spark, passage_docs):
+    """remove_duplicate_spans cuts every occurrence of a duplicated
+    passage; the keep-first form must keep exactly the canonical
+    first (min (id, pos)) occurrence — so doc 1 (the corpus-first
+    holder of PASSAGE) keeps its full text, later holders lose it."""
+    rows, df = passage_docs
+    k = 4
+    all_cut = {r.id: r for r in dd.remove_duplicate_spans(df, k=k).collect()}
+    keep1 = {
+        r.id: r for r in dd.remove_duplicate_spans_keep_first(df, k=k).collect()
+    }
+    # doc 4 shares nothing: untouched in both
+    assert keep1[4].n_kept == keep1[4].n_tokens == all_cut[4].n_kept
+    # doc 1 holds the canonical first occurrence -> loses NOTHING
+    assert keep1[1].n_kept == keep1[1].n_tokens
+    assert all_cut[1].n_kept < all_cut[1].n_tokens  # total-cut removed it
+    # doc 2's copy is non-canonical -> removed in keep-first too
+    assert keep1[2].n_kept < keep1[2].n_tokens
+    assert PASSAGE not in keep1[2].clean_text
+    # every doc keeps at least as much under keep-first as under total cut
+    for i in keep1:
+        assert keep1[i].n_kept >= all_cut[i].n_kept
+    # corpus-wide, at least one copy of the passage text survives
+    surviving = " | ".join(r.clean_text for r in keep1.values())
+    assert PASSAGE in surviving
+
+
+def test_keep_first_internal_repeat(spark):
+    """A passage repeated WITHIN one document: the first occurrence
+    is canonical, the later one is cut."""
+    p = "zero one two three four five six seven"
+    df = spark.createDataFrame(
+        [(7, p + " filler words go here " + p)], "doc_id long, text string"
+    )
+    out = dd.remove_duplicate_spans_keep_first(df, k=4).collect()[0]
+    assert 0 < out.n_kept < out.n_tokens
+    assert out.clean_text.startswith(p)
+    # the second copy is gone
+    assert out.clean_text.count("zero one two three") == 1

@@ -43,12 +43,18 @@ def test_window_size_and_boundary():
     assert set(em._window_gates()) == window
 
 
+# Operators introduced in round 11 — never driver-verified before, so
+# they lead the window.
+R11_NEW = {"shared_passages", "span_dedup_keep_first"}
+
+
 def test_r11_rotation_contents():
     window = set(list(em.queries())[: em.DRIVER_WINDOW])
     missing_stale = R7_STALE - window
     assert not missing_stale, f"r7-stale gates outside the window: {missing_stale}"
     missing_touched = R11_TOUCHED - window
     assert not missing_touched, f"r11-touched gates outside the window: {missing_touched}"
+    assert R11_NEW <= window
 
 
 def test_every_gate_has_an_oracle_or_is_documented():

@@ -211,3 +211,33 @@ def test_avi_to_near_dup_pipeline_end_to_end(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_avi_demux_fuzz_never_hangs_or_miscategorizes():
+    """Adversarial robustness: random single-byte corruptions and
+    truncations of a valid AVI must either demux to a list of valid
+    JPEG-prefixed frames or raise cleanly (ValueError /
+    NotImplementedError) — never hang, never return garbage frames
+    that would poison the decode stage downstream."""
+    import random
+
+    rng = random.Random(7)
+    frames = _frames(3)
+    base = mux_avi(frames, 16, 16)
+    for trial in range(300):
+        buf = bytearray(base)
+        if trial % 3 == 0:  # truncation
+            del buf[rng.randrange(1, len(buf)) :]
+        elif trial % 3 == 1:  # single byte flip
+            i = rng.randrange(len(buf))
+            buf[i] ^= 1 << rng.randrange(8)
+        else:  # 4-byte size-field scribble
+            i = rng.randrange(0, len(buf) - 4)
+            buf[i : i + 4] = rng.randbytes(4)
+        try:
+            out = mm.demux_avi_mjpeg(bytes(buf))
+        except (ValueError, NotImplementedError, IndexError):
+            continue
+        assert isinstance(out, list)
+        for f in out:
+            assert f[:2] == b"\xff\xd8"

@@ -3169,6 +3169,21 @@ def q_perceptron_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture assembly under per-source token budgets
+    (operators/curation.py::token_budget_sample): sources src0..src14
+    get budgets 2000/2500/3000 (cycling), src15..src19 are absent
+    from the spec and contribute nothing; documents fill each budget
+    in seeded-md5 priority order until the budget is crossed
+    (boundary doc kept). Two-phase per-source cumsum — range-shard +
+    bounded offset broadcast, no per-source SinglePartition window;
+    the oracle replays it as one window over the same total order."""
+    budgets = {f"src{i}": 2000 + 500 * (i % 3) for i in range(15)}
+    return cu.token_budget_sample(
+        _t(spark, sf_dir, "documents"), budgets, seed=7
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible training order (operators/curation.py::
     epoch_shuffle): exact global rank under the epoch-1 md5 coin
@@ -3784,6 +3799,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round-11 operators (riskiest first) ----------------------
         "shared_passages": q_shared_passages,
         "span_dedup_keep_first": q_span_dedup_keep_first,
+        "token_budget_sample": q_token_budget_sample,
         # -- touched by round-11 code (spatial antimeridian-overlap guard,
         #    fingerprint-family cache lifecycle, eval-report unpersists) --
         "geo_radius_join": q_geo_radius_join,
@@ -3835,7 +3851,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "legacy_annotate": q_legacy_annotate,
         "lpa_communities": q_lpa_communities,
-        "merge_annotators": q_merge_annotators,
     }
 
 
@@ -3847,7 +3862,9 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then the r10 cohort (freshest evidence, rotated out last)."""
     return {
         # -- remaining round-8 gates (head of the r12 rotation; the two
-        #    new r11 operators displaced pack_chunks/range_lookup here) --
+        #    new r11 operators displaced pack_chunks/range_lookup/
+        #    merge_annotators here) --
+        "merge_annotators": q_merge_annotators,
         "pack_chunks": q_pack_chunks,
         "range_lookup": q_range_lookup,
         "repetition_filter": q_repetition_filter,
@@ -6486,6 +6503,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_exact": """
             SELECT DISTINCT md5(text) AS h FROM documents
+        """,
+        # token_budget_sample: seeded-md5 priority order, per-source
+        # running total BEFORE each doc < budget keeps it (boundary doc
+        # kept); sources absent from the spec get budget 0.
+        "token_budget_sample": """
+            WITH t AS (
+                SELECT doc_id AS id, source,
+                       CAST(n_chars AS BIGINT) AS w,
+                       md5('tb7|' || CAST(doc_id AS VARCHAR)) AS coin
+                FROM documents
+            ),
+            b AS (
+                SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                       CAST(2000 + 500 * (i % 3) AS BIGINT) AS budget
+                FROM unnest(range(15)) AS u(i)
+            ),
+            c AS (
+                SELECT t.id, t.source, t.w,
+                       coalesce(b.budget, 0) AS budget,
+                       sum(t.w) OVER (PARTITION BY t.source ORDER BY t.coin
+                                      ROWS UNBOUNDED PRECEDING) - t.w
+                           AS cum_before
+                FROM t LEFT JOIN b USING (source)
+            )
+            SELECT id, source, w, CAST(cum_before AS BIGINT) AS cum_before
+            FROM c WHERE cum_before < budget
         """,
         "epoch_shuffle": """
             WITH r AS (

@@ -678,3 +678,93 @@ def epoch_shuffle(
             F.pmod(rank, F.lit(batch_size)).cast("long").alias("pos_in_batch"),
         )
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    seed: int = 0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Assemble a pretraining mixture under per-source token budgets:
+    each source contributes documents — in a deterministic
+    seeded-hash priority order, i.e. a reproducible uniform sample
+    with no RNG state — until its budget is crossed. A document is
+    KEPT iff the cumulative weight of strictly-higher-priority
+    documents in its source is < the source's budget, so the
+    boundary document is kept: budgets are floors crossed at most
+    once (by less than one document's weight), which is how real
+    mixture specs are filled.
+
+    ``budgets``: an int (same budget for every source) or a
+    dict[source -> int]; sources absent from the dict contribute
+    NOTHING (budget 0) — an explicit mixture spec is exactly the
+    sources it names.
+
+    Scale shape: the per-source running total uses the same
+    two-phase decomposition as epoch_shuffle — range-shard on the
+    priority coin (boundary values affect balance only), shard-local
+    window cumsum, then a bounded (sources x n_shards rows) offset
+    table broadcast back. No per-source SinglePartition window: a
+    source with 10^9 documents costs the same as ten sources with
+    10^8. Returns kept rows only: (id, source, weight, cum_before),
+    where cum_before is the source's running total before this
+    document (exact integers, engine-portable)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    if n_shards is None:
+        n_shards = max(2, spark.sparkContext.defaultParallelism)
+    coin = F.md5(
+        F.concat(F.lit(f"tb{seed}|"), F.col(id_col).cast("string"))
+    )
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(weight_col).cast("long").alias("w"),
+        coin.alias("__coin"),
+    )
+    if isinstance(budgets, dict):
+        pairs = []
+        for s, b in budgets.items():
+            pairs.extend([F.lit(s), F.lit(int(b))])
+        budget = F.coalesce(
+            F.create_map(*pairs)[F.col("source")], F.lit(0)
+        )
+    else:
+        budget = F.lit(int(budgets))
+    bounds = _range_shard_bounds(src, "__coin", n_shards)
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(F.col("__coin") > F.lit(b), 1).otherwise(0)
+    src = src.withColumn("__shard", shard.cast("int"))
+    # bounded collect: sources x n_shards rows (the mixture spec's
+    # source cardinality is small by construction)
+    totals = (
+        src.groupBy("source", "__shard").agg(F.sum("w").alias("n")).collect()
+    )
+    offsets: dict[tuple, int] = {}
+    acc: dict = {}
+    for r in sorted(totals, key=lambda r: (str(r["source"]), r["__shard"])):
+        key = r["source"]
+        offsets[(key, r["__shard"])] = acc.get(key, 0)
+        acc[key] = acc.get(key, 0) + r["n"]
+    off_df = spark.createDataFrame(
+        [(s, sh, o) for (s, sh), o in offsets.items()],
+        "source string, __shard int, __off long",
+    )
+    w = Window.partitionBy("source", "__shard").orderBy("__coin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_local = F.sum("w").over(w)
+    return (
+        src.join(F.broadcast(off_df), ["source", "__shard"])
+        .withColumn(
+            "cum_before", (F.col("__off") + cum_local - F.col("w")).cast("long")
+        )
+        .where(F.col("cum_before") < budget)
+        .select("id", "source", "w", "cum_before")
+    )

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "span_dedup_apply",
     "span_dedup_keep_first",
     "shared_passages",
+    "token_budget_sample",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",
@@ -236,6 +237,7 @@ SF1_QUERIES = [
     "pipeline_full",
     "span_dedup",
     "shared_passages",
+    "token_budget_sample",
     "vocab_topk",
     "text_normalize",
     "posting_lists",

@@ -144,3 +144,39 @@ def test_keep_first_internal_repeat(spark):
     assert out.clean_text.startswith(p)
     # the second copy is gone
     assert out.clean_text.count("zero one two three") == 1
+
+
+def test_shared_passages_randomized_differential(spark):
+    """Randomized corpora vs the brute-force diagonal scan: small
+    vocab so accidental k-gram collisions, internal repeats, and
+    overlapping runs all arise naturally; several (k, min_tokens)
+    regimes."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(12)]
+    for trial in range(4):
+        rows = []
+        for did in range(1, 9):
+            n = rng.randrange(5, 40)
+            words = [rng.choice(vocab) for _ in range(n)]
+            # occasionally splice a chunk of an earlier doc in
+            if rows and rng.random() < 0.6:
+                src = rng.choice(rows)[1].split()
+                if len(src) > 6:
+                    a = rng.randrange(0, len(src) - 4)
+                    b = rng.randrange(a + 3, min(len(src), a + 15))
+                    at = rng.randrange(0, len(words))
+                    words[at:at] = src[a:b]
+            rows.append((did, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        k = rng.choice([3, 4])
+        mt = rng.choice([k, 2 * k - 1])
+        got = {
+            (r.id_a, r.id_b, r.start_a, r.start_b, r.length)
+            for r in dd.shared_passages(
+                df, k=k, min_tokens=mt, max_df=None
+            ).collect()
+        }
+        exp = _brute_passages(rows, k, mt)
+        assert got == exp, (trial, k, mt, got ^ exp)

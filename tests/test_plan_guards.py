@@ -277,3 +277,16 @@ def test_ngram_jaccard_max_df_plan(spark):
         "BroadcastHashJoin" in ln and "LeftAnti" in ln
         for ln in p.splitlines()
     ), p
+
+
+def test_shared_passages_plan(spark):
+    """Passage extraction: the anchor self-join must be an equi-join
+    on the gram hash (never a cross product), the diagonal-islands
+    window must partition by (pair, diagonal) — not single-partition —
+    and the run aggregate must show a partial (map-side) phase
+    reusing the window's clustering."""
+    p = _plan(em.q_shared_passages(spark, SF))
+    _assert_no_blowups(p)
+    assert any(j in p for j in EQUI_JOINS)
+    assert "Window" in p and "SinglePartition" not in p
+    assert "partial_min" in p  # map-side combine on the run aggregate

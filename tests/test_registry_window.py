@@ -45,7 +45,7 @@ def test_window_size_and_boundary():
 
 # Operators introduced in round 11 — never driver-verified before, so
 # they lead the window.
-R11_NEW = {"shared_passages", "span_dedup_keep_first"}
+R11_NEW = {"shared_passages", "span_dedup_keep_first", "token_budget_sample"}
 
 
 def test_r11_rotation_contents():

@@ -209,3 +209,66 @@ def test_weighted_sample_per_stratum_quota_and_determinism(spark):
 def test_stratified_gate_registered():
     assert "weighted_sample_stratified" in em.queries()
     assert "weighted_sample_stratified" in em.oracle_sql()
+
+
+def test_token_budget_sample_semantics(spark):
+    """Per-source fill in seeded-hash priority order: each kept doc's
+    cum_before < budget (boundary doc kept, so totals overshoot by
+    < one doc), absent sources contribute nothing, and the result
+    matches an independent python replay of the md5 order."""
+    import hashlib
+
+    from annotation_service_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "a" if i < 40 else ("b" if i < 70 else "c"), 10 + (i * 7) % 50)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    budgets = {"a": 300, "b": 123}
+    out = token_budget_sample(df, budgets, seed=5, n_shards=4).collect()
+    assert {r.source for r in out} <= {"a", "b"}  # 'c' absent from spec
+    for r in out:
+        assert r.cum_before < budgets[r.source]
+    # independent replay
+    def coin(i):
+        return hashlib.md5(f"tb5|{i}".encode()).hexdigest()
+
+    exp = set()
+    for s, budget in budgets.items():
+        docs = sorted((r for r in rows if r[1] == s), key=lambda r: coin(r[0]))
+        cum = 0
+        for did, _, w in docs:
+            if cum < budget:
+                exp.add((did, s, w, cum))
+            cum += w
+    assert {(r.id, r.source, r.w, r.cum_before) for r in out} == exp
+    # per-source totals overshoot the budget by < one doc's weight
+    for s, budget in budgets.items():
+        tot = sum(r.w for r in out if r.source == s)
+        assert tot >= min(budget, sum(r[2] for r in rows if r[1] == s))
+        kept_ws = [r.w for r in out if r.source == s]
+        if tot > budget:
+            assert tot - budget < max(kept_ws)
+
+
+def test_token_budget_sample_shard_invariance(spark):
+    """The two-phase decomposition is exact: any shard count gives
+    the identical kept set (boundary values only affect balance)."""
+    from annotation_service_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", 5 + i % 17) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    outs = [
+        {
+            (r.id, r.source, r.w, r.cum_before)
+            for r in token_budget_sample(df, 150, seed=2, n_shards=n).collect()
+        }
+        for n in (2, 7, 32)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0]  # non-degenerate

@@ -208,8 +208,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int | None = 16,
+    bands: int | None = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
@@ -218,7 +218,18 @@ def minhash_lsh_pairs(
     candidates → exact Jaccard verification → pairs ≥ threshold.
     Returns (id_a, id_b, jaccard). With r=num_hashes/bands, candidate
     probability is 1-(1-j^r)^b (~0.9 at j=0.5 for 16/8).
+
+    ``bands=None`` plans the banding from ``threshold`` via
+    ``lsh_band_plan`` (MMDS S-curve): with ``num_hashes`` given, the
+    best b >= 2, r >= 2 factorization of that budget; with
+    ``num_hashes=None`` too, the free search picks the sharpest plan
+    within tolerance and the signature size follows (b*r). Candidacy
+    is one-sided approximation only — the exact-Jaccard verify runs
+    either way — so planning affects recall, never precision.
     """
+    if bands is None:
+        bands, rows_per_band = lsh_band_plan(threshold, num_hashes=num_hashes)
+        num_hashes = bands * rows_per_band
     sh = scoped_cache(
         "dedup.minhash_lsh.shingles", shingle_table(df, id_col, text_col, ngram)
     )

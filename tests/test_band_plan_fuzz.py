@@ -85,3 +85,28 @@ def test_afp_fuzz_degenerate_audio():
     # determinism under dtype variation
     x = np.random.RandomState(1).randn(2000)
     assert afp63(x) == afp63(x.astype(np.float32).astype(np.float64))
+
+
+def test_minhash_lsh_auto_band_wiring(spark):
+    """bands=None routes through lsh_band_plan: at t=0.5 with the
+    16-hash budget the planned factorization IS the shipped (8, 2)
+    default, so the auto-planned pair set is identical to the
+    default call; free search (num_hashes=None too) yields a valid
+    deeper plan that still finds the planted near-dup."""
+    from annotation_service_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running today"
+    rows = [(1, base), (2, base.replace("lazy", "sleepy")),
+            (3, "completely different words in this unrelated document here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    auto = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, num_hashes=16, bands=None).collect()
+    }
+    assert auto == default and (1, 2) in auto
+    free = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, num_hashes=None, bands=None).collect()
+    }
+    assert (1, 2) in free

@@ -55,6 +55,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from annotation_service_spark.session import get_session
+from annotation_service_spark.caching import release_caches
 
 BENCH_QUERIES = [
     "annotate",
@@ -621,6 +622,10 @@ def main() -> None:
         # clears the SQL cache; checkpoint storage is ref-counted and
         # otherwise accumulates across ~160 actions, degrading late
         # queries via GC pressure)
+        if qi % CANARY_EVERY == CANARY_EVERY - 1:
+            # scoped plan caches (fingerprint families) release here so
+            # the long headline loop never accumulates registry entries
+            release_caches()
         gc.collect()
     batch_canaries.append([len(BENCH_QUERIES), spark_canary()])
     canary["batch_tpch_q1_warm_sec"] = batch_canaries
@@ -779,6 +784,7 @@ def main() -> None:
             # heavy scale-point queries
             gc.collect()
         spark.catalog.clearCache()
+        release_caches()
     except Exception as exc:  # never let the scale block sink the bench
         sf1_timings = {"error": str(exc)[:200]}
 
@@ -796,6 +802,7 @@ def main() -> None:
             sf1_ev_timings[name] = round(run(name, sf1_dir), 3)
             gc.collect()
         spark.catalog.clearCache()
+        release_caches()
     except Exception as exc:
         sf1_ev_timings = {"error": str(exc)[:200]}
 
@@ -872,6 +879,7 @@ def main() -> None:
                 n_q * (n_vec - 1) / max(1, n_cand), 1
             )
         spark.catalog.clearCache()
+        release_caches()
     except Exception as exc:
         sf1_emb_timings = {"error": str(exc)[:200]}
 
@@ -919,6 +927,7 @@ def main() -> None:
             n_q * (n_vec - 1) / max(1, n_cand), 1
         )
         spark.catalog.clearCache()
+        release_caches()
     except Exception as exc:
         sf100_emb_timings = {"error": str(exc)[:200]}
 
@@ -1066,6 +1075,7 @@ def main() -> None:
             )
             gc.collect()
         spark.catalog.clearCache()
+        release_caches()
     except Exception as exc:
         sf1_anchor = {"error": str(exc)[:200]}
 

@@ -322,6 +322,38 @@ def _span_tokens_and_marks(
     return tok, marked
 
 
+def shared_passage_anchors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """The anchor stage of ``shared_passages``, exposed for candidate
+    observability (the passage family's analog of
+    minhash_candidates): every matching (pos_a, pos_b) k-gram pair
+    between distinct documents after the ``max_df`` stop-gram cap,
+    with the diagonal precomputed. Count this at successive corpus
+    scales — anchors grow with true shared content (∝ run lengths),
+    never quadratically, because only documents sharing a sub-cap
+    gram ever meet. Returns (id_a, id_b, pa, pb, diag), id_a < id_b."""
+    _tok, grams = _span_grams(df, id_col, text_col, k)
+    g = grams
+    if max_df is not None:
+        g = cap_shingles(
+            grams.select("id", "pos", F.col("gh").alias("s")), max_df
+        ).select("id", "pos", F.col("s").alias("gh"))
+    a = g.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "gh")
+    b = g.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "gh")
+    return (
+        a.join(b, "gh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+
+
 def shared_passages(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -361,19 +393,7 @@ def shared_passages(
 
     if min_tokens is None:
         min_tokens = 2 * k - 1
-    _tok, grams = _span_grams(df, id_col, text_col, k)
-    g = grams
-    if max_df is not None:
-        g = cap_shingles(
-            grams.select("id", "pos", F.col("gh").alias("s")), max_df
-        ).select("id", "pos", F.col("s").alias("gh"))
-    a = g.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "gh")
-    b = g.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "gh")
-    anchors = (
-        a.join(b, "gh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
-    )
+    anchors = shared_passage_anchors(df, id_col, text_col, k, max_df)
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     runs = anchors.withColumn(
         "grp", F.col("pa") - F.row_number().over(w)

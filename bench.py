@@ -1007,6 +1007,13 @@ def main() -> None:
             sf100_docs_timings[f"winnow_candidates_{tag}"] = winnow_pairs(
                 docs, min_shared=1, max_df=1000
             ).count()
+            from annotation_service_spark.operators.dedup import (
+                shared_passage_anchors,
+            )
+
+            sf100_docs_timings[f"passage_anchors_{tag}"] = (
+                shared_passage_anchors(docs, k=8, max_df=1000).count()
+            )
             sf100_docs_timings[f"weighted_minhash_candidates_{tag}"] = (
                 weighted_minhash_candidates(docs).count()
             )

@@ -180,3 +180,19 @@ def test_shared_passages_randomized_differential(spark):
         }
         exp = _brute_passages(rows, k, mt)
         assert got == exp, (trial, k, mt, got ^ exp)
+
+
+def test_shared_passage_anchors_superset_of_runs(spark, passage_docs):
+    """Anchor observability: every reported run of length L is backed
+    by exactly L-k+1 anchors on its diagonal, so the anchor count is
+    a true upper-bound resource measure for the operator."""
+    rows, df = passage_docs
+    k = 4
+    anchors = dd.shared_passage_anchors(df, k=k, max_df=None).collect()
+    akey = {(r.id_a, r.id_b, r.diag, r.pa) for r in anchors}
+    runs = dd.shared_passages(df, k=k, min_tokens=k, max_df=None).collect()
+    for r in runs:
+        diag = r.start_a - r.start_b
+        for pa in range(r.start_a, r.start_a + r.length - k + 1):
+            assert (r.id_a, r.id_b, diag, pa) in akey
+    assert len(akey) >= sum(r.length - k + 1 for r in runs)

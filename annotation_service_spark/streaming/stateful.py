@@ -430,3 +430,88 @@ def start_near_dedup_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+BUDGET_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("cum_before", T.LongType()),
+    ]
+)
+
+BUDGET_STATE_SCHEMA = T.StructType([T.StructField("spent", T.LongType())])
+
+
+def streaming_token_budget(
+    docs_stream: DataFrame,
+    budgets,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``curation.token_budget_sample``: an ingest
+    gate that admits documents per source until the source's token
+    budget is crossed, across micro-batches. The per-source spend
+    rides in ONE long of GroupState (bounded by the mixture spec's
+    source cardinality — no watermark needed, the state never grows).
+
+    Semantics mirror the batch form with arrival order as the
+    priority: a doc is kept iff the source's cumulative weight BEFORE
+    it is < budget (boundary doc kept, budgets are floors crossed at
+    most once); the spend accumulates every arrived doc's weight, so
+    once crossed a source stays closed. Within a micro-batch, rows
+    order by (ts, id) — deterministic under any shuffle placement.
+    ``budgets``: int (every source) or dict (absent sources admit
+    nothing). Output (id, source, w, cum_before), like the batch
+    form.
+
+    Deployment note (same split as streaming_curation): this stream
+    gate fills a LIVE mixture in arrival order; the batch
+    token_budget_sample re-draws the mixture in seeded-priority order
+    at compaction time, which is the unbiased form — use the stream
+    gate for admission control, the batch form for the final cut.
+    """
+
+    def budget_of(source) -> int:
+        if isinstance(budgets, dict):
+            return int(budgets.get(source, 0))
+        return int(budgets)
+
+    def fn(key, pdf_iter, state: GroupState):
+        (source,) = key
+        budget = budget_of(source)
+        spent = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((int(r[id_col]), int(r[weight_col]), r[ts_col]))
+        rows.sort(key=lambda t: (t[2], t[0]))
+        kept = []
+        for did, w, _ts in rows:
+            if spent < budget:
+                kept.append((did, source, w, spent))
+            spent += w
+        state.update((spent,))
+        if kept:
+            yield pd.DataFrame(
+                {
+                    "id": [k[0] for k in kept],
+                    "source": [k[1] for k in kept],
+                    "w": [k[2] for k in kept],
+                    "cum_before": [k[3] for k in kept],
+                }
+            )
+
+    return (
+        docs_stream.groupBy(source_col)
+        .applyInPandasWithState(
+            fn,
+            BUDGET_OUT_SCHEMA,
+            BUDGET_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

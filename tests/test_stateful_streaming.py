@@ -393,3 +393,58 @@ def test_streaming_near_dedup_maintenance(spark, tmp_path):
         open(state / "CURRENT").read().strip().split("\n")[1]
     )
     assert got2.count() == n_before
+
+
+def test_streaming_token_budget_across_batches(spark, tmp_path):
+    """Per-source budget admission across micro-batches: state
+    carries the spend, the boundary doc is kept (floors crossed at
+    most once), a source absent from the spec admits nothing, and
+    the kept set is exactly the (ts, id)-order prefix."""
+    import json
+
+    from annotation_service_spark.streaming.stateful import (
+        streaming_token_budget,
+    )
+
+    src = tmp_path / "bdocs"
+    src.mkdir()
+    # source a: budget 100 -> keeps 40, 50, and the boundary 30
+    # (cum_before 90 < 100), then closes; source c absent -> nothing
+    rows1 = [
+        {"doc_id": 1, "source": "a", "n_chars": 40, "ts": "2024-01-01T10:00:00"},
+        {"doc_id": 2, "source": "a", "n_chars": 50, "ts": "2024-01-01T10:01:00"},
+        {"doc_id": 10, "source": "c", "n_chars": 5, "ts": "2024-01-01T10:00:30"},
+    ]
+    rows2 = [
+        {"doc_id": 3, "source": "a", "n_chars": 30, "ts": "2024-01-01T10:02:00"},
+        {"doc_id": 4, "source": "a", "n_chars": 10, "ts": "2024-01-01T10:03:00"},
+        {"doc_id": 11, "source": "b", "n_chars": 60, "ts": "2024-01-01T10:02:30"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    schema = "doc_id long, source string, n_chars long, ts timestamp"
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming_token_budget(stream, {"a": 100, "b": 50})
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.source, r.w, r.cum_before)
+        for r in spark.sql("select * from budget_out").collect()
+    }
+    assert got == {
+        (1, "a", 40, 0),
+        (2, "a", 50, 40),
+        (3, "a", 30, 90),   # boundary doc kept, crosses 100
+        (11, "b", 60, 0),   # boundary doc on a fresh source
+    }

@@ -548,6 +548,50 @@ def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_eval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-eval for the WEIGHTED dedup family: precision/recall of
+    the tf-expansion MinHash scale path (weighted_minhash_pairs,
+    16/8, tf_cap=8) against the exact CAPPED weighted Jaccard at the
+    same threshold — apples-to-apples because both compute J_w over
+    min(tf, 8) frequencies (the exact form fed a capped tf_table).
+    Same report shape as dedup_eval_report; the oracle replays both
+    methods' SQL as subqueries, so the report is hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = dd.shingle_tf_table(docs, "doc_id", "text", 3)
+    capped = tf.select(
+        "id", "s", F.least(F.col("tf"), F.lit(8)).alias("tf")
+    )
+    exact = scoped_cache(
+        "entry.eval_weighted.exact",
+        dd.weighted_jaccard_pairs(
+            docs, ngram=3, threshold=0.5, tf_table=capped
+        ).select("id_a", "id_b"),
+    )
+    approx = scoped_cache(
+        "entry.eval_weighted.minhash",
+        dd.weighted_minhash_pairs(
+            docs, ngram=3, num_hashes=16, bands=8, threshold=0.5, tf_cap=8
+        ).select("id_a", "id_b"),
+    )
+    n_exact = exact.count()
+    n_method = approx.count()
+    n_common = approx.join(exact, ["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                "weighted_minhash",
+                n_exact,
+                n_method,
+                n_common,
+                n_common / n_method if n_method else 1.0,
+                n_common / n_exact if n_exact else 1.0,
+            )
+        ],
+        "method string, n_exact long, n_method long, n_common long, "
+        "prec double, recall double",
+    )
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint pairs (operators/dedup.py
     winnow_fingerprints/winnow_pairs — the MOSS algorithm, SIGMOD
@@ -3800,6 +3844,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_passages": q_shared_passages,
         "span_dedup_keep_first": q_span_dedup_keep_first,
         "token_budget_sample": q_token_budget_sample,
+        "dedup_eval_weighted": q_dedup_eval_weighted,
         # -- touched by round-11 code (spatial antimeridian-overlap guard,
         #    fingerprint-family cache lifecycle, eval-report unpersists) --
         "geo_radius_join": q_geo_radius_join,
@@ -3850,7 +3895,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "lang_id": q_lang_id,
         "legacy_annotate": q_legacy_annotate,
-        "lpa_communities": q_lpa_communities,
     }
 
 
@@ -3864,6 +3908,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- remaining round-8 gates (head of the r12 rotation; the two
         #    new r11 operators displaced pack_chunks/range_lookup/
         #    merge_annotators here) --
+        "lpa_communities": q_lpa_communities,
         "merge_annotators": q_merge_annotators,
         "pack_chunks": q_pack_chunks,
         "range_lookup": q_range_lookup,
@@ -5521,6 +5566,46 @@ def oracle_sql() -> dict[str, str]:
         # method-eval report: both methods' oracle SQL replayed as
         # subqueries; the prefix row asserts losslessness (== exact) —
         # a Spark-side divergence would hash-mismatch here too
+        # dedup_eval_weighted: exact CAPPED weighted jaccard (least(tf,8))
+        # as ground truth, the tf-expansion minhash replay as the method.
+        "dedup_eval_weighted": f"""
+            WITH ex AS (
+                SELECT id_a, id_b FROM (
+                    WITH {_shingle_tf_cte(3)},
+                    c AS (SELECT id, s, least(tf, 8) AS tf FROM tf),
+                    wts AS (SELECT id, sum(tf) AS wt FROM c GROUP BY 1),
+                    inter AS (
+                        SELECT a.id AS id_a, b.id AS id_b,
+                               sum(least(a.tf, b.tf)) AS i
+                        FROM c a JOIN c b ON a.s = b.s AND a.id < b.id
+                        GROUP BY 1, 2
+                    )
+                    SELECT id_a, id_b
+                    FROM inter
+                    JOIN wts wa ON wa.id = id_a
+                    JOIN wts wb ON wb.id = id_b
+                    WHERE CAST(i AS DOUBLE)/(wa.wt + wb.wt - i) >= 0.5
+                )
+            ),
+            mh AS (
+                SELECT id_a, id_b
+                FROM ({_weighted_minhash_oracle(16, 8, 0.5, 8)})
+            ),
+            exn AS (SELECT count(*) AS ne FROM ex),
+            mhn AS (SELECT count(*) AS nm FROM mh),
+            mhc AS (
+                SELECT count(*) AS nc FROM mh JOIN ex USING (id_a, id_b)
+            )
+            SELECT 'weighted_minhash' AS method,
+                   CAST(ne AS BIGINT) AS n_exact,
+                   CAST(nm AS BIGINT) AS n_method,
+                   CAST(nc AS BIGINT) AS n_common,
+                   CASE WHEN nm = 0 THEN 1.0
+                        ELSE CAST(nc AS DOUBLE)/nm END AS prec,
+                   CASE WHEN ne = 0 THEN 1.0
+                        ELSE CAST(nc AS DOUBLE)/ne END AS recall
+            FROM exn, mhn, mhc
+        """,
         "dedup_eval_report": f"""
             WITH ex AS (
                 SELECT id_a, id_b FROM (

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_weighted_minhash",
     "dedup_winnow",
     "dedup_eval_report",
+    "dedup_eval_weighted",
     "decontaminate_spans",
     "geo_radius_join",
     "annotate_nearest_site",

@@ -45,7 +45,10 @@ def test_window_size_and_boundary():
 
 # Operators introduced in round 11 — never driver-verified before, so
 # they lead the window.
-R11_NEW = {"shared_passages", "span_dedup_keep_first", "token_budget_sample"}
+R11_NEW = {
+    "shared_passages", "span_dedup_keep_first", "token_budget_sample",
+    "dedup_eval_weighted",
+}
 
 
 def test_r11_rotation_contents():

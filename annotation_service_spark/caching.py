@@ -35,9 +35,34 @@ _live_caches: dict[str, DataFrame] = {}
 
 
 def scoped_cache(key: str, df: DataFrame) -> DataFrame:
-    """Cache ``df`` under ``key``, releasing the previous holder."""
-    prev = _live_caches.pop(key, None)
+    """Cache ``df`` under ``key``, releasing the previous holder.
+
+    Re-invoking an operator with the SAME inputs produces the same
+    analyzed plan; unpersisting and re-caching that plan would throw
+    away the already-materialized data and recompute it on next use
+    (ADVICE r11: warm bench runs of fingerprint-family queries paid
+    exactly that). So when the incoming plan ``sameResult``s the
+    registered one, the resident cache is kept and returned; the
+    replace path only runs for a genuinely different plan."""
+    prev = _live_caches.get(key)
     if prev is not None:
+        try:
+            # sameResult = canonicalized-plan equality (what Spark's own
+            # CacheManager keys on); storageLevel guards the case where
+            # an external catalog.clearCache() already dropped the data
+            # — returning an unpersisted handle would silently disable
+            # caching for the rest of the pipeline.
+            sl = prev.storageLevel
+            same = (sl.useMemory or sl.useDisk) and (
+                prev._jdf.queryExecution()
+                .analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = False
+        if same:
+            return prev
+        _live_caches.pop(key, None)
         try:
             prev.unpersist()
         except Exception:

@@ -230,6 +230,12 @@ def minhash_lsh_pairs(
     if bands is None:
         bands, rows_per_band = lsh_band_plan(threshold, num_hashes=num_hashes)
         num_hashes = bands * rows_per_band
+    elif num_hashes is None:
+        raise ValueError(
+            "num_hashes=None (size the signature from the band plan) is "
+            "only meaningful with bands=None; pass bands=None to plan the "
+            "banding from threshold, or give a concrete num_hashes"
+        )
     sh = scoped_cache(
         "dedup.minhash_lsh.shingles", shingle_table(df, id_col, text_col, ngram)
     )

@@ -521,6 +521,9 @@ def _jpeg_decode_blocks(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes may precede a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
@@ -1563,8 +1566,8 @@ def video_frame_hashes(
     """Per-video frame fingerprints: sample every ``every_n``-th frame
     from an ``array<binary>`` frame column (the shape real pipelines
     hand over after container demux — produced in-repo by
-    ``avi_frames_table`` for AVI/MJPEG containers; other container
-    codecs remain the documented external-lib stub), pHash each sampled frame
+    ``video_frames_table`` for AVI/MJPEG and MP4/MJPEG containers;
+    other codecs remain the documented external-lib stub), pHash each sampled frame
     with the real image codecs, and emit the BAND-KEY set: one row
     per (video, "band:key") for the 7 9-bit bands of each frame's
     63-bit pHash. Band keys — not raw hashes — are the set elements,
@@ -1738,6 +1741,9 @@ def mjpeg_ensure_dht(frame: bytes) -> bytes:
         if frame[pos] != 0xFF:
             raise ValueError("marker desync in MJPEG frame")
         marker = frame[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes may precede a marker
+            pos += 1
+            continue
         if marker == 0xC4:
             return frame  # tables present
         if marker == 0xDA:  # SOS reached with no DHT: splice
@@ -1773,8 +1779,9 @@ def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
       (callers apply the corpus-level skip-don't-kill);
     - a real AVI whose video fourcc is NOT MJPG → NotImplementedError
       naming the codec (recognize-and-decline, like MP3);
-    - zero-length frame chunks (dropped-frame convention) are
-      skipped; 'rec ' interleave groups are walked recursively.
+    - zero-length frame chunks (dropped-frame convention) and frame
+      chunks whose JPEG payload is corrupt are skipped per-frame;
+      'rec ' interleave groups are walked recursively.
 
     Reference parity note: the reference has no media surface at all —
     this extends the engine's training-data side, where video dedup
@@ -1808,7 +1815,13 @@ def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
             if fourcc == b"LIST" and buf[p : p + 4] == b"rec ":
                 walk_movi(buf, p + 4, p + sz, want)
             elif fourcc[:2] == want and fourcc[2:4] in (b"dc", b"db") and sz > 0:
-                frames.append(mjpeg_ensure_dht(buf[p : p + sz]))
+                # per-frame skip-don't-kill: one corrupt frame payload
+                # reduces that video's coverage, it doesn't discard the
+                # container (the RIFF structure itself is still strict)
+                try:
+                    frames.append(mjpeg_ensure_dht(buf[p : p + sz]))
+                except ValueError:
+                    continue
 
     movi_spans: list[tuple[int, int]] = []
     stream_counter = 0
@@ -1838,18 +1851,217 @@ def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
     return frames
 
 
-def avi_frames_table(
-    media: DataFrame,
-    id_col: str = "media_id",
-    media_col: str = "payload",
+def _iso_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) over an ISO-BMFF
+    box run (ISO/IEC 14496-12 §4.2): [size:u32be][type:4]; size==1 →
+    64-bit largesize follows the type; size==0 → box runs to the end
+    of the enclosing container. Raises ValueError on a box that
+    overruns its container."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated ISO-BMFF largesize header")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("ISO-BMFF box overruns its container")
+        yield btype, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing bytes after last ISO-BMFF box")
+
+
+def _iso_find(buf: bytes, start: int, end: int, btype: bytes):
+    """All (payload_start, payload_end) spans of direct children of
+    the given type."""
+    return [(s, e) for t, s, e in _iso_boxes(buf, start, end) if t == btype]
+
+
+def _iso_descend(buf: bytes, span: tuple[int, int], *path: bytes):
+    """Follow a unique child-box path (e.g. mdia→minf→stbl); returns
+    the final payload span or None if any hop is absent."""
+    s, e = span
+    for btype in path:
+        hits = _iso_find(buf, s, e, btype)
+        if not hits:
+            return None
+        s, e = hits[0]
+    return (s, e)
+
+
+def _u32be(buf: bytes, pos: int) -> int:
+    if pos + 4 > len(buf):
+        raise ValueError("truncated ISO-BMFF field")
+    return int.from_bytes(buf[pos : pos + 4], "big")
+
+
+def demux_mp4_mjpeg(payload: bytes) -> list[bytes]:
+    """Demux the video track of an ISO-BMFF (MP4/MOV) container whose
+    video codec is (Motion-)JPEG; returns per-sample JPEG payloads
+    (Annex K.3 DHT spliced in when absent) in sample order. Same
+    contract as ``demux_avi_mjpeg``:
+
+    - not ISO-BMFF, or structurally broken (box overruns, missing
+      moov/track/sample tables, sample beyond EOF) → ValueError;
+    - a real video track whose stsd codec is not jpeg/mjpa/mjpb →
+      NotImplementedError naming the codec (recognize-and-decline —
+      H.264 et al. need an external decoder);
+    - a sample whose JPEG payload is corrupt is skipped per-frame.
+
+    Pure-Python box walker over the public ISO/IEC 14496-12 layout:
+    moov → trak (hdlr 'vide') → stbl, samples located via stsd
+    (codec), stsz (sizes), stsc (sample→chunk runs), stco/co64
+    (chunk offsets). Reference parity note: the reference has no
+    media surface — this extends the engine's training-data side.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) container")
+    moov = _iso_find(payload, 0, len(payload), b"moov")
+    if not moov:
+        raise ValueError("MP4 has no moov box")
+
+    stbl = None
+    for trak in _iso_find(payload, *moov[0], b"trak"):
+        mdia = _iso_descend(payload, trak, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _iso_descend(payload, mdia, b"hdlr")
+        # hdlr: version/flags(4) pre_defined(4) handler_type(4)
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _iso_descend(payload, mdia, b"minf", b"stbl")
+        if stbl is not None:
+            break
+    if stbl is None:
+        raise ValueError("MP4 has no video track with a sample table")
+
+    def table(btype: bytes, alt: bytes | None = None):
+        hits = _iso_find(payload, *stbl, btype)
+        if not hits and alt is not None:
+            return alt, _iso_find(payload, *stbl, alt)
+        return btype, hits
+
+    _, stsd = table(b"stsd")
+    _, stsz = table(b"stsz")
+    _, stsc = table(b"stsc")
+    co_type, co = table(b"stco", b"co64")
+    if not (stsd and stsz and stsc and co):
+        raise ValueError("MP4 video track is missing sample tables")
+
+    # stsd: version/flags(4) entry_count(4) then sample-entry boxes,
+    # whose box TYPE is the codec fourcc.
+    s, e = stsd[0]
+    if _u32be(payload, s + 4) < 1:
+        raise ValueError("empty stsd (no codec entry)")
+    codec = next(iter(_iso_boxes(payload, s + 8, e)), None)
+    if codec is None:
+        raise ValueError("truncated stsd entry")
+    fourcc = codec[0]
+    if fourcc.lower() not in (b"jpeg", b"mjpa", b"mjpb"):
+        raise NotImplementedError(
+            f"MP4 video codec {fourcc!r} is not (Motion-)JPEG; only "
+            "jpeg/mjpa/mjpb samples can finish through the built-in "
+            "JPEG decoder — plug an external decoder for other codecs"
+        )
+
+    # Every count field is validated against its box's extent BEFORE
+    # allocation — a corrupt count must raise, not allocate gigabytes
+    # or loop past the table (the fuzz test scribbles size fields).
+
+    # stsz: version/flags(4) sample_size(4) sample_count(4) [sizes]
+    s, e = stsz[0]
+    fixed, n_samples = _u32be(payload, s + 4), _u32be(payload, s + 8)
+    if fixed:
+        # no size table to bound the count; the samples still have to
+        # fit in the file, so n*fixed > len(payload) is corruption
+        if n_samples * max(fixed, 1) > len(payload):
+            raise ValueError("stsz sample count exceeds file size")
+        sizes = [fixed] * n_samples
+    else:
+        if s + 12 + 4 * n_samples > e:
+            raise ValueError("stsz size table overruns its box")
+        sizes = [_u32be(payload, s + 12 + 4 * i) for i in range(n_samples)]
+
+    # stsc: version/flags(4) entry_count(4) then
+    # (first_chunk, samples_per_chunk, sample_description_index) runs.
+    s, e = stsc[0]
+    n_runs = _u32be(payload, s + 4)
+    if s + 8 + 12 * n_runs > e:
+        raise ValueError("stsc run table overruns its box")
+    runs = []
+    for i in range(n_runs):
+        first = _u32be(payload, s + 8 + 12 * i)
+        spc = _u32be(payload, s + 12 + 12 * i)
+        if runs and first <= runs[-1][0]:
+            raise ValueError("stsc first_chunk not strictly increasing")
+        runs.append((first, spc))
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc has no run starting at chunk 1")
+
+    # stco/co64: version/flags(4) entry_count(4) then offsets.
+    s, e = co[0]
+    width = 4 if co_type == b"stco" else 8
+    n_chunks = _u32be(payload, s + 4)
+    if s + 8 + width * n_chunks > e:
+        raise ValueError("truncated chunk-offset table")
+    offsets = [
+        int.from_bytes(payload[s + 8 + width * i : s + 8 + width * (i + 1)], "big")
+        for i in range(n_chunks)
+    ]
+
+    frames: list[bytes] = []
+    sample = 0
+    run_idx = 0
+    for chunk_no, off in enumerate(offsets, start=1):
+        while run_idx + 1 < len(runs) and runs[run_idx + 1][0] <= chunk_no:
+            run_idx += 1
+        pos = off
+        for _ in range(runs[run_idx][1]):
+            if sample >= len(sizes):
+                break
+            sz = sizes[sample]
+            if pos + sz > len(payload):
+                raise ValueError("MP4 sample extends beyond EOF")
+            # per-frame skip-don't-kill, matching the AVI path
+            try:
+                frames.append(mjpeg_ensure_dht(payload[pos : pos + sz]))
+            except ValueError:
+                pass
+            pos += sz
+            sample += 1
+    return frames
+
+
+def demux_video_mjpeg(payload: bytes) -> list[bytes]:
+    """Container-sniffing video demux: RIFF/AVI → ``demux_avi_mjpeg``,
+    ISO-BMFF (ftyp) → ``demux_mp4_mjpeg``; anything else →
+    ValueError. Both branches share the contract: JPEG frame payloads
+    in stream order, DHT spliced when absent, NotImplementedError
+    naming any non-MJPEG codec."""
+    if payload[:4] == b"RIFF":
+        return demux_avi_mjpeg(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return demux_mp4_mjpeg(payload)
+    raise ValueError("unrecognized video container (not RIFF/AVI or ISO-BMFF)")
+
+
+def _frames_table(
+    media: DataFrame, demux, id_col: str, media_col: str
 ) -> DataFrame:
-    """Container bytes → (id, frames array<binary>): the Spark-side
-    demux stage that feeds ``video_frame_hashes``/``video_near_dup_
-    pairs``, making video near-dup end-to-end REAL from AVI/MJPEG
-    container bytes. Arrow-batched ``mapInPandas``; rows whose payload
-    is not a demuxable MJPEG AVI are SKIPPED (skip-don't-kill — junk
-    payloads and foreign codecs reduce coverage, never fake pairs or
-    kill the job), matching every other codec path here."""
+    """Shared Spark stage of the video demux family: container bytes →
+    (id, frames array<binary>). Arrow-batched ``mapInPandas``; rows
+    whose payload the demuxer rejects are SKIPPED (skip-don't-kill —
+    junk payloads and foreign codecs reduce coverage, never fake
+    pairs or kill the job). The id comes back under the CALLER'S
+    ``id_col`` name and type (derived from the input schema), so
+    string/long ids both work."""
+    id_type = media.schema[id_col].dataType.simpleString()
 
     # Arrow's pandas converter can't build list<binary> from object
     # columns, so the UDF emits EXPLODED (id, frame_idx, frame) rows
@@ -1861,7 +2073,7 @@ def avi_frames_table(
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[media_col]):
                 try:
-                    fr = demux_avi_mjpeg(bytes(payload))
+                    fr = demux(bytes(payload))
                 except (ValueError, NotImplementedError, IndexError):
                     continue
                 for i, f in enumerate(fr):
@@ -1869,15 +2081,39 @@ def avi_frames_table(
                     idxs.append(i)
                     frames.append(f)
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
             )
 
     exploded = media.select(id_col, media_col).mapInPandas(
-        fn, "media_id long, frame_idx int, frame binary"
+        fn, f"`{id_col}` {id_type}, frame_idx int, frame binary"
     )
-    return exploded.groupBy("media_id").agg(
+    return exploded.groupBy(id_col).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("frame_idx", "frame"))),
             lambda x: x["frame"],
         ).alias("frames")
     )
+
+
+def avi_frames_table(
+    media: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "payload",
+) -> DataFrame:
+    """AVI-only demux stage feeding ``video_frame_hashes``/
+    ``video_near_dup_pairs``; see ``_frames_table`` for the contract.
+    Prefer ``video_frames_table`` — it sniffs the container and also
+    accepts MP4."""
+    return _frames_table(media, demux_avi_mjpeg, id_col, media_col)
+
+
+def video_frames_table(
+    media: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "payload",
+) -> DataFrame:
+    """Container-sniffing demux stage: AVI/MJPEG and MP4/MJPEG rows
+    both land in (id, frames array<binary>); everything else is
+    skipped per-row. This is the general entry point for video
+    near-dup from raw container bytes."""
+    return _frames_table(media, demux_video_mjpeg, id_col, media_col)

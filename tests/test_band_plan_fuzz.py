@@ -110,3 +110,20 @@ def test_minhash_lsh_auto_band_wiring(spark):
         for r in minhash_lsh_pairs(df, num_hashes=None, bands=None).collect()
     }
     assert (1, 2) in free
+
+
+def test_minhash_lsh_pairs_num_hashes_none_with_bands_raises(spark):
+    """ADVICE r11: num_hashes=None is the plan-from-threshold
+    signature and only meaningful with bands=None; with bands left at
+    its default it used to reach range(None) deep in
+    minhash_signatures. It must fail loudly at the API edge."""
+    import pytest
+    from annotation_service_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="bands=None"):
+        minhash_lsh_pairs(df, num_hashes=None)
+    with pytest.raises(ValueError, match="bands=None"):
+        minhash_lsh_pairs(df, num_hashes=None, bands=4)

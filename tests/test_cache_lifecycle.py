@@ -58,3 +58,36 @@ def test_distinct_keys_coexist(spark):
     assert caching.live_cache_count() == 2
     caching.release_caches()
     assert caching.live_cache_count() == 0
+
+
+def test_identical_plan_reuses_resident_cache(spark):
+    """ADVICE r11: re-registering an IDENTICAL plan must return the
+    already-materialized cache object (warm bench runs depend on it),
+    while a different plan still replaces the old generation."""
+    caching.release_caches()
+    d = _docs(spark, tag="same")
+    a = caching.scoped_cache("t.reuse", d.where(F.col("doc_id") < 9))
+    a.count()  # materialize
+    b = caching.scoped_cache("t.reuse", d.where(F.col("doc_id") < 9))
+    assert b is a  # the resident cache object itself
+    c = caching.scoped_cache("t.reuse", d.where(F.col("doc_id") < 4))
+    assert c is not a and c.count() == 4
+    assert caching.live_cache_count() == 1
+    caching.release_caches()
+
+
+def test_cleared_cache_is_recached_on_reentry(spark):
+    """The bench clears the SQL cache between cold iterations; a
+    subsequent identical-plan registration must RE-cache (the
+    resident handle lost its data), not hand back an unpersisted
+    DataFrame that silently disables caching."""
+    caching.release_caches()
+    d = _docs(spark, tag="clr")
+    a = caching.scoped_cache("t.clear", d.where(F.col("doc_id") < 9))
+    a.count()
+    spark.catalog.clearCache()
+    b = caching.scoped_cache("t.clear", d.where(F.col("doc_id") < 9))
+    sl = b.storageLevel
+    assert sl.useMemory or sl.useDisk
+    assert b.count() == 9
+    caching.release_caches()

@@ -3228,6 +3228,26 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly weighted by REAL token counts
+    (functions/text.py::token_count — the engine-portable regex
+    tokenizer) instead of n_chars: budgets are expressed in tokens,
+    the unit mixture specs are actually written in (VERDICT r11 item
+    6). Identical two-phase cumsum plan — ``weight_col`` is generic,
+    only the weight expression changes. The BPE-count twin
+    (functions/bpe.py::bpe_encode n_tokens) is pinned end-to-end by
+    tests/test_sampling_split.py; greedy merge application is not
+    SQL-expressible, so the ORACLE-MATCHED gate uses the regex
+    count."""
+    from annotation_service_spark.functions import text as tx
+
+    budgets = {f"src{i}": 400 + 100 * (i % 3) for i in range(15)}
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", tx.token_count(F.col("text"))
+    )
+    return cu.token_budget_sample(docs, budgets, seed=11, weight_col="n_tok")
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible training order (operators/curation.py::
     epoch_shuffle): exact global rank under the epoch-1 md5 coin
@@ -3831,83 +3851,31 @@ DRIVER_WINDOW = 50  # the correctness driver hash-verifies the FIRST this-many
 
 
 def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The exactly-DRIVER_WINDOW gates the r11 driver run verifies
+    """The exactly-DRIVER_WINDOW gates the r12 driver run verifies
     (rows + schema + value-hash vs the DuckDB oracle).  Composition,
-    per VERDICT r10 items 1 and 8: the gates whose source this round's
-    code changes touch go first, then the 25 gates whose newest driver
-    evidence was round 7 (the full recomputed list — the r10 boundary
-    comment had drifted 8 positions and hid 8 of them), then a fill of
-    the oldest round-8 gates.  `queries()` asserts the count so a
-    rotation edit can never silently misplace the boundary again."""
+    per VERDICT r11 item 1: the new r12 gate first, then the gates
+    whose implementing source r12 code changes touch (MP4 demux +
+    id-typed frames table, scoped-cache sameResult reuse, minhash
+    num_hashes guard, passage cap-split merge, token-budget collect
+    guard), then the full 22-gate cohort whose newest driver evidence
+    was round 8, then a fill of the oldest round-9 gates.
+    `queries()` asserts the count so a rotation edit can never
+    silently misplace the boundary."""
     return {
-        # -- NEW round-11 operators (riskiest first) ----------------------
-        "shared_passages": q_shared_passages,
-        "span_dedup_keep_first": q_span_dedup_keep_first,
+        # -- NEW round-12 operator --------------------------------------
+        "token_budget_sample_tokens": q_token_budget_sample_tokens,
+        # -- touched by round-12 code (curation collect guard + source
+        #    prune, passage merge pass, minhash API guard, multimodal
+        #    demux generalization, scoped-cache reuse semantics) -------
         "token_budget_sample": q_token_budget_sample,
-        "dedup_eval_weighted": q_dedup_eval_weighted,
-        # -- touched by round-11 code (spatial antimeridian-overlap guard,
-        #    fingerprint-family cache lifecycle, eval-report unpersists) --
-        "geo_radius_join": q_geo_radius_join,
-        "annotate_nearest_site": q_annotate_nearest_site,
+        "shared_passages": q_shared_passages,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_weighted_minhash": q_dedup_weighted_minhash,
         "dedup_eval_report": q_dedup_eval_report,
-        # -- the 25 gates whose newest driver row was round 7 ------------
-        "kmeans_fixed": q_kmeans_fixed,
-        "knn_pagerank_lsh": q_knn_pagerank_lsh,
-        "mom_revenue": q_mom_revenue,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "native_pivot": q_native_pivot,
-        "ntile_deciles": q_ntile_deciles,
-        "perceptron_filter": q_perceptron_filter,
-        "pmi_collocations": q_pmi_collocations,
-        "price_ranks": q_price_ranks,
-        "robust_outliers": q_robust_outliers,
-        "session_rollup": q_session_rollup,
-        "source_kl": q_source_kl,
-        "stats_agg": q_stats_agg,
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "stream_rollup": q_stream_rollup,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "zorder_layout": q_zorder_layout,
-        # -- fill: 20 of the 38 round-8 gates (oldest remaining pool) ----
-        "annotate": q_annotate,
-        "annotate_multisnapshot": q_annotate_multisnapshot,
-        "asn_decode": q_asn_decode,
-        "asof_select": q_asof_select,
-        "corpus_curation": q_corpus_curation,
-        "decontaminate": q_decontaminate,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "group_quantiles": q_group_quantiles,
-        "heavy_hitters": q_heavy_hitters,
-        "histogram": q_histogram,
-        "interval_flatten": q_interval_flatten,
-        "interval_merge": q_interval_merge,
-        "kcore": q_kcore,
-        "lang_id": q_lang_id,
-        "legacy_annotate": q_legacy_annotate,
-    }
-
-
-def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Gates below the driver window — every one hash-green in an earlier
-    round's CORRECTNESS_r*.json over since-unchanged source.  Ordered
-    oldest evidence first so the next rotation is a straight slice: the
-    18 remaining round-8 gates head the r12 window, then the r9 cohort,
-    then the r10 cohort (freshest evidence, rotated out last)."""
-    return {
-        # -- remaining round-8 gates (head of the r12 rotation; the two
-        #    new r11 operators displaced pack_chunks/range_lookup/
-        #    merge_annotators here) --
+        "dedup_eval_weighted": q_dedup_eval_weighted,
+        # -- the 22 gates whose newest driver row was round 8 ----------
         "lpa_communities": q_lpa_communities,
         "merge_annotators": q_merge_annotators,
         "pack_chunks": q_pack_chunks,
@@ -3930,7 +3898,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "triangle_count": q_triangle_count,
         "vocab_topk": q_vocab_topk,
-        # -- the r9 cohort ----------------------------------------------
+        # -- fill: the 19 oldest round-9 gates --------------------------
         "ann_gemm_topk": q_ann_gemm_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -3950,6 +3918,18 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_percentiles": q_doc_percentiles,
         "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
+    }
+
+
+def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates below the driver window — every one hash-green in an
+    earlier round's CORRECTNESS_r*.json over since-unchanged source.
+    Ordered oldest evidence first so the next rotation is a straight
+    slice: the remaining round-9 gates head the r13 window, then the
+    r10 cohort, then the gates the r11 driver verified (rotated out
+    this round, freshest evidence)."""
+    return {
+        # -- remaining round-9 gates (head of the r13 rotation) --------
         "span_dedup_apply": q_span_dedup_apply,
         "anti_join": q_anti_join,
         "attribution_join": q_attribution_join,
@@ -3974,7 +3954,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "knn_pagerank": q_knn_pagerank,
         "linear_interp": q_linear_interp,
-        # -- the r10 cohort (freshest driver evidence) -------------------
+        # -- the r10 cohort ---------------------------------------------
         "pipeline_full": q_pipeline_full,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
@@ -4020,6 +4000,49 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last_ignore_nulls": q_first_last_ignore_nulls,
         "fuzzy_match": q_fuzzy_match,
         "interval_overlap_join": q_interval_overlap_join,
+        # -- the r11 cohort (rotated out of the r12 window) -------------
+        "span_dedup_keep_first": q_span_dedup_keep_first,
+        "geo_radius_join": q_geo_radius_join,
+        "annotate_nearest_site": q_annotate_nearest_site,
+        "kmeans_fixed": q_kmeans_fixed,
+        "knn_pagerank_lsh": q_knn_pagerank_lsh,
+        "mom_revenue": q_mom_revenue,
+        "native_pivot": q_native_pivot,
+        "ntile_deciles": q_ntile_deciles,
+        "perceptron_filter": q_perceptron_filter,
+        "pmi_collocations": q_pmi_collocations,
+        "price_ranks": q_price_ranks,
+        "robust_outliers": q_robust_outliers,
+        "session_rollup": q_session_rollup,
+        "source_kl": q_source_kl,
+        "stats_agg": q_stats_agg,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_rollup": q_stream_rollup,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "zorder_layout": q_zorder_layout,
+        "annotate": q_annotate,
+        "annotate_multisnapshot": q_annotate_multisnapshot,
+        "asn_decode": q_asn_decode,
+        "asof_select": q_asof_select,
+        "corpus_curation": q_corpus_curation,
+        "decontaminate": q_decontaminate,
+        "dedup_exact": q_dedup_exact,
+        "group_quantiles": q_group_quantiles,
+        "heavy_hitters": q_heavy_hitters,
+        "histogram": q_histogram,
+        "interval_flatten": q_interval_flatten,
+        "interval_merge": q_interval_merge,
+        "kcore": q_kcore,
+        "lang_id": q_lang_id,
+        "legacy_annotate": q_legacy_annotate,
     }
 
 
@@ -6602,6 +6625,34 @@ def oracle_sql() -> dict[str, str]:
             b AS (
                 SELECT 'src' || CAST(i AS VARCHAR) AS source,
                        CAST(2000 + 500 * (i % 3) AS BIGINT) AS budget
+                FROM unnest(range(15)) AS u(i)
+            ),
+            c AS (
+                SELECT t.id, t.source, t.w,
+                       coalesce(b.budget, 0) AS budget,
+                       sum(t.w) OVER (PARTITION BY t.source ORDER BY t.coin
+                                      ROWS UNBOUNDED PRECEDING) - t.w
+                           AS cum_before
+                FROM t LEFT JOIN b USING (source)
+            )
+            SELECT id, source, w, CAST(cum_before AS BIGINT) AS cum_before
+            FROM c WHERE cum_before < budget
+        """,
+        # token_budget_sample_tokens: same replay, but the weight is
+        # the regex token count (the engine-portable tokenizer both
+        # sides share) and budgets are in tokens.
+        "token_budget_sample_tokens": """
+            WITH t AS (
+                SELECT doc_id AS id, source,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS BIGINT) AS w,
+                       md5('tb11|' || CAST(doc_id AS VARCHAR)) AS coin
+                FROM documents
+            ),
+            b AS (
+                SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                       CAST(400 + 100 * (i % 3) AS BIGINT) AS budget
                 FROM unnest(range(15)) AS u(i)
             ),
             c AS (

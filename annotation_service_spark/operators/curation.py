@@ -688,6 +688,7 @@ def token_budget_sample(
     weight_col: str = "n_chars",
     seed: int = 0,
     n_shards: int | None = None,
+    max_offset_rows: int = 100_000,
 ) -> DataFrame:
     """Assemble a pretraining mixture under per-source token budgets:
     each source contributes documents — in a deterministic
@@ -712,7 +713,15 @@ def token_budget_sample(
     source with 10^9 documents costs the same as ten sources with
     10^8. Returns kept rows only: (id, source, weight, cum_before),
     where cum_before is the source's running total before this
-    document (exact integers, engine-portable)."""
+    document (exact integers, engine-portable).
+
+    The offset collect is GUARDED: a dict ``budgets`` prunes the scan
+    to the spec's named sources up front (unnamed sources keep
+    nothing, so reading them is pure waste), and either way the
+    collect raises once sources x n_shards would exceed
+    ``max_offset_rows`` — a high-cardinality source column (user ids,
+    URLs) fails loudly at the driver instead of collecting silently
+    (same bounded-collect contract as the vocab/centroid paths)."""
     from pyspark.sql import Window
 
     spark = docs.sparkSession
@@ -728,6 +737,10 @@ def token_budget_sample(
         coin.alias("__coin"),
     )
     if isinstance(budgets, dict):
+        # sources outside the spec keep nothing — prune them BEFORE
+        # the shard/window work, so the offset table is bounded by
+        # the spec itself regardless of the column's true cardinality
+        src = src.where(F.col("source").isin(list(budgets)))
         pairs = []
         for s, b in budgets.items():
             pairs.extend([F.lit(s), F.lit(int(b))])
@@ -741,11 +754,24 @@ def token_budget_sample(
     for b in bounds:
         shard = shard + F.when(F.col("__coin") > F.lit(b), 1).otherwise(0)
     src = src.withColumn("__shard", shard.cast("int"))
-    # bounded collect: sources x n_shards rows (the mixture spec's
-    # source cardinality is small by construction)
+    # bounded collect: sources x n_shards rows. The limit(+1) rides the
+    # same aggregation job, so detecting the overflow costs nothing —
+    # and a high-cardinality source column raises instead of silently
+    # pulling millions of rows to the driver.
     totals = (
-        src.groupBy("source", "__shard").agg(F.sum("w").alias("n")).collect()
+        src.groupBy("source", "__shard")
+        .agg(F.sum("w").alias("n"))
+        .limit(max_offset_rows + 1)
+        .collect()
     )
+    if len(totals) > max_offset_rows:
+        raise ValueError(
+            f"token_budget_sample offset table exceeds max_offset_rows="
+            f"{max_offset_rows} (sources x n_shards={n_shards}); a source "
+            "column this wide is not a mixture spec — pass a dict budgets "
+            "naming the real sources, reduce n_shards, or raise "
+            "max_offset_rows explicitly"
+        )
     offsets: dict[tuple, int] = {}
     acc: dict = {}
     for r in sorted(totals, key=lambda r: (str(r["source"]), r["__shard"])):

@@ -360,6 +360,81 @@ def shared_passage_anchors(
     )
 
 
+def _merge_cap_split_runs(
+    pieces: DataFrame, grams: DataFrame, k: int, merge_gap_limit: int
+) -> DataFrame:
+    """Merge run pieces that a ``max_df`` stop-gram cap split apart:
+    two pieces on the same (id_a, id_b, diagonal) merge iff EVERY
+    anchor position in the gap between them carries the SAME k-gram
+    in both documents (it was dropped by the cap, not a true
+    mismatch). Verification is an equi-join on (id, pos) against the
+    UNCAPPED gram table — per position, so the hot gram's corpus-wide
+    fan-out never re-enters; cost is bounded by (adjacent piece
+    pairs) x (gap length <= merge_gap_limit). Merging is applied
+    along chains (gaps-and-islands over verified adjacencies)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("start_a")
+    p = pieces.withColumn("rn", F.row_number().over(w))
+    nxt = p.select(
+        "id_a", "id_b", "diag",
+        (F.col("rn") - 1).alias("rn"),
+        F.col("start_a").alias("next_start_a"),
+    )
+    adj = (
+        p.select(
+            "id_a", "id_b", "diag", "rn",
+            (F.col("start_a") + F.col("length") - k).alias("end_a"),
+        )
+        .join(nxt, ["id_a", "id_b", "diag", "rn"])
+        .withColumn("gap", F.col("next_start_a") - F.col("end_a") - 1)
+        .where((F.col("gap") >= 1) & (F.col("gap") <= merge_gap_limit))
+    )
+    gappos = adj.select(
+        "id_a", "id_b", "diag", "rn", "gap",
+        F.explode(
+            F.sequence(F.col("end_a") + 1, F.col("next_start_a") - 1)
+        ).alias("ga_pos"),
+    ).withColumn("gb_pos", F.col("ga_pos") - F.col("diag"))
+    ga = grams.select(
+        F.col("id").alias("id_a"),
+        F.col("pos").alias("ga_pos"),
+        F.col("gh").alias("gh_a"),
+    )
+    gb = grams.select(
+        F.col("id").alias("id_b"),
+        F.col("pos").alias("gb_pos"),
+        F.col("gh").alias("gh_b"),
+    )
+    verified = (
+        gappos.join(ga, ["id_a", "ga_pos"])
+        .join(gb, ["id_b", "gb_pos"])
+        .where(F.col("gh_a") == F.col("gh_b"))
+        .groupBy("id_a", "id_b", "diag", "rn")
+        .agg(F.count(F.lit(1)).alias("n_ok"), F.first("gap").alias("gap"))
+        .where(F.col("n_ok") == F.col("gap"))
+        .select("id_a", "id_b", "diag", (F.col("rn") + 1).alias("rn"))
+        .withColumn("cont", F.lit(1))
+    )
+    chained = p.join(verified, ["id_a", "id_b", "diag", "rn"], "left")
+    mgrp = F.sum(
+        F.when(F.col("cont").isNull(), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        chained.withColumn("mgrp", mgrp)
+        .groupBy("id_a", "id_b", "diag", "mgrp")
+        .agg(
+            F.min("start_a").alias("start_a"),
+            F.min("start_b").alias("start_b"),
+            (
+                F.max(F.col("start_a") + F.col("length"))
+                - F.min(F.col("start_a"))
+            ).alias("length"),
+        )
+        .select("id_a", "id_b", "diag", "start_a", "start_b", "length")
+    )
+
+
 def shared_passages(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -367,6 +442,8 @@ def shared_passages(
     k: int = 8,
     min_tokens: int | None = None,
     max_df: int | None = 1000,
+    merge_cap_splits: bool = False,
+    merge_gap_limit: int = 256,
 ) -> DataFrame:
     """MAXIMAL shared token runs between document pairs, with
     positions — the pairwise evidence form of exact-substring dedup
@@ -394,7 +471,17 @@ def shared_passages(
     key fan-out. Capping splits runs THROUGH a beyond-cap gram (the
     run reports as two shorter runs) — maximality is exact for runs
     whose interior grams stay under the cap, the same honesty note as
-    every capped pair family here."""
+    every capped pair family here. ``merge_cap_splits=True`` (off by
+    default) restores exact maximality for cap-split INTERIORS: see
+    ``_merge_cap_split_runs`` — pieces whose gap grams verify equal
+    in both documents re-merge, so boilerplate mining over hot-phrase
+    corpora reports whole runs. Run ENDPOINTS truncated by a
+    beyond-cap gram at the very edge of a run are out of scope either
+    way (no piece exists past the edge to merge with) — raise max_df
+    if edge-exactness matters. The merge pass re-reads the text once
+    (its gram verification needs the uncapped gram table) and merges
+    BEFORE the min_tokens filter, so split pieces individually under
+    the floor still surface once merged."""
     from pyspark.sql import Window
 
     if min_tokens is None:
@@ -404,14 +491,16 @@ def shared_passages(
     runs = anchors.withColumn(
         "grp", F.col("pa") - F.row_number().over(w)
     )
+    pieces = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+        (F.max("pa") - F.min("pa") + k).alias("length"),
+    )
+    if merge_cap_splits and max_df is not None:
+        _tok, grams = _span_grams(df, id_col, text_col, k)
+        pieces = _merge_cap_split_runs(pieces, grams, k, merge_gap_limit)
     return (
-        runs.groupBy("id_a", "id_b", "diag", "grp")
-        .agg(
-            F.min("pa").alias("start_a"),
-            F.min("pb").alias("start_b"),
-            (F.max("pa") - F.min("pa") + k).alias("length"),
-        )
-        .where(F.col("length") >= F.lit(min_tokens))
+        pieces.where(F.col("length") >= F.lit(min_tokens))
         .select("id_a", "id_b", "start_a", "start_b", "length")
     )
 

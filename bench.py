@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "span_dedup_keep_first",
     "shared_passages",
     "token_budget_sample",
+    "token_budget_sample_tokens",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",
@@ -632,6 +633,18 @@ def main() -> None:
     canary["batch_tpch_q1_warm_sec"] = batch_canaries
     _vals = [v for _, v in batch_canaries]
     canary["q1_ratio_max_min"] = round(max(_vals) / max(1e-9, min(_vals)), 2)
+    # Per-query hot-batch tag (VERDICT r11 #5): the r11 adjudication
+    # worked but needed hand-matching query indexes to canary ranges.
+    # Tag every query with its enclosing batch's canary ratio — the
+    # max of the two flanking canaries over the run's min — so
+    # round-over-round per-query comparison is machine-checkable:
+    # a delta whose hot_batch ratio ≫ 1 is ambient load, not code.
+    _min_canary = max(1e-9, min(_vals))
+    queries_hot_batch: dict[str, float] = {}
+    for qi, name in enumerate(BENCH_QUERIES):
+        b = qi // CANARY_EVERY
+        flank = _vals[b : b + 2] or _vals[-1:]
+        queries_hot_batch[name] = round(max(flank) / _min_canary, 2)
     spark.catalog.clearCache()
 
     # probe-scale sweep: the broadcast-range-join design promises a
@@ -952,6 +965,12 @@ def main() -> None:
             # decade further out — its tf-expansion must not change
             # the banded join's scale shape
             "dedup_weighted_minhash",
+            # r12 (VERDICT r11 #4): the passage family's WALL TIME at
+            # x100, beside its already-measured anchor counts — the
+            # k-gram anchor join + diagonal islands must hold the same
+            # ~10x/decade shape the counts show
+            "shared_passages",
+            "span_dedup_keep_first",
         ):
             run_median3(sf100_docs_timings, name, sf100d_dir)
         spark.catalog.clearCache()
@@ -1102,6 +1121,7 @@ def main() -> None:
         "canary": canary,
         "queries_warm": warm,
         "queries_runs": runs_detail,
+        "queries_hot_batch": queries_hot_batch,
         "annotate_probe_sweep": sweep,
         "j1_skewed_probes": skew_block,
         "sf1_docs_10x": sf1_timings,

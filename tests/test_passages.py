@@ -196,3 +196,76 @@ def test_shared_passage_anchors_superset_of_runs(spark, passage_docs):
         for pa in range(r.start_a, r.start_a + r.length - k + 1):
             assert (r.id_a, r.id_b, diag, pa) in akey
     assert len(akey) >= sum(r.length - k + 1 for r in runs)
+
+
+def test_shared_passages_merge_cap_splits_restores_maximality(spark):
+    """VERDICT r11 item 7: with merge_cap_splits=True, runs that a
+    max_df stop-gram cap split through a hot interior re-merge to the
+    exact uncapped maximal run (verified against the brute-force
+    diagonal scan on the pair), runs with a GENUINELY differing
+    middle on the same diagonal stay split, and a run split by TWO
+    hot phrases chain-merges. Merge happens before the min_tokens
+    filter, so a split piece under the floor still surfaces merged."""
+    hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    hot2 = "g1 g2 g3 g4 g5 g6 g7 g8"
+    fillers = [
+        (100 + i, f"pre{i} junk{i} " + hot + f" mid{i} " + hot2 + f" tail{i}")
+        for i in range(20)
+    ]
+    # docs 1/2: shared run with the hot phrase interior; the prefix
+    # piece (u1 u2 + straddle) is SHORTER than min_tokens on its own
+    shared = "u1 u2 " + hot + " v1 v2 v3 v4 v5 v6"
+    pair = [(1, "aaa bbb " + shared + " ccc"), (2, "xxx " + shared + " yyy zzz")]
+    # docs 3/4: same-diagonal runs around a truly differing middle
+    ctrl = [
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 mida q1 q2 q3 q4 q5 q6 q7 q8"),
+        (4, "w1 w2 w3 w4 w5 w6 w7 w8 midb q1 q2 q3 q4 q5 q6 q7 q8"),
+    ]
+    # docs 6/7: one run split by TWO hot phrases (chain merge)
+    shared2 = "m1 m2 m3 " + hot + " n1 n2 n3 " + hot2 + " o1 o2 o3"
+    chain = [(6, "lead " + shared2), (7, shared2 + " trail words")]
+    rows = pair + ctrl + chain + fillers
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, mt, cap = 4, 7, 10
+
+    def runs(out, a, b):
+        return {
+            (r.start_a, r.start_b, r.length)
+            for r in out
+            if (r.id_a, r.id_b) == (a, b)
+        }
+
+    uncapped = dd.shared_passages(df, k=k, min_tokens=mt, max_df=None).collect()
+    split = dd.shared_passages(df, k=k, min_tokens=mt, max_df=cap).collect()
+    merged = dd.shared_passages(
+        df, k=k, min_tokens=mt, max_df=cap, merge_cap_splits=True
+    ).collect()
+
+    # pair 1/2: capped-unmerged loses the run's hot interior AND its
+    # under-floor prefix piece; merged == uncapped == brute force
+    exp_12 = {
+        t[2:] for t in _brute_passages([r for r in rows if r[0] in (1, 2)], k, mt)
+    }
+    assert runs(merged, 1, 2) == runs(uncapped, 1, 2) == exp_12
+    assert len(runs(uncapped, 1, 2)) == 1
+    assert runs(split, 1, 2) != runs(uncapped, 1, 2)
+
+    # control 3/4: truly differing middle — merge must NOT join
+    exp_34 = {
+        t[2:] for t in _brute_passages([r for r in rows if r[0] in (3, 4)], k, mt)
+    }
+    assert len(exp_34) == 2
+    assert runs(merged, 3, 4) == runs(split, 3, 4) == exp_34
+
+    # chain 6/7: two hot interiors, three pieces -> one merged run
+    exp_67 = {
+        t[2:] for t in _brute_passages([r for r in rows if r[0] in (6, 7)], k, mt)
+    }
+    assert runs(merged, 6, 7) == runs(uncapped, 6, 7) == exp_67
+    assert len(exp_67) == 1
+    # unmerged, only the middle piece clears the floor (the outer
+    # pieces are under min_tokens) — the merged run is the full span
+    assert runs(split, 6, 7) != runs(merged, 6, 7)
+    assert max(t[2] for t in runs(split, 6, 7)) < max(
+        t[2] for t in runs(merged, 6, 7)
+    )

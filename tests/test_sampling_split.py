@@ -272,3 +272,78 @@ def test_token_budget_sample_shard_invariance(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert outs[0]  # non-degenerate
+
+
+def test_token_budget_sample_offset_collect_guarded(spark):
+    """VERDICT r11 item 3: an int budget over a high-cardinality
+    source column must fail loudly at the bounded-collect contract,
+    not silently pull sources x n_shards rows to the driver; a dict
+    spec over the same table prunes to its named sources and
+    succeeds."""
+    import pytest
+
+    from annotation_service_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    rows = [(i, f"user-{i}", 10) for i in range(300)]  # source ~ user id
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    with pytest.raises(ValueError, match="max_offset_rows"):
+        token_budget_sample(df, 50, n_shards=4, max_offset_rows=100)
+    # a real mixture spec names its sources; the scan prunes to them
+    out = token_budget_sample(
+        df, {"user-1": 15, "user-2": 5}, n_shards=4, max_offset_rows=100
+    ).collect()
+    assert {r.source for r in out} == {"user-1", "user-2"}
+
+
+def test_token_budget_sample_bpe_weights_end_to_end(spark):
+    """VERDICT r11 item 6: budgets in TOKENS with real BPE counts —
+    word_freqs -> train_bpe -> bpe_encode(n_tokens) -> weight_col.
+    Pins that the generic weight_col path carries the BPE counts
+    through the two-phase cumsum exactly (python replay) and that
+    kept totals cross each budget by < one doc's tokens."""
+    import hashlib
+
+    from annotation_service_spark.functions.bpe import (
+        bpe_encode,
+        train_bpe,
+        word_freqs,
+    )
+    from annotation_service_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "a" if i % 2 else "b",
+         ("lorem ipsum dolor sit amet " * (1 + i % 4)).strip())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    merges = train_bpe(word_freqs(df), n_merges=30)
+    enc = bpe_encode(df, merges).withColumnRenamed("id", "doc_id")
+    weighted = df.join(enc.select("doc_id", "n_tokens"), "doc_id")
+    budgets = {"a": 120, "b": 75}
+    out = token_budget_sample(
+        weighted, budgets, seed=3, weight_col="n_tokens"
+    ).collect()
+
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in enc.collect()}
+    assert any(v > 1 for v in n_tok.values())  # merges actually fired
+
+    def coin(i):
+        return hashlib.md5(f"tb3|{i}".encode()).hexdigest()
+
+    exp = set()
+    for s, budget in budgets.items():
+        docs = sorted((r for r in rows if r[1] == s), key=lambda r: coin(r[0]))
+        cum = 0
+        for did, _, _ in docs:
+            if cum < budget:
+                exp.add((did, s, n_tok[did], cum))
+            cum += n_tok[did]
+    assert {(r.id, r.source, r.w, r.cum_before) for r in out} == exp
+    for s, budget in budgets.items():
+        tot = sum(r.w for r in out if r.source == s)
+        if tot > budget:
+            assert tot - budget < max(r.w for r in out if r.source == s)

@@ -3248,6 +3248,45 @@ def q_token_budget_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.token_budget_sample(docs, budgets, seed=11, weight_col="n_tok")
 
 
+def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-cut into deterministic 2-token lines (newline
+    joined) — the synthetic corpus has no real line structure, so the
+    line-family gates synthesize one the oracle reproduces exactly:
+    line i = words[2i:2i+2]."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 2 + 1, 2)),
+    )
+    return docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/curation.py::
+    remove_boilerplate_lines — the CCNet/RefinedWeb line-hash family):
+    lines whose normalized form appears in > 15 distinct documents are
+    template furniture and are removed everywhere; documents come back
+    reassembled in original line order with (n_lines, n_kept). Plan:
+    linear line explode + one content-keyed distinct-doc count +
+    left_anti join — no all-pairs, hot lines are single aggregation
+    keys. The oracle replays the same threshold over the same
+    synthesized lines."""
+    return cu.remove_boilerplate_lines(
+        _lined_documents(spark, sf_dir), max_line_df=15
+    )
+
+
+def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/line-level exact dedup keeping one canonical copy
+    (operators/curation.py::dedup_lines_keep_first — the literal CCNet
+    paragraph-dedup semantics): every repeated normalized line keeps
+    only its first corpus occurrence in (id, line_no) order (min over
+    values — deterministic under any partitioning), all other
+    occurrences are removed."""
+    return cu.dedup_lines_keep_first(_lined_documents(spark, sf_dir))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible training order (operators/curation.py::
     epoch_shuffle): exact global rank under the epoch-1 md5 coin
@@ -3862,8 +3901,10 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `queries()` asserts the count so a rotation edit can never
     silently misplace the boundary."""
     return {
-        # -- NEW round-12 operator --------------------------------------
+        # -- NEW round-12 operators ---------------------------------------
         "token_budget_sample_tokens": q_token_budget_sample_tokens,
+        "boilerplate_lines": q_boilerplate_lines,
+        "line_dedup_keep_first": q_line_dedup_keep_first,
         # -- touched by round-12 code (curation collect guard + source
         #    prune, passage merge pass, minhash API guard, multimodal
         #    demux generalization, scoped-cache reuse semantics) -------
@@ -3916,8 +3957,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "upsert_merge": q_upsert_merge,
         "doc_percentiles": q_doc_percentiles,
-        "rolling_avg": q_rolling_avg,
-        "span_dedup": q_span_dedup,
     }
 
 
@@ -3930,6 +3969,8 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-9 gates (head of the r13 rotation) --------
+        "rolling_avg": q_rolling_avg,
+        "span_dedup": q_span_dedup,
         "span_dedup_apply": q_span_dedup_apply,
         "anti_join": q_anti_join,
         "attribution_join": q_attribution_join,
@@ -6665,6 +6706,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, source, w, CAST(cum_before AS BIGINT) AS cum_before
             FROM c WHERE cum_before < budget
+        """,
+        # boilerplate_lines / line_dedup_keep_first: documents re-cut
+        # into deterministic 2-token lines (line i = words[2i:2i+2]),
+        # then the line-hash family over the normalized line.
+        "boilerplate_lines": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            lined AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            nrm AS (
+                SELECT *, trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM lined
+            ),
+            hot AS (
+                SELECT norm FROM nrm GROUP BY norm
+                HAVING count(DISTINCT doc_id) > 15
+            ),
+            kept AS (
+                SELECT doc_id, line_no, line FROM nrm
+                WHERE norm NOT IN (SELECT norm FROM hot)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id AS id,
+                   CAST(ceil(len(w.ws)/2.0) AS BIGINT) AS n_lines,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM w LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "line_dedup_keep_first": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            lined AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            nrm AS (
+                SELECT *, trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM lined
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY norm ORDER BY doc_id, line_no
+                       ) AS rn
+                FROM nrm
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           AS clean_text
+                FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT w.doc_id AS id,
+                   CAST(ceil(len(w.ws)/2.0) AS BIGINT) AS n_lines,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM w LEFT JOIN rebuilt r USING (doc_id)
         """,
         "epoch_shuffle": """
             WITH r AS (

@@ -794,3 +794,127 @@ def token_budget_sample(
         .where(F.col("cum_before") < budget)
         .select("id", "source", "w", "cum_before")
     )
+
+
+def _doc_lines(
+    docs: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(id, line_no, line, norm) — documents split into lines with a
+    whitespace-collapsed lowercase normalization key. Linear explode;
+    everything downstream keys on the norm's CONTENT, never on the
+    document, so hot boilerplate lines shuffle as single aggregation
+    keys (map-side combinable counts), not as row fan-out."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "line_no", "line"
+            ),
+        )
+        .withColumn(
+            "norm",
+            F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")),
+        )
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_line_df: int = 30,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb line-hash
+    family; public: Wenzek et al. 2020 "CCNet", Penedo et al. 2023
+    "RefinedWeb"): a line whose normalized form appears in MORE THAN
+    ``max_line_df`` distinct documents is navigation chrome, cookie
+    banners, or template furniture — remove every occurrence and
+    reassemble the documents. Returns
+    (id, n_lines, n_kept, clean_text) with lines rejoined by ``sep``
+    in original order (same contract as remove_duplicate_spans).
+
+    Plan: linear line explode -> count(DISTINCT doc) per normalized
+    line (one content-keyed shuffle, partial-aggregated) -> left_anti
+    join of occurrences against the beyond-threshold line set ->
+    groupBy doc to reassemble. No all-pairs anywhere; a line shared
+    by 10^9 documents is one aggregation key, not a fan-out."""
+    lines = _doc_lines(docs, id_col, text_col, sep)
+    hot = (
+        lines.groupBy("norm")
+        .agg(F.count_distinct("id").alias("docs"))
+        .where(F.col("docs") > max_line_df)
+        .select("norm")
+    )
+    kept = lines.join(hot, "norm", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def dedup_lines_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph/line-level exact dedup keeping ONE canonical copy —
+    the literal CCNet paragraph-dedup semantics: every normalized
+    line that occurs more than once corpus-wide keeps only its FIRST
+    occurrence in (id, line_no) order (a min over values, so the
+    survivor is deterministic under any partitioning), all other
+    occurrences are removed. Same output contract as
+    remove_boilerplate_lines: (id, n_lines, n_kept, clean_text)."""
+    lines = _doc_lines(docs, id_col, text_col, sep)
+    first = lines.groupBy("norm").agg(
+        F.min(F.struct("id", "line_no")).alias("f"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    kept = (
+        lines.join(first, "norm")
+        .where(
+            (F.col("cnt") == 1)
+            | (
+                (F.col("id") == F.col("f.id"))
+                & (F.col("line_no") == F.col("f.line_no"))
+            )
+        )
+        .select("id", "line_no", "line")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "shared_passages",
     "token_budget_sample",
     "token_budget_sample_tokens",
+    "boilerplate_lines",
+    "line_dedup_keep_first",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",

@@ -1,0 +1,118 @@
+"""Line-level boilerplate removal + keep-first line dedup
+(operators/curation.py — the CCNet/RefinedWeb line-hash family).
+
+Differential tests against a pure-python replay: remove_boilerplate_
+lines must drop exactly the lines whose normalized form exceeds the
+distinct-document threshold, dedup_lines_keep_first must keep exactly
+one canonical (first by (id, line_no)) copy of every repeated line,
+and both must reassemble documents in original line order.
+"""
+
+from __future__ import annotations
+
+import re
+
+from annotation_service_spark.operators.curation import (
+    dedup_lines_keep_first,
+    remove_boilerplate_lines,
+)
+
+
+def _norm(line: str) -> str:
+    return re.sub(r"\s+", " ", line.lower()).strip()
+
+
+BOILER = "Accept  COOKIES to continue"
+FOOTER = "copyright 2026 example corp"
+
+
+def _docs():
+    rows = []
+    for i in range(40):
+        lines = [f"unique body {i} alpha", BOILER, f"more text {i} beta"]
+        if i % 2 == 0:
+            lines.append(FOOTER)
+        if i == 7:
+            lines.append("accept cookies  TO  continue")  # norm-equal twin
+        rows.append((i, "\n".join(lines)))
+    rows.append((100, "singleton doc\nwith its own lines only"))
+    return rows
+
+
+def test_remove_boilerplate_lines_matches_replay(spark):
+    rows = _docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in remove_boilerplate_lines(df, max_line_df=10).collect()
+    }
+    # python replay
+    doc_lines = {i: t.split("\n") for i, t in rows}
+    df_count: dict[str, set] = {}
+    for i, ls in doc_lines.items():
+        for l in ls:
+            df_count.setdefault(_norm(l), set()).add(i)
+    hot = {n for n, s in df_count.items() if len(s) > 10}
+    exp = {}
+    for i, ls in doc_lines.items():
+        kept = [l for l in ls if _norm(l) not in hot]
+        exp[i] = (len(ls), len(kept), "\n".join(kept))
+    assert out == exp
+    # the planted structure actually exercised both paths
+    assert all(BOILER not in v[2] for v in out.values())
+    # FOOTER appears in 20 docs > threshold 10 -> also removed
+    assert all(FOOTER not in v[2] for v in out.values())
+    assert out[100] == (2, 2, "singleton doc\nwith its own lines only")
+    # normalization catches the spacing/case twin
+    assert "accept cookies" not in out[7][2].lower()
+
+
+def test_remove_boilerplate_threshold_boundary(spark):
+    rows = _docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # FOOTER is in exactly 20 docs: at max_line_df=20 ("> 20") it stays
+    out = {
+        r.id: r.clean_text
+        for r in remove_boilerplate_lines(df, max_line_df=20).collect()
+    }
+    assert FOOTER in out[0]
+    assert all(BOILER not in t for t in out.values())  # 41 docs > 20
+
+
+def test_dedup_lines_keep_first_matches_replay(spark):
+    rows = _docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in dedup_lines_keep_first(df).collect()
+    }
+    doc_lines = {i: t.split("\n") for i, t in rows}
+    occ: dict[str, list] = {}
+    for i in sorted(doc_lines):
+        for ln, l in enumerate(doc_lines[i]):
+            occ.setdefault(_norm(l), []).append((i, ln))
+    exp = {}
+    for i, ls in doc_lines.items():
+        kept = [
+            l
+            for ln, l in enumerate(ls)
+            if len(occ[_norm(l)]) == 1 or occ[_norm(l)][0] == (i, ln)
+        ]
+        exp[i] = (len(ls), len(kept), "\n".join(kept))
+    assert out == exp
+    # exactly ONE copy of the boilerplate line survives, in doc 0
+    survivors = [i for i, v in out.items() if BOILER.lower() in v[2].lower()
+                 or "accept cookies" in v[2].lower()]
+    assert survivors == [0]
+
+
+def test_line_ops_empty_and_fully_removed_docs(spark):
+    """A doc whose every line is boilerplate comes back with
+    n_kept=0 and empty clean_text, not a dropped row."""
+    rows = [(i, "same line\nsame line two") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate_lines(df, max_line_df=5).collect()
+    assert len(out) == 12
+    assert all(r.n_kept == 0 and r.clean_text == "" for r in out)
+    kf = {r.id: r.n_kept for r in dedup_lines_keep_first(df).collect()}
+    assert kf[0] == 2 and all(v == 0 for i, v in kf.items() if i != 0)

@@ -44,7 +44,10 @@ R12_TOUCHED = {
 
 # Operators introduced in round 12 — never driver-verified before, so
 # they lead the window.
-R12_NEW = {"token_budget_sample_tokens"}
+R12_NEW = {
+    "token_budget_sample_tokens", "boilerplate_lines",
+    "line_dedup_keep_first",
+}
 
 
 def test_window_size_and_boundary():

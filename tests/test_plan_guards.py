@@ -290,3 +290,36 @@ def test_shared_passages_plan(spark):
     assert any(j in p for j in EQUI_JOINS)
     assert "Window" in p and "SinglePartition" not in p
     assert "partial_min" in p  # map-side combine on the run aggregate
+
+
+def test_line_family_plans(spark):
+    """Line-hash family (r12): the hot-line filter must reach the
+    occurrences as a LeftAnti equi-join (boilerplate) / an equi-join
+    on the norm (keep-first) — never a cross product — and the
+    per-line distinct-doc count must carry a partial (map-side)
+    phase; reassembly groups by doc id, no single-partition stage."""
+    p = _plan(em.q_boilerplate_lines(spark, SF))
+    _assert_no_blowups(p)
+    assert "LeftAnti" in p, p
+    assert "SinglePartition" not in p
+    assert "partial_count" in p or "partial_min" in p
+    p2 = _plan(em.q_line_dedup_keep_first(spark, SF))
+    _assert_no_blowups(p2)
+    assert any(j in p2 for j in EQUI_JOINS)
+    assert "SinglePartition" not in p2
+
+
+def test_shared_passages_merge_pass_plan(spark):
+    """The cap-split merge pass (r12): gap verification joins the
+    uncapped gram table per (id, position) — equi-joins only, no
+    cross product — and both its windows stay keyed by
+    (pair, diagonal), never single-partition."""
+    from annotation_service_spark.operators import dedup as dd
+    from annotation_service_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = dd.shared_passages(docs, k=8, max_df=1000, merge_cap_splits=True)
+    p = _plan(out)
+    _assert_no_blowups(p)
+    assert any(j in p for j in EQUI_JOINS)
+    assert "Window" in p and "SinglePartition" not in p

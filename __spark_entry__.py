@@ -3738,6 +3738,51 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_hot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hot-line (boilerplate) detection, hash-verified
+    (streaming/stateful.py::streaming_hot_lines): the documents
+    parquet streams through the same deterministic 2-token line
+    synthesis as the batch line gates, and a stateful per-line
+    counter (two longs per distinct line) emits each normalized line
+    ONCE when its cumulative occurrence count first exceeds 20. The
+    emitted SET is a pure function of the input — batch boundaries
+    move when a line reports, never whether — so the oracle is the
+    closed-input occurrence count."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    words = F.split(F.col("text"), " ")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 2 + 1, 2)),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(F.explode(lines_arr).alias("line"))
+        .select(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")
+            ).alias("norm")
+        )
+    )
+    from annotation_service_spark.streaming.stateful import (
+        streaming_hot_lines,
+    )
+
+    out = streaming_hot_lines(stream, threshold=20)
+    name = f"stream_hot_lines_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("norm").distinct()
+
+
 def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, hash-verified: the documents parquet
     streams through md5-content hashing and a streaming
@@ -3905,6 +3950,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample_tokens": q_token_budget_sample_tokens,
         "boilerplate_lines": q_boilerplate_lines,
         "line_dedup_keep_first": q_line_dedup_keep_first,
+        "stream_hot_lines": q_stream_hot_lines,
         # -- touched by round-12 code (curation collect guard + source
         #    prune, passage merge pass, minhash API guard, multimodal
         #    demux generalization, scoped-cache reuse semantics) -------
@@ -3956,7 +4002,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "upsert_merge": q_upsert_merge,
-        "doc_percentiles": q_doc_percentiles,
     }
 
 
@@ -3969,6 +4014,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-9 gates (head of the r13 rotation) --------
+        "doc_percentiles": q_doc_percentiles,
         "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
         "span_dedup_apply": q_span_dedup_apply,
@@ -6777,6 +6823,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_kept, 0) AS n_kept,
                    coalesce(r.clean_text, '') AS clean_text
             FROM w LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # stream_hot_lines: the emitted set == lines whose closed-input
+        # occurrence count exceeds the threshold (crossing emission is
+        # batch-placement independent as a SET).
+        "stream_hot_lines": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            lined AS (
+                SELECT array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            nrm AS (
+                SELECT trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM lined
+            )
+            SELECT norm FROM nrm GROUP BY norm HAVING count(*) > 20
         """,
         "epoch_shuffle": """
             WITH r AS (

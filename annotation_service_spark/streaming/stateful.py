@@ -515,3 +515,55 @@ def streaming_token_budget(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOTLINE_OUT_SCHEMA = T.StructType([T.StructField("norm", T.StringType())])
+
+HOTLINE_STATE_SCHEMA = T.StructType(
+    [T.StructField("cnt", T.LongType()), T.StructField("emitted", T.LongType())]
+)
+
+
+def streaming_hot_lines(
+    lines_stream: DataFrame,
+    norm_col: str = "norm",
+    threshold: int = 30,
+) -> DataFrame:
+    """Streaming hot-line (boilerplate) detection — the stream twin of
+    ``curation.remove_boilerplate_lines``'s hot-line stage: a
+    normalized line is emitted ONCE, in the micro-batch where its
+    cumulative occurrence count first exceeds ``threshold``. State is
+    two longs per DISTINCT line (count + emitted flag), keyed
+    uniformly by content — a boilerplate line occurring 10^9 times is
+    one state row, never a fan-out. The emitted SET is a pure
+    function of the input (batch boundaries only move WHEN a line is
+    reported, not whether), which is what makes the gate
+    deterministic under any file chunking.
+
+    Note the stream stage counts OCCURRENCES where the batch operator
+    counts DISTINCT documents (a per-line doc set would be unbounded
+    state); identical when documents don't repeat a line internally,
+    and the documented trade-off otherwise — run the batch form at
+    compaction time for the document-exact cut, use this gate to
+    start suppressing template chrome mid-ingest."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        (norm,) = key
+        cnt, emitted = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        out_rows = []
+        if cnt > threshold and not emitted:
+            emitted = 1
+            out_rows.append(norm)
+        state.update((int(cnt), int(emitted)))
+        if out_rows:
+            yield pd.DataFrame({"norm": out_rows})
+
+    return lines_stream.groupBy(norm_col).applyInPandasWithState(
+        fn,
+        HOTLINE_OUT_SCHEMA,
+        HOTLINE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

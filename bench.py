@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "token_budget_sample_tokens",
     "boilerplate_lines",
     "line_dedup_keep_first",
+    "stream_hot_lines",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",

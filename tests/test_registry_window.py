@@ -46,7 +46,7 @@ R12_TOUCHED = {
 # they lead the window.
 R12_NEW = {
     "token_budget_sample_tokens", "boilerplate_lines",
-    "line_dedup_keep_first",
+    "line_dedup_keep_first", "stream_hot_lines",
 }
 
 

@@ -448,3 +448,47 @@ def test_streaming_token_budget_across_batches(spark, tmp_path):
         (3, "a", 30, 90),   # boundary doc kept, crosses 100
         (11, "b", 60, 0),   # boundary doc on a fresh source
     }
+
+
+def test_streaming_hot_lines_crossing_once_across_batches(spark, tmp_path):
+    """Hot-line detection across micro-batches: a line is emitted in
+    the batch where its cumulative count first exceeds the threshold,
+    exactly once (state carries count + emitted flag), lines that
+    never cross stay silent, and a line crossing within a single
+    batch also reports."""
+    import json
+
+    from annotation_service_spark.streaming.stateful import (
+        streaming_hot_lines,
+    )
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    # 'banner': 2 then 2 more -> crosses 3 in batch 2, never again
+    # 'footer': 4 in batch 1 -> crosses within one batch
+    # 'rare':   1 + 1 -> never crosses
+    b1 = ["banner"] * 2 + ["footer"] * 4 + ["rare"]
+    b2 = ["banner"] * 2 + ["banner"] + ["rare"]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"norm": n}) for n in b1)
+    )
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps({"norm": n}) for n in b2)
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("norm string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming_hot_lines(stream, threshold=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hot_lines_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r.norm for r in spark.sql("select * from hot_lines_out").collect()]
+    assert sorted(rows) == ["banner", "footer"]  # each EXACTLY once

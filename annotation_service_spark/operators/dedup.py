@@ -435,6 +435,137 @@ def _merge_cap_split_runs(
     )
 
 
+def _extend_run_endpoints(
+    pieces: DataFrame, grams: DataFrame, k: int, limit: int
+) -> DataFrame:
+    """Extend run endpoints that a ``max_df`` cap TRUNCATED: a beyond-
+    cap gram at the very edge of a true run drops its anchors, so the
+    capped run starts late / ends early. Each endpoint extends
+    outward while the gram at the next position verifies equal in
+    both documents (per-(id, pos) equi-join against the uncapped gram
+    table, like the merge pass) — any matched extension position is
+    necessarily a capped gram, since a sub-cap match would already be
+    an anchor of the island.
+
+    Runs stay disjoint by construction: this pass runs AFTER
+    ``_merge_cap_split_runs``, so a surviving same-diagonal gap
+    <= ``limit`` contains at least one verified mismatch — the two
+    facing extensions stop at it from either side and cannot meet.
+    A gap > ``limit`` was never merge-verified, so each side is
+    additionally bounded to half the gap; exactness there (and for a
+    hot edge region longer than ``limit``) is the documented bounded-
+    restoration caveat — raise ``merge_gap_limit`` if it matters."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("start_a")
+    base = (
+        pieces.withColumn("end_a", F.col("start_a") + F.col("length") - k)
+        .withColumn(
+            "gap_prev", F.col("start_a") - F.lag("end_a").over(w) - 1
+        )
+        .withColumn(
+            "gap_next", F.lead("start_a").over(w) - F.col("end_a") - 1
+        )
+    )
+
+    def side_limit(gap):
+        return (
+            F.when(gap.isNull(), F.lit(limit))
+            .when(gap <= limit, F.least(F.lit(limit), gap))
+            .otherwise(
+                F.least(F.lit(limit), F.floor((gap - 1) / 2).cast("long"))
+            )
+        )
+
+    base = base.withColumn("lim_l", side_limit(F.col("gap_prev"))).withColumn(
+        "lim_r", side_limit(F.col("gap_next"))
+    )
+    keys = ["id_a", "id_b", "diag", "start_a"]
+
+    # candidate extension positions, both sides in one pass
+    cand = base.where((F.col("lim_l") >= 1) | (F.col("lim_r") >= 1)).select(
+        *keys, "end_a", "lim_l", "lim_r"
+    )
+    left = (
+        cand.where(F.col("lim_l") >= 1)
+        .select(
+            *keys, F.col("lim_l").alias("lim"),
+            F.explode(
+                F.sequence(F.lit(1), F.col("lim_l").cast("int"))
+            ).alias("d"),
+        )
+        .withColumn("ga_pos", F.col("start_a") - F.col("d"))
+        .withColumn("side", F.lit("L"))
+    )
+    right = (
+        cand.where(F.col("lim_r") >= 1)
+        .select(
+            *keys, "end_a", F.col("lim_r").alias("lim"),
+            F.explode(
+                F.sequence(F.lit(1), F.col("lim_r").cast("int"))
+            ).alias("d"),
+        )
+        .withColumn("ga_pos", F.col("end_a") + F.col("d"))
+        .withColumn("side", F.lit("R"))
+        .drop("end_a")
+    )
+    allc = left.unionByName(right).withColumn(
+        "gb_pos", F.col("ga_pos") - F.col("diag")
+    )
+    ga = grams.select(
+        F.col("id").alias("id_a"),
+        F.col("pos").alias("ga_pos"),
+        F.col("gh").alias("gh_a"),
+    )
+    gb = grams.select(
+        F.col("id").alias("id_b"),
+        F.col("pos").alias("gb_pos"),
+        F.col("gh").alias("gh_b"),
+    )
+    ext = (
+        allc.join(ga, ["id_a", "ga_pos"], "left")
+        .join(gb, ["id_b", "gb_pos"], "left")
+        .withColumn(
+            "ok",
+            F.coalesce(F.col("gh_a") == F.col("gh_b"), F.lit(False)),
+        )
+        .groupBy(*keys, "side")
+        .agg(
+            (
+                F.coalesce(
+                    F.min(F.when(~F.col("ok"), F.col("d"))),
+                    F.first("lim") + 1,
+                )
+                - 1
+            ).alias("ext")
+        )
+    )
+    ext_l = ext.where(F.col("side") == "L").select(
+        *keys, F.col("ext").alias("ext_l")
+    )
+    ext_r = ext.where(F.col("side") == "R").select(
+        *keys, F.col("ext").alias("ext_r")
+    )
+    return (
+        pieces.join(ext_l, keys, "left")
+        .join(ext_r, keys, "left")
+        .select(
+            "id_a", "id_b", "diag",
+            (F.col("start_a") - F.coalesce("ext_l", F.lit(0))).alias(
+                "start_a"
+            ),
+            (F.col("start_b") - F.coalesce("ext_l", F.lit(0))).alias(
+                "start_b"
+            ),
+            (
+                F.col("length")
+                + F.coalesce("ext_l", F.lit(0))
+                + F.coalesce("ext_r", F.lit(0))
+            ).alias("length"),
+        )
+    )
+
+
 def shared_passages(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -444,6 +575,7 @@ def shared_passages(
     max_df: int | None = 1000,
     merge_cap_splits: bool = False,
     merge_gap_limit: int = 256,
+    extend_cap_edges: bool = False,
 ) -> DataFrame:
     """MAXIMAL shared token runs between document pairs, with
     positions — the pairwise evidence form of exact-substring dedup
@@ -475,15 +607,24 @@ def shared_passages(
     default) restores exact maximality for cap-split INTERIORS: see
     ``_merge_cap_split_runs`` — pieces whose gap grams verify equal
     in both documents re-merge, so boilerplate mining over hot-phrase
-    corpora reports whole runs. Run ENDPOINTS truncated by a
-    beyond-cap gram at the very edge of a run are out of scope either
-    way (no piece exists past the edge to merge with) — raise max_df
-    if edge-exactness matters. The merge pass re-reads the text once
-    (its gram verification needs the uncapped gram table) and merges
+    corpora reports whole runs. ``extend_cap_edges=True`` (requires
+    ``merge_cap_splits``) additionally restores run ENDPOINTS a hot
+    EDGE gram truncated — see ``_extend_run_endpoints`` — making
+    capped output exactly the uncapped maximal runs whenever every
+    hot region touching a run is <= ``merge_gap_limit`` grams and the
+    run retains at least one sub-cap anchor (an ENTIRELY-hot run has
+    no anchors and is unrecoverable under any cap — raise max_df
+    there). The merge/extend passes re-read the text once (their gram
+    verification needs the uncapped gram table, scope-cached) and run
     BEFORE the min_tokens filter, so split pieces individually under
     the floor still surface once merged."""
     from pyspark.sql import Window
 
+    if extend_cap_edges and not merge_cap_splits:
+        raise ValueError(
+            "extend_cap_edges requires merge_cap_splits=True (extension "
+            "disjointness relies on interiors being merged first)"
+        )
     if min_tokens is None:
         min_tokens = 2 * k - 1
     anchors = shared_passage_anchors(df, id_col, text_col, k, max_df)
@@ -498,7 +639,10 @@ def shared_passages(
     )
     if merge_cap_splits and max_df is not None:
         _tok, grams = _span_grams(df, id_col, text_col, k)
+        grams = scoped_cache("dedup.shared_passages.merge_grams", grams)
         pieces = _merge_cap_split_runs(pieces, grams, k, merge_gap_limit)
+        if extend_cap_edges:
+            pieces = _extend_run_endpoints(pieces, grams, k, merge_gap_limit)
     return (
         pieces.where(F.col("length") >= F.lit(min_tokens))
         .select("id_a", "id_b", "start_a", "start_b", "length")

@@ -269,3 +269,79 @@ def test_shared_passages_merge_cap_splits_restores_maximality(spark):
     assert max(t[2] for t in runs(split, 6, 7)) < max(
         t[2] for t in runs(merged, 6, 7)
     )
+
+
+def test_shared_passages_extend_cap_edges_restores_endpoints(spark):
+    """extend_cap_edges=True restores run ENDPOINTS a hot edge gram
+    truncated: hot-prefix, hot-suffix, and hot-everywhere-but-anchor
+    shapes all come back equal to the uncapped brute force; genuinely
+    differing neighborhoods stop extension exactly at the mismatch
+    (the control pair is byte-equal to brute force too); and the flag
+    demands merge_cap_splits."""
+    hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    hot2 = "g1 g2 g3 g4 g5 g6 g7 g8"
+    hot3 = "f1 f2 f3 f4 f5 f6 f7 f8"
+    fillers = [
+        (
+            100 + i,
+            f"pre{i} junk{i} " + hot + f" mid{i} " + hot2
+            + f" via{i} " + hot3 + f" tail{i}",
+        )
+        for i in range(20)
+    ]
+    # 1/2: hot PREFIX — the run's left edge is truncated under the cap
+    sh_a = hot + " u1 u2 u3 u4 u5 u6 u7 u8"
+    # 3/4: hot SUFFIX
+    sh_b = "v1 v2 v3 v4 v5 v6 v7 v8 " + hot
+    # 6/7: hot prefix AND interior AND suffix (merge + both edges);
+    # three DISTINCT hot phrases so no entirely-hot off-diagonal run
+    # exists between the pair (those have no anchors and are
+    # unrecoverable under any cap by construction)
+    sh_c = hot + " m1 m2 m3 m4 m5 " + hot2 + " n1 n2 n3 n4 n5 " + hot3
+    # 8/9: control — differing token right next to the shared run
+    rows = (
+        [(1, "aa bb " + sh_a + " cc"), (2, "xx " + sh_a + " yy zz")]
+        + [(3, "aa bb " + sh_b + " cc"), (4, "xx " + sh_b + " yy zz")]
+        + [(6, "lead " + sh_c), (7, sh_c + " trail")]
+        + [
+            (8, "p1 p2 p3 p4 p5 p6 p7 p8 enda"),
+            (9, "p1 p2 p3 p4 p5 p6 p7 p8 endb"),
+        ]
+        + fillers
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, mt, cap = 4, 7, 10
+
+    def runs(out, a, b):
+        return {
+            (r.start_a, r.start_b, r.length)
+            for r in out
+            if (r.id_a, r.id_b) == (a, b)
+        }
+
+    merged_only = dd.shared_passages(
+        df, k=k, min_tokens=mt, max_df=cap, merge_cap_splits=True
+    ).collect()
+    extended = dd.shared_passages(
+        df, k=k, min_tokens=mt, max_df=cap,
+        merge_cap_splits=True, extend_cap_edges=True,
+    ).collect()
+
+    for a, b in ((1, 2), (3, 4), (6, 7), (8, 9)):
+        exp = {
+            t[2:]
+            for t in _brute_passages([r for r in rows if r[0] in (a, b)], k, mt)
+        }
+        assert runs(extended, a, b) == exp, (a, b)
+    # without extension the hot-edge pairs are truncated
+    assert runs(merged_only, 1, 2) != runs(extended, 1, 2)
+    assert runs(merged_only, 3, 4) != runs(extended, 3, 4)
+    # the full prefix+interior+suffix run is ONE maximal run
+    assert len(runs(extended, 6, 7)) == 1
+    # control pair: extension stopped at the true mismatch
+    assert runs(merged_only, 8, 9) == runs(extended, 8, 9)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge_cap_splits"):
+        dd.shared_passages(df, max_df=cap, extend_cap_edges=True)

@@ -1917,8 +1917,12 @@ def demux_mp4_mjpeg(payload: bytes) -> list[bytes]:
     Pure-Python box walker over the public ISO/IEC 14496-12 layout:
     moov → trak (hdlr 'vide') → stbl, samples located via stsd
     (codec), stsz (sizes), stsc (sample→chunk runs), stco/co64
-    (chunk offsets). Reference parity note: the reference has no
-    media surface — this extends the engine's training-data side.
+    (chunk offsets). FRAGMENTED MP4 (the DASH/smartphone layout) is
+    demuxed too: moof→traf (tfhd track match, base-data-offset /
+    default-base-is-moof) →trun sample runs, with tfhd/trex default
+    sample sizes; fragment samples append after any moov-described
+    samples. Reference parity note: the reference has no media
+    surface — this extends the engine's training-data side.
     """
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF (MP4) container")
@@ -1927,6 +1931,7 @@ def demux_mp4_mjpeg(payload: bytes) -> list[bytes]:
         raise ValueError("MP4 has no moov box")
 
     stbl = None
+    track_id = None
     for trak in _iso_find(payload, *moov[0], b"trak"):
         mdia = _iso_descend(payload, trak, b"mdia")
         if mdia is None:
@@ -1937,9 +1942,22 @@ def demux_mp4_mjpeg(payload: bytes) -> list[bytes]:
             continue
         stbl = _iso_descend(payload, mdia, b"minf", b"stbl")
         if stbl is not None:
+            tkhd = _iso_descend(payload, trak, b"tkhd")
+            if tkhd is not None:
+                # tkhd: FullBox; track_ID after ctime/mtime (4+4 at
+                # version 0, 8+8 at version 1)
+                off = 12 if payload[tkhd[0]] == 0 else 20
+                track_id = _u32be(payload, tkhd[0] + off)
             break
     if stbl is None:
         raise ValueError("MP4 has no video track with a sample table")
+
+    # mvex/trex: movie-level fragment defaults for this track
+    trex_default_size = None
+    for mvex in _iso_find(payload, *moov[0], b"mvex"):
+        for trex_s, trex_e in _iso_find(payload, mvex[0], mvex[1], b"trex"):
+            if track_id is not None and _u32be(payload, trex_s + 4) == track_id:
+                trex_default_size = _u32be(payload, trex_s + 16)
 
     def table(btype: bytes, alt: bytes | None = None):
         hits = _iso_find(payload, *stbl, btype)
@@ -1988,53 +2006,185 @@ def demux_mp4_mjpeg(payload: bytes) -> list[bytes]:
             raise ValueError("stsz size table overruns its box")
         sizes = [_u32be(payload, s + 12 + 4 * i) for i in range(n_samples)]
 
-    # stsc: version/flags(4) entry_count(4) then
-    # (first_chunk, samples_per_chunk, sample_description_index) runs.
-    s, e = stsc[0]
-    n_runs = _u32be(payload, s + 4)
-    if s + 8 + 12 * n_runs > e:
-        raise ValueError("stsc run table overruns its box")
-    runs = []
-    for i in range(n_runs):
-        first = _u32be(payload, s + 8 + 12 * i)
-        spc = _u32be(payload, s + 12 + 12 * i)
-        if runs and first <= runs[-1][0]:
-            raise ValueError("stsc first_chunk not strictly increasing")
-        runs.append((first, spc))
-    if not runs or runs[0][0] != 1:
-        raise ValueError("stsc has no run starting at chunk 1")
-
-    # stco/co64: version/flags(4) entry_count(4) then offsets.
-    s, e = co[0]
-    width = 4 if co_type == b"stco" else 8
-    n_chunks = _u32be(payload, s + 4)
-    if s + 8 + width * n_chunks > e:
-        raise ValueError("truncated chunk-offset table")
-    offsets = [
-        int.from_bytes(payload[s + 8 + width * i : s + 8 + width * (i + 1)], "big")
-        for i in range(n_chunks)
-    ]
-
     frames: list[bytes] = []
-    sample = 0
-    run_idx = 0
-    for chunk_no, off in enumerate(offsets, start=1):
-        while run_idx + 1 < len(runs) and runs[run_idx + 1][0] <= chunk_no:
-            run_idx += 1
-        pos = off
-        for _ in range(runs[run_idx][1]):
-            if sample >= len(sizes):
-                break
-            sz = sizes[sample]
-            if pos + sz > len(payload):
-                raise ValueError("MP4 sample extends beyond EOF")
-            # per-frame skip-don't-kill, matching the AVI path
-            try:
-                frames.append(mjpeg_ensure_dht(payload[pos : pos + sz]))
-            except ValueError:
-                pass
-            pos += sz
-            sample += 1
+    if sizes:  # an fMP4 init segment legitimately has ZERO moov samples
+        # stsc: version/flags(4) entry_count(4) then
+        # (first_chunk, samples_per_chunk, sample_description_index) runs.
+        s, e = stsc[0]
+        n_runs = _u32be(payload, s + 4)
+        if s + 8 + 12 * n_runs > e:
+            raise ValueError("stsc run table overruns its box")
+        runs = []
+        for i in range(n_runs):
+            first = _u32be(payload, s + 8 + 12 * i)
+            spc = _u32be(payload, s + 12 + 12 * i)
+            if runs and first <= runs[-1][0]:
+                raise ValueError("stsc first_chunk not strictly increasing")
+            runs.append((first, spc))
+        if not runs or runs[0][0] != 1:
+            raise ValueError("stsc has no run starting at chunk 1")
+
+        # stco/co64: version/flags(4) entry_count(4) then offsets.
+        s, e = co[0]
+        width = 4 if co_type == b"stco" else 8
+        n_chunks = _u32be(payload, s + 4)
+        if s + 8 + width * n_chunks > e:
+            raise ValueError("truncated chunk-offset table")
+        offsets = [
+            int.from_bytes(
+                payload[s + 8 + width * i : s + 8 + width * (i + 1)], "big"
+            )
+            for i in range(n_chunks)
+        ]
+
+        sample = 0
+        run_idx = 0
+        for chunk_no, off in enumerate(offsets, start=1):
+            while run_idx + 1 < len(runs) and runs[run_idx + 1][0] <= chunk_no:
+                run_idx += 1
+            pos = off
+            for _ in range(runs[run_idx][1]):
+                if sample >= len(sizes):
+                    break
+                sz = sizes[sample]
+                if pos + sz > len(payload):
+                    raise ValueError("MP4 sample extends beyond EOF")
+                # per-frame skip-don't-kill, matching the AVI path
+                try:
+                    frames.append(mjpeg_ensure_dht(payload[pos : pos + sz]))
+                except ValueError:
+                    pass
+                pos += sz
+                sample += 1
+
+    # ---- fragmented MP4: moof/traf/trun (ISO 14496-12 §8.8) --------
+    # The top-level scan tracks box HEADER positions — the
+    # default-base-is-moof convention addresses sample data relative
+    # to the moof box's first byte.
+    pos = 0
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = len(payload) - pos
+        if size < hdr or pos + size > len(payload):
+            raise ValueError("ISO-BMFF box overruns its container")
+        if btype == b"moof":
+            frames.extend(
+                _mp4_fragment_samples(
+                    payload, pos, pos + hdr, pos + size,
+                    track_id, trex_default_size,
+                )
+            )
+        pos += size
+    return frames
+
+
+def _mp4_fragment_samples(
+    payload: bytes,
+    moof_start: int,
+    body_start: int,
+    body_end: int,
+    track_id: int | None,
+    trex_default_size: int | None,
+) -> list[bytes]:
+    """Samples of one moof fragment belonging to the video track:
+    traf boxes matched by tfhd track_ID, sample data addressed via
+    base-data-offset (tfhd flag 0x1) or the default-base-is-moof
+    convention (flag 0x20000; also the fallback when neither is
+    present and a trun carries an explicit data_offset), sizes from
+    per-sample trun entries, the tfhd default, or the trex default.
+    Every count/size field is validated against its box extent; a
+    trun without any way to locate its data raises."""
+    frames: list[bytes] = []
+    for traf_s, traf_e in _iso_find(payload, body_start, body_end, b"traf"):
+        tfhd = _iso_find(payload, traf_s, traf_e, b"tfhd")
+        if not tfhd:
+            raise ValueError("traf without tfhd")
+        s, _e = tfhd[0]
+        tf_flags = _u32be(payload, s) & 0xFFFFFF
+        if track_id is not None and _u32be(payload, s + 4) != track_id:
+            continue
+        p = s + 8
+        base: int | None = None
+        if tf_flags & 0x1:  # base-data-offset (u64)
+            if p + 8 > _e:
+                raise ValueError("truncated tfhd base-data-offset")
+            base = int.from_bytes(payload[p : p + 8], "big")
+            p += 8
+        if tf_flags & 0x2:  # sample-description-index
+            p += 4
+        if tf_flags & 0x8:  # default-sample-duration
+            p += 4
+        default_size = None
+        if tf_flags & 0x10:  # default-sample-size
+            default_size = _u32be(payload, p)
+            p += 4
+        if default_size is None:
+            default_size = trex_default_size
+        if base is None:
+            # default-base-is-moof (0x20000), and the practical
+            # fallback for trun-relative offsets
+            base = moof_start
+
+        cursor: int | None = None
+        for trun_s, trun_e in _iso_find(payload, traf_s, traf_e, b"trun"):
+            t_flags = _u32be(payload, trun_s) & 0xFFFFFF
+            cnt = _u32be(payload, trun_s + 4)
+            p2 = trun_s + 8
+            if t_flags & 0x1:  # data_offset (signed)
+                cursor = base + int.from_bytes(
+                    payload[p2 : p2 + 4], "big", signed=True
+                )
+                p2 += 4
+            elif cursor is None:
+                raise ValueError(
+                    "trun without data_offset and no running cursor"
+                )
+            if t_flags & 0x4:  # first-sample-flags
+                p2 += 4
+            row = 4 * (
+                bool(t_flags & 0x100)  # sample-duration
+                + bool(t_flags & 0x200)  # sample-size
+                + bool(t_flags & 0x400)  # sample-flags
+                + bool(t_flags & 0x800)  # composition time offset
+            )
+            if p2 + cnt * row > trun_e:
+                raise ValueError("trun sample table overruns its box")
+            if row == 0 and cnt * max(default_size or 0, 1) > len(payload):
+                # no per-sample fields to bound the count; the samples
+                # still have to fit in the file (corrupt-count guard)
+                raise ValueError("trun sample count exceeds file size")
+            for _ in range(cnt):
+                if t_flags & 0x100:
+                    p2 += 4
+                if t_flags & 0x200:
+                    sz = _u32be(payload, p2)
+                    p2 += 4
+                else:
+                    if default_size is None:
+                        raise ValueError(
+                            "trun sample without a size (no per-sample, "
+                            "tfhd, or trex default)"
+                        )
+                    sz = default_size
+                if t_flags & 0x400:
+                    p2 += 4
+                if t_flags & 0x800:
+                    p2 += 4
+                if cursor + sz > len(payload):
+                    raise ValueError("MP4 fragment sample extends beyond EOF")
+                try:
+                    frames.append(
+                        mjpeg_ensure_dht(payload[cursor : cursor + sz])
+                    )
+                except ValueError:
+                    pass  # per-frame skip-don't-kill
+                cursor += sz
     return frames
 
 

@@ -278,3 +278,149 @@ def test_mp4_demux_fuzz_never_hangs_or_miscategorizes():
         assert isinstance(out, list)
         for f in out:
             assert f[:2] == b"\xff\xd8"
+
+
+def mux_fmp4(
+    fragments: list[list[bytes]],
+    codec: bytes = b"jpeg",
+    per_sample_sizes: bool = True,
+    tfhd_default_size: bool = False,
+) -> bytes:
+    """Minimal spec-shaped FRAGMENTED MP4 (ISO 14496-12 §8.8): ftyp,
+    moov with EMPTY sample tables + mvex/trex fragment defaults, then
+    one (moof + mdat) pair per fragment. tfhd uses the
+    default-base-is-moof convention (flag 0x20000); trun carries an
+    explicit data_offset from the moof's first byte. With
+    ``per_sample_sizes=False`` every sample in a fragment must be the
+    same length and the size travels in the tfhd default (or, with
+    ``tfhd_default_size=False`` too, in trex)."""
+    track_id = 1
+    ftyp = _box(b"ftyp", b"iso5" + _u32(0x200) + b"iso5dash")
+
+    entry = _box(codec, b"\x00" * 6 + (1).to_bytes(2, "big") + b"\x00" * 70)
+    stsd = _box(b"stsd", _full() + _u32(1) + entry)
+    stts = _box(b"stts", _full() + _u32(0))
+    stsc = _box(b"stsc", _full() + _u32(0))
+    stsz = _box(b"stsz", _full() + _u32(0) + _u32(0))
+    stco = _box(b"stco", _full() + _u32(0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", _u32(1) + b"\x00" * 8)
+    minf = _box(b"minf", vmhd + stbl)
+    hdlr = _box(b"hdlr", _full() + _u32(0) + b"vide" + b"\x00" * 12 + b"V\x00")
+    mdhd = _box(b"mdhd", _full() + _u32(0) * 3 + _u32(1000) + _u32(0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    # tkhd v0: ctime(4) mtime(4) track_ID(4) reserved...
+    tkhd = _box(
+        b"tkhd", _u32(7) + _u32(0) * 2 + _u32(track_id) + b"\x00" * 68
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    trex_size = (
+        len(fragments[0][0]) if not per_sample_sizes and not tfhd_default_size
+        else 0
+    )
+    trex = _box(
+        b"trex",
+        _full() + _u32(track_id) + _u32(1) + _u32(100) + _u32(trex_size)
+        + _u32(0),
+    )
+    mvex = _box(b"mvex", trex)
+    mvhd = _box(b"mvhd", _full() + _u32(0) * 3 + _u32(1000) + _u32(0) * 20)
+    moov = _box(b"moov", mvhd + trak + mvex)
+
+    out = ftyp + moov
+    for seq, frames in enumerate(fragments, start=1):
+        if not per_sample_sizes:
+            assert len({len(f) for f in frames}) == 1
+
+        def build_moof(data_offset: int) -> bytes:
+            mfhd = _box(b"mfhd", _full() + _u32(seq))
+            tf_flags = 0x20000 | (0x10 if tfhd_default_size else 0)
+            tfhd_body = _u32(tf_flags) + _u32(track_id)
+            if tfhd_default_size:
+                tfhd_body += _u32(len(frames[0]))
+            tfhd = _box(b"tfhd", tfhd_body)
+            tfdt = _box(b"tfdt", _full() + _u32(0))
+            tr_flags = 0x1 | (0x200 if per_sample_sizes else 0)
+            trun_body = _u32(tr_flags) + _u32(len(frames))
+            trun_body += data_offset.to_bytes(4, "big", signed=True)
+            if per_sample_sizes:
+                trun_body += b"".join(_u32(len(f)) for f in frames)
+            trun = _box(b"trun", trun_body)
+            traf = _box(b"traf", tfhd + tfdt + trun)
+            return _box(b"moof", mfhd + traf)
+
+        probe = build_moof(0)
+        moof = build_moof(len(probe) + 8)  # mdat payload from moof start
+        assert len(moof) == len(probe)
+        out += moof + _box(b"mdat", b"".join(frames))
+    return out
+
+
+def test_fmp4_multi_fragment_roundtrip():
+    frames = _frames(6)
+    fmp4 = mux_fmp4([frames[:2], frames[2:5], frames[5:]])
+    assert mm.demux_mp4_mjpeg(fmp4) == frames
+
+
+def test_fmp4_default_size_paths():
+    # all samples equal length: sizes via tfhd default, then via trex
+    f = _frames(1)[0]
+    frames = [f, f, f, f]
+    for kwargs in (
+        {"per_sample_sizes": False, "tfhd_default_size": True},
+        {"per_sample_sizes": False, "tfhd_default_size": False},
+    ):
+        fmp4 = mux_fmp4([frames[:2], frames[2:]], **kwargs)
+        assert mm.demux_mp4_mjpeg(fmp4) == frames
+
+
+def test_fmp4_dht_splice_and_corrupt_sample_skip():
+    full = _frames(3)
+    stripped = [_strip_dht(x) for x in full]
+    out = mm.demux_mp4_mjpeg(
+        mux_fmp4([[stripped[0], b"\x00" * 32], [stripped[2]]])
+    )
+    assert len(out) == 2
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        mm.decode_jpeg(full[0]), mm.decode_jpeg(out[0])
+    )
+
+
+def test_fmp4_init_segment_returns_no_frames():
+    """An init segment (moov with empty tables, no moofs) is a valid
+    zero-sample video, not an error."""
+    fmp4 = mux_fmp4([_frames(1)])
+    # cut after moov: find the first moof and truncate cleanly before it
+    i = fmp4.find(b"moof") - 4
+    assert mm.demux_mp4_mjpeg(fmp4[:i]) == []
+
+
+def test_fmp4_foreign_codec_declined():
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mm.demux_mp4_mjpeg(mux_fmp4([_frames(1)], codec=b"avc1"))
+
+
+def test_fmp4_fuzz_never_hangs_or_miscategorizes():
+    import random
+
+    rng = random.Random(13)
+    base = mux_fmp4([_frames(2), _frames(2, seed0=9)])
+    for trial in range(300):
+        buf = bytearray(base)
+        if trial % 3 == 0:
+            del buf[rng.randrange(1, len(buf)) :]
+        elif trial % 3 == 1:
+            i = rng.randrange(len(buf))
+            buf[i] ^= 1 << rng.randrange(8)
+        else:
+            i = rng.randrange(0, len(buf) - 4)
+            buf[i : i + 4] = rng.randbytes(4)
+        try:
+            out = mm.demux_mp4_mjpeg(bytes(buf))
+        except (ValueError, NotImplementedError, IndexError, OverflowError):
+            continue
+        assert isinstance(out, list)
+        for f in out:
+            assert f[:2] == b"\xff\xd8"

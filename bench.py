@@ -244,6 +244,9 @@ SF1_QUERIES = [
     "span_dedup",
     "shared_passages",
     "token_budget_sample",
+    "token_budget_sample_tokens",
+    "boilerplate_lines",
+    "line_dedup_keep_first",
     "vocab_topk",
     "text_normalize",
     "posting_lists",

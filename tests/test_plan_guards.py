@@ -323,3 +323,11 @@ def test_shared_passages_merge_pass_plan(spark):
     _assert_no_blowups(p)
     assert any(j in p for j in EQUI_JOINS)
     assert "Window" in p and "SinglePartition" not in p
+    # the endpoint-extension pass adds per-(id, pos) verification
+    # joins and lead/lag windows — same constraints hold
+    ext = dd.shared_passages(
+        docs, k=8, max_df=1000, merge_cap_splits=True, extend_cap_edges=True
+    )
+    p2 = _plan(ext)
+    _assert_no_blowups(p2)
+    assert "Window" in p2 and "SinglePartition" not in p2

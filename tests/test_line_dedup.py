@@ -116,3 +116,55 @@ def test_line_ops_empty_and_fully_removed_docs(spark):
     assert all(r.n_kept == 0 and r.clean_text == "" for r in out)
     kf = {r.id: r.n_kept for r in dedup_lines_keep_first(df).collect()}
     assert kf[0] == 2 and all(v == 0 for i, v in kf.items() if i != 0)
+
+
+def test_line_ops_randomized_differential(spark):
+    """Randomized corpora (small line space so cross-doc repeats,
+    internal repeats, and threshold boundaries all arise naturally)
+    vs the pure-python replay, several thresholds."""
+    import random
+
+    rng = random.Random(42)
+    pool = [f"line variant {i}" for i in range(12)] + [
+        "  Spaced   LINE  a ", "shared FOOTER text"
+    ]
+    for trial in range(3):
+        rows = []
+        for did in range(20):
+            n = rng.randrange(1, 8)
+            rows.append((did, "\n".join(rng.choice(pool) for _ in range(n))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        thr = rng.choice([1, 3, 6])
+
+        doc_lines = {i: t.split("\n") for i, t in rows}
+        df_count: dict[str, set] = {}
+        occ: dict[str, list] = {}
+        for i in sorted(doc_lines):
+            for ln, l in enumerate(doc_lines[i]):
+                df_count.setdefault(_norm(l), set()).add(i)
+                occ.setdefault(_norm(l), []).append((i, ln))
+        hot = {n_ for n_, s in df_count.items() if len(s) > thr}
+
+        out = {
+            r.id: (r.n_lines, r.n_kept, r.clean_text)
+            for r in remove_boilerplate_lines(df, max_line_df=thr).collect()
+        }
+        exp = {}
+        for i, ls in doc_lines.items():
+            kept = [l for l in ls if _norm(l) not in hot]
+            exp[i] = (len(ls), len(kept), "\n".join(kept))
+        assert out == exp, (trial, thr)
+
+        out_kf = {
+            r.id: (r.n_lines, r.n_kept, r.clean_text)
+            for r in dedup_lines_keep_first(df).collect()
+        }
+        exp_kf = {}
+        for i, ls in doc_lines.items():
+            kept = [
+                l
+                for ln, l in enumerate(ls)
+                if len(occ[_norm(l)]) == 1 or occ[_norm(l)][0] == (i, ln)
+            ]
+            exp_kf[i] = (len(ls), len(kept), "\n".join(kept))
+        assert out_kf == exp_kf, trial

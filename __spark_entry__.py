@@ -3262,6 +3262,57 @@ def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (functions/text.py::gopher_quality_table —
+    Rae et al. 2021 Table A1): per-document word/symbol/bullet/alpha/
+    stopword heuristics with the combined verdict, every pass
+    condition in integer arithmetic so the boolean is bit-portable.
+    Thresholds pick the discriminating regime for the synthetic
+    corpus: min_words=50 sits at its median, and min_stop_hits=1
+    because 'the' is the only published stop word in its vocabulary
+    (~75% of documents carry it)."""
+    from annotation_service_spark.functions import text as tx
+
+    return tx.gopher_quality_table(
+        _t(spark, sf_dir, "documents"), min_stop_hits=1
+    )
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (functions/text.py::c4_clean — Raffel et al. 2020
+    §2.2): terminal-punctuation line retention, short/javascript line
+    drops, lorem-ipsum/brace/min-sentences page drops. The synthetic
+    corpus has no punctuation, so the gate plants it
+    deterministically: 2-token lines (the line-family synthesis), a
+    '.' appended when md5(line) starts 0-7 (half the lines, both
+    engines agree on md5 hex), and ' {' appended to every 97th
+    document's text to exercise the page-drop rule. The operator
+    under test is unmodified; only its input is synthesized."""
+    from annotation_service_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 2 + 1, 2)),
+    )
+    dotted = F.transform(
+        lines_arr,
+        lambda l: F.when(
+            F.substring(F.md5(l), 1, 1) < F.lit("8"), F.concat(l, F.lit("."))
+        ).otherwise(l),
+    )
+    txt = F.concat_ws("\n", dotted)
+    txt = F.when(
+        F.col("doc_id") % 97 == 0, F.concat(txt, F.lit(" {"))
+    ).otherwise(txt)
+    return tx.c4_clean(
+        docs.select("doc_id", txt.alias("text")),
+        min_line_words=2,
+        min_sentences=3,
+    )
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (operators/curation.py::
     remove_boilerplate_lines — the CCNet/RefinedWeb line-hash family):
@@ -3951,6 +4002,8 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "stream_hot_lines": q_stream_hot_lines,
+        "gopher_quality": q_gopher_quality,
+        "c4_filter": q_c4_filter,
         # -- touched by round-12 code (curation collect guard + source
         #    prune, passage merge pass, minhash API guard, multimodal
         #    demux generalization, scoped-cache reuse semantics) -------
@@ -4000,8 +4053,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_mix": q_quality_quantile_mix,
         "event_cube": q_event_cube,
         "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "upsert_merge": q_upsert_merge,
     }
 
 
@@ -4014,6 +4065,8 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-9 gates (head of the r13 rotation) --------
+        "cohort_retention": q_cohort_retention,
+        "upsert_merge": q_upsert_merge,
         "doc_percentiles": q_doc_percentiles,
         "rolling_avg": q_rolling_avg,
         "span_dedup": q_span_dedup,
@@ -6752,6 +6805,128 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, source, w, CAST(cum_before AS BIGINT) AS cum_before
             FROM c WHERE cum_before < budget
+        """,
+        # gopher_quality: the published rules with integer-exact pass
+        # arithmetic (total_len vs n_words bounds, 10*symbols <= n,
+        # 5*alpha >= 4*n, stop hits). round_fixed = floor(x*1e4+0.5).
+        "gopher_quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS ws,
+                       string_split(text, chr(10)) AS lines,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(ws) AS n_words,
+                       coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+                           AS total_len,
+                       len(list_filter(ws,
+                           x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+                       (len(text) - len(replace(text, '#', '')))
+                       + (len(text) - len(replace(text, '...', ''))) // 3
+                           AS n_symbols,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines,
+                           l -> substr(ltrim(l), 1, 1) IN ('-','*','•')))
+                           AS bullets,
+                       len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+                           AS ells,
+                       CAST(list_contains(toks, 'the') AS INT)
+                       + CAST(list_contains(toks, 'be') AS INT)
+                       + CAST(list_contains(toks, 'to') AS INT)
+                       + CAST(list_contains(toks, 'of') AS INT)
+                       + CAST(list_contains(toks, 'and') AS INT)
+                       + CAST(list_contains(toks, 'that') AS INT)
+                       + CAST(list_contains(toks, 'have') AS INT)
+                       + CAST(list_contains(toks, 'with') AS INT) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id AS id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CASE WHEN n_words > 0
+                        THEN floor(total_len * 1.0 / n_words * 10000 + 0.5)
+                             / 10000
+                        ELSE 0.0 END AS mean_word_len,
+                   CAST(n_symbols AS BIGINT) AS n_symbols,
+                   CASE WHEN n_words > 0
+                        THEN floor(alpha_words * 1.0 / n_words * 10000 + 0.5)
+                             / 10000
+                        ELSE 0.0 END AS alpha_word_ratio,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND total_len >= n_words * 3
+                    AND total_len <= n_words * 10
+                    AND n_symbols * 10 <= n_words
+                    AND bullets * 10 <= n_lines * 9
+                    AND ells * 10 <= n_lines * 3
+                    AND alpha_words * 5 >= n_words * 4
+                    AND stop_hits >= 1) AS passes
+            FROM m
+        """,
+        # c4_filter: the same 2-token line synthesis, a '.' planted
+        # when md5(line) starts 0-7, ' {' on every 97th doc's LAST
+        # line — then the C4 line/page rules. Patterns can't span the
+        # synthesized newline separators, so per-line containment ==
+        # whole-text containment.
+        "c4_filter": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            lined AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            dotted AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN substr(md5(line), 1, 1) < '8'
+                            THEN line || '.' ELSE line END AS line
+                FROM lined
+            ),
+            braced AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN doc_id % 97 = 0
+                             AND line_no = max(line_no)
+                                 OVER (PARTITION BY doc_id)
+                            THEN line || ' {' ELSE line END AS line
+                FROM dotted
+            ),
+            judged AS (
+                SELECT doc_id, line_no, line,
+                       (substr(rtrim(line), -1, 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(
+                                regexp_split_to_array(line, '\\s+'),
+                                x -> x <> '')) >= 2
+                        AND NOT regexp_matches(lower(line), 'javascript'))
+                           AS keep_line,
+                       contains(line, '{') AS has_brace,
+                       contains(lower(line), 'lorem ipsum') AS has_lorem
+                FROM braced
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END)
+                            AS BIGINT) AS kept,
+                       bool_or(has_brace) AS brace,
+                       bool_or(has_lorem) AS lorem,
+                       coalesce(string_agg(CASE WHEN keep_line THEN line END,
+                                           chr(10) ORDER BY line_no), '')
+                           AS kept_text
+                FROM judged GROUP BY doc_id
+            )
+            SELECT doc_id AS id, n_lines,
+                   CASE WHEN NOT brace AND NOT lorem AND kept >= 3
+                        THEN kept ELSE 0 END AS n_kept,
+                   (NOT brace AND NOT lorem AND kept >= 3) AS kept_page,
+                   CASE WHEN NOT brace AND NOT lorem AND kept >= 3
+                        THEN kept_text ELSE '' END AS clean_text
+            FROM agg
         """,
         # boilerplate_lines / line_dedup_keep_first: documents re-cut
         # into deterministic 2-token lines (line i = words[2i:2i+2]),

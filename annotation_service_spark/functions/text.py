@@ -12,7 +12,7 @@ checkable and runs at corpus scale with zero Python cost.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import tokens, word_ngrams
@@ -668,4 +668,141 @@ def source_kl_table(
             F.col("n_s").cast("long").alias("n_tokens"),
             "kl_bits",
         )
+    )
+
+
+def gopher_quality_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    required_stops: tuple = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", Table A1 — public): per-document repetition-
+    free quality heuristics and the combined keep/drop verdict.
+    Rules implemented, each also emitted as a column:
+
+    - word count in [min_words, max_words] (whitespace words);
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio ('#' or '...') <= 0.1;
+    - <= 90% of lines start with a bullet ('-', '*', '•');
+    - <= 30% of lines end with an ellipsis;
+    - >= 80% of words contain at least one alphabetic character;
+    - at least ``min_stop_hits`` of the required stop words occur.
+
+    EVERY pass condition is evaluated in integer arithmetic
+    (10*symbols <= n_words, 5*alpha >= 4*n_words, total_len bounds
+    times n_words, ...) so the verdict is bit-portable across
+    engines — float ratios are emitted for reporting only, through
+    ``round_fixed``. One pass over the text, no joins, no shuffle
+    beyond the scan."""
+    text = F.col(text_col)
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(ws)
+    total_len = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    ell_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    symbols = (hash_count + ell_count).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    toks = tokens(text)
+    stop_hits = sum(
+        F.array_contains(toks, s).cast("int") for s in required_stops
+    )
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (total_len >= n_words * F.lit(int(min_mean_word_len)))
+        & (total_len <= n_words * F.lit(int(max_mean_word_len)))
+        & (symbols * 10 <= n_words)
+        & (bullet_lines * 10 <= n_lines * 9)
+        & (ellipsis_lines * 10 <= n_lines * 3)
+        & (alpha_words * 5 >= n_words * 4)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        round_fixed(
+            F.when(n_words > 0, total_len / n_words).otherwise(0.0), 4
+        ).alias("mean_word_len"),
+        symbols.alias("n_symbols"),
+        round_fixed(
+            F.when(n_words > 0, alpha_words / n_words).otherwise(0.0), 4
+        ).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    terminal: tuple = (".", "!", "?", '"'),
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning...", §2.2 — public): line-level retention plus
+    page-level drops, re-expressed over the line family's contract.
+
+    Line rules (a line is KEPT iff all hold):
+    - ends with a terminal punctuation mark;
+    - has at least ``min_line_words`` whitespace words;
+    - does not contain the word 'javascript' (case-insensitive).
+
+    Page rules (the whole document drops, clean_text='' and
+    kept_page=false):
+    - contains 'lorem ipsum' (case-insensitive) or a '{';
+    - fewer than ``min_sentences`` RETAINED lines (each retained
+      line ends with terminal punctuation, the paper's sentence
+      proxy).
+
+    Returns (id, n_lines, n_kept, kept_page, clean_text); same
+    linear-explode + per-doc reassembly shape as the line family —
+    no joins at all (the verdicts are per-row expressions)."""
+    text = F.col(text_col)
+    lines = F.split(text, sep)
+    is_kept = lambda l: (  # noqa: E731
+        F.substring(F.rtrim(l), -1, 1).isin(*terminal)
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+           >= min_line_words)
+        & ~F.lower(l).rlike("javascript")
+    )
+    kept_arr = F.filter(lines, is_kept)
+    n_kept = F.size(kept_arr)
+    page_ok = (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (n_kept >= min_sentences)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(page_ok, n_kept).otherwise(F.lit(0)).cast("long").alias(
+            "n_kept"
+        ),
+        page_ok.alias("kept_page"),
+        F.when(page_ok, F.concat_ws(sep, kept_arr)).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
     )

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "boilerplate_lines",
     "line_dedup_keep_first",
     "stream_hot_lines",
+    "gopher_quality",
+    "c4_filter",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",
@@ -247,6 +249,8 @@ SF1_QUERIES = [
     "token_budget_sample_tokens",
     "boilerplate_lines",
     "line_dedup_keep_first",
+    "gopher_quality",
+    "c4_filter",
     "vocab_topk",
     "text_normalize",
     "posting_lists",

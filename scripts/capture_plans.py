@@ -55,6 +55,11 @@ QUERIES = [
     "annotate_nearest_site",
     "dedup_weighted_minhash", "dedup_winnow", "decontaminate_spans",
     "geo_radius_join",
+    # round 11
+    "shared_passages", "span_dedup_keep_first", "token_budget_sample",
+    # round 12: line-hash family + published cleaning recipes
+    "boilerplate_lines", "line_dedup_keep_first",
+    "token_budget_sample_tokens", "gopher_quality", "c4_filter",
 ]
 
 

@@ -3313,6 +3313,44 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization
+    (functions/url.py::dedup_urls_keep_first — the RefinedWeb first
+    stage; C4 also dedupes pages by URL). The synthetic corpus has no
+    URL column, so the gate synthesizes one deterministically with
+    the messes canonicalization exists for: uppercase scheme/host +
+    default port + utm/fragment noise (doc_id%3==0), the clean twin
+    that must collide with it (%3==1, same host/path key space), and
+    userinfo + http:80 with an empty path (%3==2). One content-keyed
+    groupBy; the oracle replays synthesis + canonicalization in
+    SQL."""
+    from annotation_service_spark.functions import url as fu
+
+    docs = _t(spark, sf_dir, "documents")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m11 = (F.col("doc_id") % 11).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Site"), m7, F.lit(".COM:443/Page/"), m11,
+                F.lit("?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://site"), m7, F.lit(".com/Page/"), m11,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://user:pw@Host"), m7, F.lit(".org:80"))
+        )
+    )
+    return fu.dedup_urls_keep_first(docs.select("doc_id", url.alias("url")))
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (operators/curation.py::
     remove_boilerplate_lines — the CCNet/RefinedWeb line-hash family):
@@ -4004,6 +4042,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hot_lines": q_stream_hot_lines,
         "gopher_quality": q_gopher_quality,
         "c4_filter": q_c4_filter,
+        "url_dedup": q_url_dedup,
         # -- touched by round-12 code (curation collect guard + source
         #    prune, passage merge pass, minhash API guard, multimodal
         #    demux generalization, scoped-cache reuse semantics) -------
@@ -4052,7 +4091,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "quality_quantile_mix": q_quality_quantile_mix,
         "event_cube": q_event_cube,
-        "funnel": q_funnel,
     }
 
 
@@ -4065,6 +4103,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-9 gates (head of the r13 rotation) --------
+        "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "upsert_merge": q_upsert_merge,
         "doc_percentiles": q_doc_percentiles,
@@ -6927,6 +6966,73 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN NOT brace AND NOT lorem AND kept >= 3
                         THEN kept_text ELSE '' END AS clean_text
             FROM agg
+        """,
+        # url_dedup: the same deterministic URL synthesis, then RFC
+        # 3986 §6 normalization (scheme/host lowercase, default-port
+        # and userinfo and fragment drop, tracker-param strip, query
+        # sort, empty path -> '/'), then keep-first per canonical.
+        "url_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                                'HTTPS://Site' || (doc_id % 7) || '.COM:443/Page/'
+                                || (doc_id % 11) || '?utm_source=x&b=2&a=1#frag'
+                            WHEN doc_id % 3 = 1 THEN
+                                'https://site' || (doc_id % 7) || '.com/Page/'
+                                || (doc_id % 11) || '?a=1&b=2'
+                            ELSE 'http://user:pw@Host' || (doc_id % 7)
+                                 || '.org:80'
+                       END AS url
+                FROM documents
+            ),
+            p1 AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                FROM u
+            ),
+            p2 AS (
+                SELECT doc_id, scheme,
+                       regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
+                       regexp_replace(rest, '^[^/?#]*', '') AS after_auth
+                FROM p1
+            ),
+            p3 AS (
+                SELECT doc_id, scheme,
+                       lower(CASE WHEN contains(authority, '@')
+                                  THEN regexp_extract(authority, '@(.*)$', 1)
+                                  ELSE authority END) AS hostport,
+                       coalesce(nullif(
+                           regexp_extract(after_auth, '^([^?#]*)', 1), ''),
+                           '/') AS path,
+                       regexp_extract(after_auth, '\\?([^#]*)', 1) AS query
+                FROM p2
+            ),
+            p4 AS (
+                SELECT doc_id, scheme, path,
+                       CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                              OR (scheme = 'https' AND hostport LIKE '%:443')
+                            THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
+                            ELSE hostport END AS host,
+                       array_to_string(list_sort(list_filter(
+                           string_split(query, '&'),
+                           p -> p <> ''
+                                AND NOT (starts_with(p, 'utm_')
+                                     OR list_contains(
+                                            ['gclid','fbclid','ref','msclkid'],
+                                            string_split(p, '=')[1])))), '&')
+                           AS qs
+                FROM p3
+            )
+            SELECT scheme || '://' || host || path
+                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                       AS canonical_url,
+                   CAST(min(doc_id) AS BIGINT) AS first_id,
+                   CAST(count(*) - 1 AS BIGINT) AS n_dups
+            FROM p4
+            GROUP BY 1
         """,
         # boilerplate_lines / line_dedup_keep_first: documents re-cut
         # into deterministic 2-token lines (line i = words[2i:2i+2]),

@@ -1,0 +1,113 @@
+"""URL canonicalization + URL-level dedup (web-corpus curation).
+
+Real web pipelines dedupe by URL before anything content-based (C4
+dedupes pages by URL, Penedo et al. 2023 "RefinedWeb" §3.2 runs exact
+URL dedup as its first stage). The canonicalizer below applies the
+standard RFC 3986 §6 syntax-based normalizations plus the
+tracker-param strip every crawler does:
+
+- scheme and host lowercased (path/query case-preserved);
+- default ports dropped (http:80, https:443);
+- userinfo ('user@') dropped from the authority;
+- fragment dropped;
+- tracking query params dropped (utm_*, gclid, fbclid, ref, msclkid);
+- remaining query params sorted (order-insensitive equality);
+- empty path normalized to '/'.
+
+Everything is a pure Column expression (regexp_extract + array ops)
+— no UDF, engine-portable, and DuckDB can replay it for the oracle
+gate. A string that doesn't parse as scheme://... comes back
+unchanged (trimmed): garbage in, garbage out beats silent drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("gclid", "fbclid", "ref", "msclkid")
+
+
+def _is_tracking(p: Column) -> Column:
+    name = F.split(p, "=")[0]
+    cond = F.lit(False)
+    for pre in TRACKING_PREFIXES:
+        cond = cond | name.startswith(pre)
+    for exact in TRACKING_PARAMS:
+        cond = cond | (name == exact)
+    return cond
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute URL (see module docstring)."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # everything after '://'
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    # drop userinfo, lowercase host[:port]
+    hostport = F.lower(
+        F.when(
+            authority.contains("@"), F.regexp_extract(authority, r"@(.*)$", 1)
+        ).otherwise(authority)
+    )
+    host = F.when(
+        ((scheme == "http") & hostport.endswith(":80"))
+        | ((scheme == "https") & hostport.endswith(":443")),
+        F.regexp_extract(hostport, r"^(.*):[0-9]+$", 1),
+    ).otherwise(hostport)
+    after_auth = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(after_auth, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(after_auth, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"), lambda p: (p != "") & ~_is_tracking(p)
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port, no userinfo) of an absolute URL;
+    '' when the string has no scheme://authority shape."""
+    rest = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    has_scheme = F.trim(url).rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = F.lower(
+        F.when(
+            authority.contains("@"), F.regexp_extract(authority, r"@(.*)$", 1)
+        ).otherwise(authority)
+    )
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    return F.when(has_scheme, host).otherwise(F.lit(""))
+
+
+def dedup_urls_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level exact dedup after canonicalization — the RefinedWeb
+    first stage: one document survives per canonical URL, the one
+    with the smallest id (a min over values, deterministic under any
+    partitioning). Returns (canonical_url, first_id, n_dups).
+
+    Scale shape: ONE content-keyed groupBy on the canonical string —
+    a URL crawled 10^6 times is one aggregation key. No joins."""
+    c = canonical_url(F.col(url_col))
+    return (
+        docs.select(F.col(id_col).alias("id"), c.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("id").alias("first_id"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
+        )
+    )

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "stream_hot_lines",
     "gopher_quality",
     "c4_filter",
+    "url_dedup",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",

@@ -1,0 +1,110 @@
+"""URL canonicalization + URL-level dedup differentials
+(functions/url.py) against a pure-python replay.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from annotation_service_spark.functions.url import (
+    TRACKING_PARAMS,
+    TRACKING_PREFIXES,
+    canonical_url,
+    dedup_urls_keep_first,
+    url_host,
+)
+
+
+def _tracking(p: str) -> bool:
+    name = p.split("=")[0]
+    return name.startswith(TRACKING_PREFIXES) or name in TRACKING_PARAMS
+
+
+def _canon(url: str) -> str:
+    u = url.strip()
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    rest = u[m.end():]
+    authority = re.match(r"^([^/?#]*)", rest).group(1)
+    after = rest[len(authority):]
+    if "@" in authority:
+        authority = authority.split("@", 1)[1]
+    hostport = authority.lower()
+    if (scheme == "http" and hostport.endswith(":80")) or (
+        scheme == "https" and hostport.endswith(":443")
+    ):
+        host = hostport.rsplit(":", 1)[0]
+    else:
+        host = hostport
+    path = re.match(r"^([^?#]*)", after).group(1) or "/"
+    qm = re.search(r"\?([^#]*)", after)
+    query = qm.group(1) if qm else ""
+    params = sorted(p for p in query.split("&") if p and not _tracking(p))
+    qs = "&".join(params)
+    return f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
+
+
+CASES = [
+    "HTTP://Example.COM:80/Path/One?b=2&a=1#frag",
+    "https://example.com:443/",
+    "https://example.com",
+    "http://example.com:8080/keep/port",
+    "http://user:pw@Example.org/x",
+    "https://site.com/p?utm_source=x&utm_medium=y&a=1",
+    "https://site.com/p?gclid=abc&fbclid=def&ref=tw",
+    "https://site.com/p?z=9&A=2&a=1",
+    "  https://padded.com/x  ",
+    "not a url at all",
+    "ftp://Files.example.com/Dir/File.txt",
+    "https://case.com/Preserved/PATH?Key=Value",
+]
+
+
+def test_canonical_url_matches_replay(spark):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(CASES)],
+                               "i long, url string")
+    out = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in enumerate(CASES):
+        assert out[i] == _canon(u), (i, u, out[i], _canon(u))
+    # spot semantics
+    assert out[0] == "http://example.com/Path/One?a=1&b=2"
+    assert out[1] == out[2] == "https://example.com/"
+    assert ":8080" in out[3]
+    assert out[4] == "http://example.org/x"
+    assert out[5] == "https://site.com/p?a=1"
+    assert out[6] == "https://site.com/p"
+    assert out[9] == "not a url at all"
+
+
+def test_url_host(spark):
+    rows = [(0, "HTTP://User@WWW.Example.COM:80/x"), (1, "garbage"),
+            (2, "https://a.b.c/")]
+    df = spark.createDataFrame(rows, "i long, url string")
+    out = {r.i: r.h for r in df.select(
+        "i", url_host(F.col("url")).alias("h")).collect()}
+    assert out == {0: "www.example.com", 1: "", 2: "a.b.c"}
+
+
+def test_dedup_urls_keep_first(spark):
+    rows = [
+        (1, "HTTPS://A.com:443/x?b=2&a=1"),
+        (2, "https://a.com/x?a=1&b=2"),       # same canonical as 1
+        (3, "https://a.com/x?a=1&b=2&utm_source=s"),  # same again
+        (4, "https://a.com/y"),
+        (5, "https://b.com/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.canonical_url: (r.first_id, r.n_dups)
+        for r in dedup_urls_keep_first(df).collect()
+    }
+    assert out["https://a.com/x?a=1&b=2"] == (1, 2)
+    assert out["https://a.com/y"] == (4, 0)
+    assert out["https://b.com/x?a=1&b=2"] == (5, 0)

@@ -3351,6 +3351,18 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fu.dedup_urls_keep_first(docs.select("doc_id", url.alias("url")))
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batch assignment (operators/curation.py::
+    length_bucket_batches — the group-by-length batching trainers
+    use): exact global (n_chars, doc_id) rank via the epoch_shuffle
+    two-phase scan, batch_idx = rank // 64, per-batch max and padding
+    waste. The oracle replays it as one row_number() + a batch-keyed
+    window over the same total order."""
+    return cu.length_bucket_batches(
+        _t(spark, sf_dir, "documents"), batch_size=64
+    )
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (operators/curation.py::
     remove_boilerplate_lines — the CCNet/RefinedWeb line-hash family):
@@ -4043,6 +4055,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_filter": q_c4_filter,
         "url_dedup": q_url_dedup,
+        "length_buckets": q_length_buckets,
         # -- touched by round-12 code (curation collect guard + source
         #    prune, passage merge pass, minhash API guard, multimodal
         #    demux generalization, scoped-cache reuse semantics) -------
@@ -4090,7 +4103,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pii_redact": q_pii_redact,
         "quality_quantile_mix": q_quality_quantile_mix,
-        "event_cube": q_event_cube,
     }
 
 
@@ -4103,6 +4115,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-9 gates (head of the r13 rotation) --------
+        "event_cube": q_event_cube,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "upsert_merge": q_upsert_merge,
@@ -6966,6 +6979,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN NOT brace AND NOT lorem AND kept >= 3
                         THEN kept_text ELSE '' END AS clean_text
             FROM agg
+        """,
+        # length_buckets: exact (length, id) rank -> fixed batches ->
+        # per-batch max and padding waste.
+        "length_buckets": """
+            WITH r AS (
+                SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS length,
+                       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                            AS BIGINT) AS rank
+                FROM documents
+            ),
+            b AS (SELECT *, CAST(rank // 64 AS BIGINT) AS batch_idx FROM r)
+            SELECT id, length, rank, batch_idx,
+                   CAST(max(length) OVER (PARTITION BY batch_idx)
+                        AS BIGINT) AS batch_max_len,
+                   CAST(max(length) OVER (PARTITION BY batch_idx) - length
+                        AS BIGINT) AS pad_waste
+            FROM b
         """,
         # url_dedup: the same deterministic URL synthesis, then RFC
         # 3986 §6 normalization (scheme/host lowercase, default-port

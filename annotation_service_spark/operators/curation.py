@@ -918,3 +918,62 @@ def dedup_lines_keep_first(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Padding-efficient batch assignment — the group-by-length
+    batching trainers use (e.g. the public HuggingFace Trainer's
+    ``group_by_length``): documents order by (length, id) and cut
+    into fixed ``batch_size`` batches, so each batch holds near-equal
+    lengths and the padding waste (batch max minus own length) is
+    near-minimal. Returns (id, length, rank, batch_idx,
+    batch_max_len, pad_waste) — exact integers, engine-portable.
+
+    Scale shape: the global rank is the epoch_shuffle two-phase scan
+    — range-shard on the LENGTH (equal lengths land in one shard, so
+    shard-local row_number + broadcast prefix offset IS the exact
+    global rank; bounds are sampled and affect balance only), then
+    one window keyed by batch_idx for the batch max (each partition
+    is one batch, ≤ batch_size rows). No global sort, no
+    SinglePartition window, no corpus-sized collect."""
+    spark = docs.sparkSession
+    if n_shards is None:
+        n_shards = max(2, spark.sparkContext.defaultParallelism)
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(length_col).cast("long").alias("length"),
+    )
+    bounds = _range_shard_bounds(src, "length", n_shards)
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(F.col("length") > F.lit(b), 1).otherwise(0)
+    src = src.withColumn("__shard", shard.cast("int"))
+    totals = src.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__shard"]):
+        offsets[r["__shard"]] = acc
+        acc += r["n"]
+    off_df = spark.createDataFrame(
+        [(s, o) for s, o in offsets.items()], "__shard int, __off long"
+    )
+    w = Window.partitionBy("__shard").orderBy("length", "id")
+    rank = (F.col("__off") + F.row_number().over(w) - 1).cast("long")
+    ranked = src.join(F.broadcast(off_df), "__shard").select(
+        "id",
+        "length",
+        rank.alias("rank"),
+        F.floor(rank / batch_size).cast("long").alias("batch_idx"),
+    )
+    wb = Window.partitionBy("batch_idx")
+    bmax = F.max("length").over(wb)
+    return ranked.select(
+        "id", "length", "rank", "batch_idx",
+        bmax.cast("long").alias("batch_max_len"),
+        (bmax - F.col("length")).cast("long").alias("pad_waste"),
+    )

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "c4_filter",
     "url_dedup",
+    "length_buckets",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",

@@ -47,7 +47,7 @@ R12_TOUCHED = {
 R12_NEW = {
     "token_budget_sample_tokens", "boilerplate_lines",
     "line_dedup_keep_first", "stream_hot_lines",
-    "gopher_quality", "c4_filter", "url_dedup",
+    "gopher_quality", "c4_filter", "url_dedup", "length_buckets",
 }
 
 

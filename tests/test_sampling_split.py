@@ -347,3 +347,47 @@ def test_token_budget_sample_bpe_weights_end_to_end(spark):
         tot = sum(r.w for r in out if r.source == s)
         if tot > budget:
             assert tot - budget < max(r.w for r in out if r.source == s)
+
+
+def test_length_bucket_batches_replay_and_shard_invariance(spark):
+    """group_by_length batching: exact global (length, id) rank and
+    batch assignment match a python replay under ANY shard count, and
+    bucketing strictly beats id-order batching on total padding."""
+    import random
+
+    from annotation_service_spark.operators.curation import (
+        length_bucket_batches,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(10, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    B = 16
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    exp = {}
+    for rank, (did, ln) in enumerate(order):
+        exp[did] = (ln, rank, rank // B)
+    batch_max = {}
+    for did, (ln, rank, b) in exp.items():
+        batch_max[b] = max(batch_max.get(b, 0), ln)
+    outs = []
+    for n in (2, 7, 32):
+        got = {
+            r.id: (r.length, r.rank, r.batch_idx, r.batch_max_len,
+                   r.pad_waste)
+            for r in length_bucket_batches(
+                df, batch_size=B, n_shards=n
+            ).collect()
+        }
+        outs.append(got)
+        for did, (ln, rank, b) in exp.items():
+            assert got[did] == (ln, rank, b, batch_max[b],
+                                batch_max[b] - ln), (n, did)
+    assert outs[0] == outs[1] == outs[2]
+    # padding: bucketed total waste strictly below naive id-order cut
+    bucketed = sum(v[4] for v in outs[0].values())
+    naive_batches = {}
+    for did, ln in rows:
+        naive_batches.setdefault(did // B, []).append(ln)
+    naive = sum(max(ls) - l for ls in naive_batches.values() for l in ls)
+    assert bucketed < naive / 3

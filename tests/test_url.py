@@ -108,3 +108,39 @@ def test_dedup_urls_keep_first(spark):
     assert out["https://a.com/x?a=1&b=2"] == (1, 2)
     assert out["https://a.com/y"] == (4, 0)
     assert out["https://b.com/x?a=1&b=2"] == (5, 0)
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    """Canonicalization must be IDEMPOTENT: canon(canon(u)) ==
+    canon(u) for randomized messy URLs (the property that makes it a
+    safe dedup key — re-canonicalizing stored keys never reshuffles
+    groups)."""
+    import random
+
+    rng = random.Random(17)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "a.b.ORG", "x.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/p%20q"]
+    users = ["", "u@", "u:p@"]
+    frags = ["", "#f", "#a=b"]
+    urls = []
+    for _ in range(150):
+        q = "&".join(
+            rng.sample(
+                ["a=1", "B=2", "utm_source=z", "gclid=1", "ref=t", "z"],
+                rng.randrange(0, 5),
+            )
+        )
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(users)
+            + rng.choice(hosts) + rng.choice(ports) + rng.choice(paths)
+            + (("?" + q) if q else "") + rng.choice(frags)
+        )
+    urls += ["", "   ", "no scheme here", "http://"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    once = df.select("i", canonical_url(F.col("url")).alias("c"))
+    twice = once.select("i", canonical_url(F.col("c")).alias("c2"), "c")
+    bad = twice.where(F.col("c") != F.col("c2")).collect()
+    assert not bad, bad[:5]

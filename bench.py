@@ -253,6 +253,8 @@ SF1_QUERIES = [
     "line_dedup_keep_first",
     "gopher_quality",
     "c4_filter",
+    "url_dedup",
+    "length_buckets",
     "vocab_topk",
     "text_normalize",
     "posting_lists",

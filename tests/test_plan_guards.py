@@ -331,3 +331,18 @@ def test_shared_passages_merge_pass_plan(spark):
     p2 = _plan(ext)
     _assert_no_blowups(p2)
     assert "Window" in p2 and "SinglePartition" not in p2
+
+
+def test_url_and_length_bucket_plans(spark):
+    """url_dedup: one content-keyed hash aggregate, no joins at all.
+    length_buckets: the two-phase ranked scan — keyed windows only
+    (shard window + batch window), a broadcast offset join, never a
+    SinglePartition sort of the corpus."""
+    p = _plan(em.q_url_dedup(spark, SF))
+    _assert_no_blowups(p)
+    assert "HashAggregate" in p
+    assert "SinglePartition" not in p
+    p2 = _plan(em.q_length_buckets(spark, SF))
+    _assert_no_blowups(p2)
+    assert "Window" in p2 and "SinglePartition" not in p2
+    assert "BroadcastHashJoin" in p2  # the n_shards-row offset table

@@ -806,3 +806,55 @@ def c4_clean(
             "clean_text"
         ),
     )
+
+
+def compression_ratio_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document DEFLATE compression ratio — the gibberish/
+    template signal public pipelines use (e.g. the Dolma toolkit's
+    gzip-ratio filter; CCNet-adjacent practice): highly repetitive
+    boilerplate compresses far below prose, random noise barely
+    compresses at all, so both tails of the ratio distribution are
+    removal candidates.
+
+    Arrow-batched ``mapInPandas`` over stdlib zlib (UTF-8 bytes,
+    fixed ``level``) — no JVM round-trip per row, no Python
+    row-at-a-time UDF. Determinism contract: byte-identical within
+    one zlib build (every executor in a cluster ships the same
+    runtime); ACROSS zlib versions only the ordering/magnitude is
+    stable, which is why this surface is pytest-pinned (exact
+    stdlib replay + repetitive << prose << noise ordering) instead of
+    DuckDB-oracle-gated. Returns (id, raw_len, compressed_len,
+    ratio) with ratio = compressed/raw rounded to 4 via the
+    round-half-up fixed rule (0.0 for empty text)."""
+    import pandas as pd  # noqa: F811
+    import zlib
+
+    def fn(batches):
+        for pdf in batches:
+            raw, comp = [], []
+            for t in pdf[text_col].astype(str):
+                b = t.encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, level)))
+            out = pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "raw_len": raw,
+                    "compressed_len": comp,
+                }
+            )
+            yield out
+
+    res = docs.select(id_col, text_col).mapInPandas(
+        fn, "id long, raw_len long, compressed_len long"
+    )
+    ratio = F.when(
+        F.col("raw_len") > 0, F.col("compressed_len") / F.col("raw_len")
+    ).otherwise(F.lit(0.0))
+    return res.select("id", "raw_len", "compressed_len",
+                      round_fixed(ratio, 4).alias("ratio"))

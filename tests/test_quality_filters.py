@@ -158,3 +158,38 @@ def test_c4_gopher_randomized_differential(spark):
         assert g[did] == _gopher_replay(text, min_words=3), did
         assert c[did] == _c4_replay(text, min_line_words=3,
                                     min_sentences=1), did
+
+
+def test_compression_ratio_replay_and_ordering(spark):
+    """compression_ratio_table: exact stdlib-zlib replay, and the
+    signal's defining ordering — repetitive boilerplate << prose-like
+    text << random noise."""
+    import random
+    import zlib
+
+    from annotation_service_spark.functions.text import (
+        compression_ratio_table,
+    )
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(4000))
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "considers what compression really measures here ") * 40
+    boiler = "accept cookies to continue " * 150
+    rows = [(1, boiler), (2, prose), (3, noise), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.raw_len, r.compressed_len, r.ratio)
+        for r in compression_ratio_table(df).collect()
+    }
+    for did, t in rows:
+        b = t.encode()
+        c = len(zlib.compress(b, 6))
+        exp_ratio = (
+            int(c / len(b) * 10000 + 0.5) / 10000 if b else 0.0
+        )
+        assert out[did][0] == len(b) and out[did][1] == c
+        assert abs(out[did][2] - exp_ratio) < 1e-9, did
+    assert out[1][2] < out[2][2] < out[3][2]
+    assert out[4] == (0, len(zlib.compress(b"", 6)), 0.0)

@@ -3363,6 +3363,79 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard web-curation CHAIN, end-to-end (RefinedWeb §3's
+    ordering of the published stages): URL dedup keep-first
+    (functions/url.py) → C4 line/page cleaning (Raffel et al. 2020)
+    → Gopher quality gate (Rae et al. 2021) → line-level boilerplate
+    removal (CCNet/RefinedWeb line hash). Every stage is the
+    already-oracle-gated operator, unmodified; the composition pins
+    the INTERACTIONS (boilerplate line-df counts are computed over
+    the FILTERED corpus, C4 text feeds the line stage, Gopher judges
+    the original text). Input synthesis reuses the url_dedup and
+    c4_filter gates' deterministic constructions verbatim."""
+    from annotation_service_spark.functions import text as tx
+    from annotation_service_spark.functions import url as fu
+
+    docs = _t(spark, sf_dir, "documents")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m11 = (F.col("doc_id") % 11).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Site"), m7, F.lit(".COM:443/Page/"), m11,
+                F.lit("?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://site"), m7, F.lit(".com/Page/"), m11,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://user:pw@Host"), m7, F.lit(".org:80"))
+        )
+    )
+    first = fu.dedup_urls_keep_first(
+        docs.select("doc_id", url.alias("url"))
+    ).select(F.col("first_id").alias("doc_id"))
+    survivors = docs.join(first, "doc_id")
+
+    words = F.split(F.col("text"), " ")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 2 + 1, 2)),
+    )
+    dotted = F.transform(
+        lines_arr,
+        lambda l: F.when(
+            F.substring(F.md5(l), 1, 1) < F.lit("8"), F.concat(l, F.lit("."))
+        ).otherwise(l),
+    )
+    txt = F.concat_ws("\n", dotted)
+    txt = F.when(
+        F.col("doc_id") % 97 == 0, F.concat(txt, F.lit(" {"))
+    ).otherwise(txt)
+    c4 = tx.c4_clean(
+        survivors.select("doc_id", txt.alias("text")),
+        min_line_words=2,
+        min_sentences=3,
+    )
+    c4_ok = c4.where(F.col("kept_page")).select(
+        F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    gopher_pass = (
+        tx.gopher_quality_table(survivors, min_stop_hits=1)
+        .where(F.col("passes"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    staged = c4_ok.join(gopher_pass, "doc_id")
+    return cu.remove_boilerplate_lines(staged, max_line_df=15)
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (operators/curation.py::
     remove_boilerplate_lines — the CCNet/RefinedWeb line-hash family):
@@ -4056,6 +4129,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "url_dedup": q_url_dedup,
         "length_buckets": q_length_buckets,
+        "web_pipeline": q_web_pipeline,
         # -- touched by round-12 code (curation collect guard + source
         #    prune, passage merge pass, minhash API guard, multimodal
         #    demux generalization, scoped-cache reuse semantics) -------
@@ -4102,7 +4176,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "semantic_dedup": q_semantic_dedup,
         "pii_redact": q_pii_redact,
-        "quality_quantile_mix": q_quality_quantile_mix,
     }
 
 
@@ -4115,6 +4188,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-9 gates (head of the r13 rotation) --------
+        "quality_quantile_mix": q_quality_quantile_mix,
         "event_cube": q_event_cube,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -6996,6 +7070,202 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(length) OVER (PARTITION BY batch_idx) - length
                         AS BIGINT) AS pad_waste
             FROM b
+        """,
+        # web_pipeline: the composed chain — url keep-first -> C4 ->
+        # gopher -> boilerplate lines, each stage the verbatim CTE of
+        # its standalone oracle, filtered stepwise. Line-df counts in
+        # the final stage run over the FILTERED corpus by design.
+        "web_pipeline": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                                'HTTPS://Site' || (doc_id % 7) || '.COM:443/Page/'
+                                || (doc_id % 11) || '?utm_source=x&b=2&a=1#frag'
+                            WHEN doc_id % 3 = 1 THEN
+                                'https://site' || (doc_id % 7) || '.com/Page/'
+                                || (doc_id % 11) || '?a=1&b=2'
+                            ELSE 'http://user:pw@Host' || (doc_id % 7)
+                                 || '.org:80'
+                       END AS url
+                FROM documents
+            ),
+            p1 AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                FROM u
+            ),
+            p2 AS (
+                SELECT doc_id, scheme,
+                       regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
+                       regexp_replace(rest, '^[^/?#]*', '') AS after_auth
+                FROM p1
+            ),
+            p3 AS (
+                SELECT doc_id, scheme,
+                       lower(CASE WHEN contains(authority, '@')
+                                  THEN regexp_extract(authority, '@(.*)$', 1)
+                                  ELSE authority END) AS hostport,
+                       coalesce(nullif(
+                           regexp_extract(after_auth, '^([^?#]*)', 1), ''),
+                           '/') AS path,
+                       regexp_extract(after_auth, '\\?([^#]*)', 1) AS query
+                FROM p2
+            ),
+            p4 AS (
+                SELECT doc_id, scheme, path,
+                       CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                              OR (scheme = 'https' AND hostport LIKE '%:443')
+                            THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
+                            ELSE hostport END AS host,
+                       array_to_string(list_sort(list_filter(
+                           string_split(query, '&'),
+                           p -> p <> ''
+                                AND NOT (starts_with(p, 'utm_')
+                                     OR list_contains(
+                                            ['gclid','fbclid','ref','msclkid'],
+                                            string_split(p, '=')[1])))), '&')
+                           AS qs
+                FROM p3
+            ),
+            firsts AS (
+                SELECT min(doc_id) AS doc_id
+                FROM p4
+                GROUP BY scheme || '://' || host || path
+                         || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+            ),
+            w AS (
+                SELECT d.doc_id, string_split(d.text, ' ') AS ws
+                FROM documents d JOIN firsts USING (doc_id)
+            ),
+            lined AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            dotted AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN substr(md5(line), 1, 1) < '8'
+                            THEN line || '.' ELSE line END AS line
+                FROM lined
+            ),
+            braced AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN doc_id % 97 = 0
+                             AND line_no = max(line_no)
+                                 OVER (PARTITION BY doc_id)
+                            THEN line || ' {' ELSE line END AS line
+                FROM dotted
+            ),
+            judged AS (
+                SELECT doc_id, line_no, line,
+                       (substr(rtrim(line), -1, 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(
+                                regexp_split_to_array(line, '\\s+'),
+                                x -> x <> '')) >= 2
+                        AND NOT regexp_matches(lower(line), 'javascript'))
+                           AS keep_line,
+                       contains(line, '{') AS has_brace,
+                       contains(lower(line), 'lorem ipsum') AS has_lorem
+                FROM braced
+            ),
+            c4agg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS kept,
+                       bool_or(has_brace) AS brace,
+                       bool_or(has_lorem) AS lorem
+                FROM judged GROUP BY doc_id
+            ),
+            c4ok AS (
+                SELECT doc_id FROM c4agg
+                WHERE NOT brace AND NOT lorem AND kept >= 3
+            ),
+            gt AS (
+                SELECT d.doc_id,
+                       list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                   x -> x <> '') AS gws,
+                       string_split(d.text, chr(10)) AS glines,
+                       list_filter(regexp_split_to_array(lower(d.text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS gtoks,
+                       d.text AS gtext
+                FROM documents d JOIN firsts USING (doc_id)
+            ),
+            gm AS (
+                SELECT doc_id,
+                       len(gws) AS n_words,
+                       coalesce(list_sum(list_transform(gws, x -> len(x))), 0)
+                           AS total_len,
+                       len(list_filter(gws,
+                           x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+                       (len(gtext) - len(replace(gtext, '#', '')))
+                       + (len(gtext) - len(replace(gtext, '...', ''))) // 3
+                           AS n_symbols,
+                       len(glines) AS n_lines,
+                       len(list_filter(glines,
+                           l -> substr(ltrim(l), 1, 1) IN ('-','*','•')))
+                           AS bullets,
+                       len(list_filter(glines, l -> rtrim(l) LIKE '%...'))
+                           AS ells,
+                       CAST(list_contains(gtoks, 'the') AS INT)
+                       + CAST(list_contains(gtoks, 'be') AS INT)
+                       + CAST(list_contains(gtoks, 'to') AS INT)
+                       + CAST(list_contains(gtoks, 'of') AS INT)
+                       + CAST(list_contains(gtoks, 'and') AS INT)
+                       + CAST(list_contains(gtoks, 'that') AS INT)
+                       + CAST(list_contains(gtoks, 'have') AS INT)
+                       + CAST(list_contains(gtoks, 'with') AS INT) AS stop_hits
+                FROM gt
+            ),
+            gpass AS (
+                SELECT doc_id FROM gm
+                WHERE n_words >= 50 AND n_words <= 100000
+                  AND total_len >= n_words * 3 AND total_len <= n_words * 10
+                  AND n_symbols * 10 <= n_words
+                  AND bullets * 10 <= n_lines * 9
+                  AND ells * 10 <= n_lines * 3
+                  AND alpha_words * 5 >= n_words * 4
+                  AND stop_hits >= 1
+            ),
+            staged AS (
+                SELECT j.doc_id, j.line_no, j.line
+                FROM judged j
+                JOIN c4ok USING (doc_id)
+                JOIN gpass USING (doc_id)
+                WHERE j.keep_line
+            ),
+            nrm AS (
+                SELECT doc_id, line_no, line,
+                       trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM staged
+            ),
+            hot AS (
+                SELECT norm FROM nrm GROUP BY norm
+                HAVING count(DISTINCT doc_id) > 15
+            ),
+            kept2 AS (
+                SELECT doc_id, line_no, line FROM nrm
+                WHERE norm NOT IN (SELECT norm FROM hot)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           AS clean_text
+                FROM kept2 GROUP BY doc_id
+            ),
+            base AS (
+                SELECT s.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines
+                FROM staged s GROUP BY s.doc_id
+            )
+            SELECT base.doc_id AS id, base.n_lines,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM base LEFT JOIN rebuilt r USING (doc_id)
         """,
         # url_dedup: the same deterministic URL synthesis, then RFC
         # 3986 §6 normalization (scheme/host lowercase, default-port

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "c4_filter",
     "url_dedup",
     "length_buckets",
+    "web_pipeline",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_keep_best",

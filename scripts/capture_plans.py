@@ -60,7 +60,7 @@ QUERIES = [
     # round 12: line-hash family + published cleaning recipes
     "boilerplate_lines", "line_dedup_keep_first",
     "token_budget_sample_tokens", "gopher_quality", "c4_filter",
-    "url_dedup", "length_buckets",
+    "url_dedup", "length_buckets", "web_pipeline",
 ]
 
 

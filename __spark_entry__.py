@@ -3957,6 +3957,60 @@ def q_stream_hot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("norm").distinct()
 
 
+def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-level dedup, hash-verified: the url_dedup gate's
+    synthesized URL column streams through ``canonical_url``
+    (functions/url.py — a pure per-row expression, so it runs
+    UNMODIFIED on the stream) and a streaming dropDuplicates keyed by
+    the canonical form — the live-ingest twin of
+    ``dedup_urls_keep_first`` (which survivor passes is batch-order
+    dependent, so the gate pins the canonical SET, the deterministic
+    projection of the operator's state — the stream_dedup_exact
+    pattern). Oracle: the closed-input distinct canonical set."""
+    from annotation_service_spark.functions.url import canonical_url
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m11 = (F.col("doc_id") % 11).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Site"), m7, F.lit(".COM:443/Page/"), m11,
+                F.lit("?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://site"), m7, F.lit(".com/Page/"), m11,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://user:pw@Host"), m7, F.lit(".org:80"))
+        )
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(canonical_url(url).alias("canonical_url"))
+        .dropDuplicates(["canonical_url"])
+    )
+    name = f"stream_url_dedup_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("canonical_url").distinct()
+
+
 def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, hash-verified: the documents parquet
     streams through md5-content hashing and a streaming
@@ -4130,6 +4184,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "length_buckets": q_length_buckets,
         "web_pipeline": q_web_pipeline,
+        "stream_url_dedup": q_stream_url_dedup,
         # -- touched by round-12 code (curation collect guard + source
         #    prune, passage merge pass, minhash API guard, multimodal
         #    demux generalization, scoped-cache reuse semantics) -------
@@ -4175,7 +4230,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "semantic_dedup": q_semantic_dedup,
-        "pii_redact": q_pii_redact,
     }
 
 
@@ -4188,6 +4242,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-9 gates (head of the r13 rotation) --------
+        "pii_redact": q_pii_redact,
         "quality_quantile_mix": q_quality_quantile_mix,
         "event_cube": q_event_cube,
         "funnel": q_funnel,
@@ -7333,6 +7388,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - 1 AS BIGINT) AS n_dups
             FROM p4
             GROUP BY 1
+        """,
+        # stream_url_dedup: the emitted set == distinct canonical
+        # URLs of the closed input (same synthesis + normalization).
+        "stream_url_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                                'HTTPS://Site' || (doc_id % 7) || '.COM:443/Page/'
+                                || (doc_id % 11) || '?utm_source=x&b=2&a=1#frag'
+                            WHEN doc_id % 3 = 1 THEN
+                                'https://site' || (doc_id % 7) || '.com/Page/'
+                                || (doc_id % 11) || '?a=1&b=2'
+                            ELSE 'http://user:pw@Host' || (doc_id % 7)
+                                 || '.org:80'
+                       END AS url
+                FROM documents
+            ),
+            p1 AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                FROM u
+            ),
+            p2 AS (
+                SELECT doc_id, scheme,
+                       regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
+                       regexp_replace(rest, '^[^/?#]*', '') AS after_auth
+                FROM p1
+            ),
+            p3 AS (
+                SELECT doc_id, scheme,
+                       lower(CASE WHEN contains(authority, '@')
+                                  THEN regexp_extract(authority, '@(.*)$', 1)
+                                  ELSE authority END) AS hostport,
+                       coalesce(nullif(
+                           regexp_extract(after_auth, '^([^?#]*)', 1), ''),
+                           '/') AS path,
+                       regexp_extract(after_auth, '\\?([^#]*)', 1) AS query
+                FROM p2
+            ),
+            p4 AS (
+                SELECT doc_id, scheme, path,
+                       CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                              OR (scheme = 'https' AND hostport LIKE '%:443')
+                            THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
+                            ELSE hostport END AS host,
+                       array_to_string(list_sort(list_filter(
+                           string_split(query, '&'),
+                           p -> p <> ''
+                                AND NOT (starts_with(p, 'utm_')
+                                     OR list_contains(
+                                            ['gclid','fbclid','ref','msclkid'],
+                                            string_split(p, '=')[1])))), '&')
+                           AS qs
+                FROM p3
+            )
+            SELECT DISTINCT scheme || '://' || host || path
+                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                       AS canonical_url
+            FROM p4
         """,
         # boilerplate_lines / line_dedup_keep_first: documents re-cut
         # into deterministic 2-token lines (line i = words[2i:2i+2]),

@@ -48,7 +48,7 @@ R12_NEW = {
     "token_budget_sample_tokens", "boilerplate_lines",
     "line_dedup_keep_first", "stream_hot_lines",
     "gopher_quality", "c4_filter", "url_dedup", "length_buckets",
-    "web_pipeline",
+    "web_pipeline", "stream_url_dedup",
 }
 
 

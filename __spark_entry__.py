@@ -3313,42 +3313,56 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-level exact dedup after canonicalization
-    (functions/url.py::dedup_urls_keep_first — the RefinedWeb first
-    stage; C4 also dedupes pages by URL). The synthetic corpus has no
-    URL column, so the gate synthesizes one deterministically with
-    the messes canonicalization exists for: uppercase scheme/host +
-    default port + utm/fragment noise (doc_id%3==0), the clean twin
-    that must collide with it (%3==1, same host/path key space), and
-    userinfo + http:80 with an empty path (%3==2). One content-keyed
-    groupBy; the oracle replays synthesis + canonicalization in
-    SQL."""
-    from annotation_service_spark.functions import url as fu
-
-    docs = _t(spark, sf_dir, "documents")
+def _synth_url() -> "F.Column":
+    """Deterministic URL column over doc_id — the messes
+    canonicalization exists for, shared by every URL gate (the oracle
+    CTE `_URL_SYNTH_CASE` replays it verbatim): uppercase scheme/host
+    + default port + utm/fragment noise + a %7E that must DECODE to
+    '~' (doc_id%3==0); the clean twin that only collides with it
+    after percent-decoding (%3==1, same host/path key space); and
+    userinfo + http:80 + a path mixing a RESERVED escape that must
+    stay encoded-but-uppercased (%2f → %2F) with an unreserved one
+    that decodes (%41 → A) (%3==2)."""
     m7 = (F.col("doc_id") % 7).cast("string")
     m11 = (F.col("doc_id") % 11).cast("string")
-    url = (
+    return (
         F.when(
             F.col("doc_id") % 3 == 0,
             F.concat(
-                F.lit("HTTPS://Site"), m7, F.lit(".COM:443/Page/"), m11,
+                F.lit("HTTPS://Site"), m7, F.lit(".COM:443/Page%7E/"), m11,
                 F.lit("?utm_source=x&b=2&a=1#frag"),
             ),
         )
         .when(
             F.col("doc_id") % 3 == 1,
             F.concat(
-                F.lit("https://site"), m7, F.lit(".com/Page/"), m11,
+                F.lit("https://site"), m7, F.lit(".com/Page~/"), m11,
                 F.lit("?a=1&b=2"),
             ),
         )
         .otherwise(
-            F.concat(F.lit("http://user:pw@Host"), m7, F.lit(".org:80"))
+            F.concat(
+                F.lit("http://user:pw@Host"), m7, F.lit(".org:80/%2fx%41")
+            )
         )
     )
-    return fu.dedup_urls_keep_first(docs.select("doc_id", url.alias("url")))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization
+    (functions/url.py::dedup_urls_keep_first — the RefinedWeb first
+    stage; C4 also dedupes pages by URL). The synthetic corpus has no
+    URL column, so the gate synthesizes one deterministically
+    (see ``_synth_url``) — including RFC 3986 §6.2.2 percent-encoding
+    normalization cases (%7E decodes, %2f uppercases, %41 decodes).
+    One content-keyed groupBy; the oracle replays synthesis +
+    canonicalization in SQL."""
+    from annotation_service_spark.functions import url as fu
+
+    docs = _t(spark, sf_dir, "documents")
+    return fu.dedup_urls_keep_first(
+        docs.select("doc_id", _synth_url().alias("url"))
+    )
 
 
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3374,33 +3388,30 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FILTERED corpus, C4 text feeds the line stage, Gopher judges
     the original text). Input synthesis reuses the url_dedup and
     c4_filter gates' deterministic constructions verbatim."""
+    return _web_pipeline(spark, sf_dir, with_repetition=False)
+
+
+def q_web_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web_pipeline plus the OTHER half of Rae et al. 2021 Table A1 —
+    the repetition fractions (functions/text.py::
+    repetition_metrics_table), which RefinedWeb applies alongside the
+    quality heuristics: URL dedup → C4 cleaning → Gopher quality →
+    Gopher repetition filter → boilerplate removal. The repetition
+    stage judges the ORIGINAL text (like the quality stage) and its
+    keep flag inner-joins into the staged set, so a document that is
+    all duplicate n-grams never reaches the line stage."""
+    return _web_pipeline(spark, sf_dir, with_repetition=True)
+
+
+def _web_pipeline(
+    spark: SparkSession, sf_dir: str, with_repetition: bool
+) -> DataFrame:
     from annotation_service_spark.functions import text as tx
     from annotation_service_spark.functions import url as fu
 
     docs = _t(spark, sf_dir, "documents")
-    m7 = (F.col("doc_id") % 7).cast("string")
-    m11 = (F.col("doc_id") % 11).cast("string")
-    url = (
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("HTTPS://Site"), m7, F.lit(".COM:443/Page/"), m11,
-                F.lit("?utm_source=x&b=2&a=1#frag"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit("https://site"), m7, F.lit(".com/Page/"), m11,
-                F.lit("?a=1&b=2"),
-            ),
-        )
-        .otherwise(
-            F.concat(F.lit("http://user:pw@Host"), m7, F.lit(".org:80"))
-        )
-    )
     first = fu.dedup_urls_keep_first(
-        docs.select("doc_id", url.alias("url"))
+        docs.select("doc_id", _synth_url().alias("url"))
     ).select(F.col("first_id").alias("doc_id"))
     survivors = docs.join(first, "doc_id")
 
@@ -3433,6 +3444,13 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"))
     )
     staged = c4_ok.join(gopher_pass, "doc_id")
+    if with_repetition:
+        rep_keep = (
+            tx.repetition_metrics_table(survivors)
+            .where(F.col("keep"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        staged = staged.join(rep_keep, "doc_id")
     return cu.remove_boilerplate_lines(staged, max_line_df=15)
 
 
@@ -3971,32 +3989,11 @@ def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    m7 = (F.col("doc_id") % 7).cast("string")
-    m11 = (F.col("doc_id") % 11).cast("string")
-    url = (
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("HTTPS://Site"), m7, F.lit(".COM:443/Page/"), m11,
-                F.lit("?utm_source=x&b=2&a=1#frag"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit("https://site"), m7, F.lit(".com/Page/"), m11,
-                F.lit("?a=1&b=2"),
-            ),
-        )
-        .otherwise(
-            F.concat(F.lit("http://user:pw@Host"), m7, F.lit(".org:80"))
-        )
-    )
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
-        .select(canonical_url(url).alias("canonical_url"))
+        .select(canonical_url(_synth_url()).alias("canonical_url"))
         .dropDuplicates(["canonical_url"])
     )
     name = f"stream_url_dedup_sink_{next(_STREAM_SINK_SEQ)}"
@@ -4163,110 +4160,48 @@ DRIVER_WINDOW = 50  # the correctness driver hash-verifies the FIRST this-many
 
 
 def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The exactly-DRIVER_WINDOW gates the r12 driver run verifies
+    """The exactly-DRIVER_WINDOW gates the r13 driver run verifies
     (rows + schema + value-hash vs the DuckDB oracle).  Composition,
-    per VERDICT r11 item 1: the new r12 gate first, then the gates
-    whose implementing source r12 code changes touch (MP4 demux +
-    id-typed frames table, scoped-cache sameResult reuse, minhash
-    num_hashes guard, passage cap-split merge, token-budget collect
-    guard), then the full 22-gate cohort whose newest driver evidence
-    was round 8, then a fill of the oldest round-9 gates.
-    `queries()` asserts the count so a rotation edit can never
-    silently misplace the boundary."""
+    per VERDICT r12 item 1: the new r13 gate first, then the gates
+    whose implementing source r13 code changes touch (blank-line
+    exclusion + broadcast keep-first shape in the line family, URL
+    percent-encoding normalization + parameterized tracker list,
+    streaming hot-line TTL plumbing), then the FULL 33-gate cohort
+    whose newest driver evidence was round 9, then a fill of the
+    oldest round-10 gates. `queries()` asserts the count so a
+    rotation edit can never silently misplace the boundary."""
     return {
-        # -- NEW round-12 operators ---------------------------------------
-        "token_budget_sample_tokens": q_token_budget_sample_tokens,
+        # -- NEW round-13 operator ---------------------------------------
+        "web_pipeline_full": q_web_pipeline_full,
+        # -- touched by round-13 code (empty-norm exclusion + broadcast
+        #    keep-first in curation.py, pct_normalize + tracker-param
+        #    parameter in url.py, TTL in streaming_hot_lines) ----------
         "boilerplate_lines": q_boilerplate_lines,
         "line_dedup_keep_first": q_line_dedup_keep_first,
-        "stream_hot_lines": q_stream_hot_lines,
-        "gopher_quality": q_gopher_quality,
-        "c4_filter": q_c4_filter,
         "url_dedup": q_url_dedup,
-        "length_buckets": q_length_buckets,
-        "web_pipeline": q_web_pipeline,
         "stream_url_dedup": q_stream_url_dedup,
-        # -- touched by round-12 code (curation collect guard + source
-        #    prune, passage merge pass, minhash API guard, multimodal
-        #    demux generalization, scoped-cache reuse semantics) -------
-        "token_budget_sample": q_token_budget_sample,
-        "shared_passages": q_shared_passages,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_weighted_minhash": q_dedup_weighted_minhash,
-        "dedup_eval_report": q_dedup_eval_report,
-        "dedup_eval_weighted": q_dedup_eval_weighted,
-        # -- the 22 gates whose newest driver row was round 8 ----------
-        "lpa_communities": q_lpa_communities,
-        "merge_annotators": q_merge_annotators,
-        "pack_chunks": q_pack_chunks,
-        "range_lookup": q_range_lookup,
-        "repetition_filter": q_repetition_filter,
-        "response_keys": q_response_keys,
-        "sessionize": q_sessionize,
-        "skew_agg": q_skew_agg,
-        "skew_join": q_skew_join,
-        "stratified_sample": q_stratified_sample,
-        "text_metrics": q_text_metrics,
-        "topk_per_group": q_topk_per_group,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "triangle_count": q_triangle_count,
-        "vocab_topk": q_vocab_topk,
-        # -- fill: the 19 oldest round-9 gates --------------------------
-        "ann_gemm_topk": q_ann_gemm_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "semantic_dedup": q_semantic_dedup,
-    }
-
-
-def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Gates below the driver window — every one hash-green in an
-    earlier round's CORRECTNESS_r*.json over since-unchanged source.
-    Ordered oldest evidence first so the next rotation is a straight
-    slice: the remaining round-9 gates head the r13 window, then the
-    r10 cohort, then the gates the r11 driver verified (rotated out
-    this round, freshest evidence)."""
-    return {
-        # -- remaining round-9 gates (head of the r13 rotation) --------
-        "pii_redact": q_pii_redact,
-        "quality_quantile_mix": q_quality_quantile_mix,
-        "event_cube": q_event_cube,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "upsert_merge": q_upsert_merge,
-        "doc_percentiles": q_doc_percentiles,
-        "rolling_avg": q_rolling_avg,
-        "span_dedup": q_span_dedup,
-        "span_dedup_apply": q_span_dedup_apply,
+        "web_pipeline": q_web_pipeline,
+        "stream_hot_lines": q_stream_hot_lines,
+        # -- the 33 gates whose newest driver row was round 9 ----------
         "anti_join": q_anti_join,
         "attribution_join": q_attribution_join,
         "bigram_nll": q_bigram_nll,
         "bm25_rank": q_bm25_rank,
         "case_pivot": q_case_pivot,
         "cms_counts": q_cms_counts,
+        "cohort_retention": q_cohort_retention,
         "corpus_diff": q_corpus_diff,
         "dedup_incremental": q_dedup_incremental,
         "distinct_users": q_distinct_users,
         "doc_chunks": q_doc_chunks,
+        "doc_percentiles": q_doc_percentiles,
         "embedding_gram": q_embedding_gram,
+        "event_cube": q_event_cube,
         "event_rollup": q_event_rollup,
         "event_rollup_hopping": q_event_rollup_hopping,
         "event_topk_windowed": q_event_topk_windowed,
         "first_touch": q_first_touch,
+        "funnel": q_funnel,
         "gap_fill": q_gap_fill,
         "group_split": q_group_split,
         "grouping_sets": q_grouping_sets,
@@ -4275,7 +4210,13 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "knn_pagerank": q_knn_pagerank,
         "linear_interp": q_linear_interp,
-        # -- the r10 cohort ---------------------------------------------
+        "pii_redact": q_pii_redact,
+        "quality_quantile_mix": q_quality_quantile_mix,
+        "rolling_avg": q_rolling_avg,
+        "span_dedup": q_span_dedup,
+        "span_dedup_apply": q_span_dedup_apply,
+        "upsert_merge": q_upsert_merge,
+        # -- fill: the 10 oldest round-10 gates --------------------------
         "pipeline_full": q_pipeline_full,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
@@ -4286,6 +4227,18 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
         "dedup_winnow": q_dedup_winnow,
+    }
+
+
+def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates below the driver window — every one hash-green in an
+    earlier round's CORRECTNESS_r*.json over since-unchanged source.
+    Ordered oldest evidence first so the next rotation is a straight
+    slice: the remaining round-10 gates head the r14 window, then the
+    r11 cohort, then the gates the r12 driver verified (rotated out
+    this round, freshest evidence)."""
+    return {
+        # -- remaining round-10 gates (head of the r14 rotation) --------
         "decontaminate_spans": q_decontaminate_spans,
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
@@ -4364,6 +4317,51 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "lang_id": q_lang_id,
         "legacy_annotate": q_legacy_annotate,
+        # -- the r12 cohort (rotated out of the r13 window) -------------
+        "token_budget_sample_tokens": q_token_budget_sample_tokens,
+        "gopher_quality": q_gopher_quality,
+        "c4_filter": q_c4_filter,
+        "length_buckets": q_length_buckets,
+        "token_budget_sample": q_token_budget_sample,
+        "shared_passages": q_shared_passages,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_weighted_minhash": q_dedup_weighted_minhash,
+        "dedup_eval_report": q_dedup_eval_report,
+        "dedup_eval_weighted": q_dedup_eval_weighted,
+        "lpa_communities": q_lpa_communities,
+        "merge_annotators": q_merge_annotators,
+        "pack_chunks": q_pack_chunks,
+        "range_lookup": q_range_lookup,
+        "repetition_filter": q_repetition_filter,
+        "response_keys": q_response_keys,
+        "sessionize": q_sessionize,
+        "skew_agg": q_skew_agg,
+        "skew_join": q_skew_join,
+        "stratified_sample": q_stratified_sample,
+        "text_metrics": q_text_metrics,
+        "topk_per_group": q_topk_per_group,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "triangle_count": q_triangle_count,
+        "vocab_topk": q_vocab_topk,
+        "ann_gemm_topk": q_ann_gemm_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -5469,6 +5467,298 @@ _PERCEPTRON_CTES = """tok AS (
                 FROM feat JOIN w2 USING (b) GROUP BY 1
             )
 """
+
+
+# Shared URL-oracle building blocks — ONE definition each for the
+# synthesized URL column (the Spark twin is `_synth_url`) and the
+# canonicalization chain (the Spark twin is functions/url.py::
+# canonical_url), so the four URL gates can never drift apart.
+_URL_SYNTH_CASE = """CASE WHEN doc_id % 3 = 0 THEN
+                'HTTPS://Site' || (doc_id % 7) || '.COM:443/Page%7E/'
+                || (doc_id % 11) || '?utm_source=x&b=2&a=1#frag'
+            WHEN doc_id % 3 = 1 THEN
+                'https://site' || (doc_id % 7) || '.com/Page~/'
+                || (doc_id % 11) || '?a=1&b=2'
+            ELSE 'http://user:pw@Host' || (doc_id % 7)
+                 || '.org:80/%2fx%41'
+       END"""
+
+# the rebuilt canonical string over the p4 CTE's columns
+_URL_CANON_KEY = (
+    "scheme || '://' || host || path "
+    "|| CASE WHEN qs <> '' THEN '?' || qs ELSE '' END"
+)
+
+
+def _url_canon_ctes(src: str = "u") -> str:
+    """DuckDB CTE chain p0..p4 replaying functions/url.py::
+    canonical_url over %SRC%(doc_id, url): p0 = RFC 3986 §6.2.2
+    percent normalization (uppercase hex, decode unreserved), p1-p4 =
+    scheme/authority/path/query parsing, default-port + userinfo +
+    fragment + tracker-param drop, query sort. Splice into a WITH
+    list; the canonical string is `_URL_CANON_KEY` over p4."""
+    return """
+            p0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(url, '%')) = 1 THEN url
+                            ELSE string_split(url, '%')[1] || array_to_string(
+                                list_transform(string_split(url, '%')[2:], p ->
+                                    CASE WHEN NOT regexp_matches(
+                                             substr(p, 1, 2),
+                                             '^[0-9A-Fa-f]{2}$')
+                                         THEN '%' || p
+                                         ELSE list_transform(
+                                             [CAST(
+                                               (strpos('0123456789abcdef',
+                                                  lower(substr(p, 1, 1))) - 1)
+                                               * 16
+                                               + strpos('0123456789abcdef',
+                                                  lower(substr(p, 2, 1))) - 1
+                                              AS INT)],
+                                             c -> CASE WHEN
+                                                    (c BETWEEN 48 AND 57)
+                                                    OR (c BETWEEN 65 AND 90)
+                                                    OR (c BETWEEN 97 AND 122)
+                                                    OR c IN (45, 46, 95, 126)
+                                                  THEN chr(c) || substr(p, 3)
+                                                  ELSE '%'
+                                                       || upper(substr(p, 1, 2))
+                                                       || substr(p, 3) END)[1]
+                                    END), '')
+                       END AS url
+                FROM %SRC%
+            ),
+            p1 AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                FROM p0
+            ),
+            p2 AS (
+                SELECT doc_id, scheme,
+                       regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
+                       regexp_replace(rest, '^[^/?#]*', '') AS after_auth
+                FROM p1
+            ),
+            p3 AS (
+                SELECT doc_id, scheme,
+                       lower(CASE WHEN contains(authority, '@')
+                                  THEN regexp_extract(authority, '@(.*)$', 1)
+                                  ELSE authority END) AS hostport,
+                       coalesce(nullif(
+                           regexp_extract(after_auth, '^([^?#]*)', 1), ''),
+                           '/') AS path,
+                       regexp_extract(after_auth, '\\?([^#]*)', 1) AS query
+                FROM p2
+            ),
+            p4 AS (
+                SELECT doc_id, scheme, path,
+                       CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                              OR (scheme = 'https' AND hostport LIKE '%:443')
+                            THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
+                            ELSE hostport END AS host,
+                       array_to_string(list_sort(list_filter(
+                           string_split(query, '&'),
+                           p -> p <> ''
+                                AND NOT (starts_with(p, 'utm_')
+                                     OR list_contains(
+                                            ['gclid','fbclid','ref','msclkid'],
+                                            string_split(p, '=')[1])))), '&')
+                           AS qs
+                FROM p3
+            )""".replace("%SRC%", src)
+
+
+def _web_pipeline_oracle(with_repetition: bool) -> str:
+    """DuckDB replay of the composed web pipeline (q_web_pipeline /
+    q_web_pipeline_full): URL synthesis + canonicalization keep-first
+    -> C4 line/page judging over the synthesized dotted lines ->
+    Gopher quality over the original text [-> Gopher repetition
+    fractions over the original text] -> boilerplate line removal
+    over the staged survivors (empty norms excluded from the hot
+    count — blank lines are structure)."""
+    rep_ctes = """,
+            rt AS (
+                SELECT d.doc_id,
+                       list_filter(regexp_split_to_array(lower(d.text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents d JOIN firsts USING (doc_id)
+            ),
+            rg2 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i]||' '||ws[i+1])) AS g
+                FROM rt WHERE len(ws) >= 2
+            ),
+            rg3 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)-1),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g
+                FROM rt WHERE len(ws) >= 3
+            ),
+            rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
+            rc3 AS (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY 1, 2),
+            ra2 AS (
+                SELECT doc_id, sum(c) AS t2, count(*) AS d2, max(c) AS m2
+                FROM rc2 GROUP BY doc_id
+            ),
+            ra3 AS (
+                SELECT doc_id, sum(c) AS t3, count(*) AS d3
+                FROM rc3 GROUP BY doc_id
+            ),
+            rpass AS (
+                SELECT ra2.doc_id FROM ra2 JOIN ra3 USING (doc_id)
+                WHERE (t2-d2)/CAST(t2 AS DOUBLE) <= 0.20
+                  AND (t3-d3)/CAST(t3 AS DOUBLE) <= 0.18
+                  AND m2/CAST(t2 AS DOUBLE) <= 0.20
+            )"""
+    rep_join = "JOIN rpass USING (doc_id)" if with_repetition else ""
+    return f"""
+            WITH u AS (
+                SELECT doc_id, {_URL_SYNTH_CASE} AS url
+                FROM documents
+            ),
+            {_url_canon_ctes("u")},
+            firsts AS (
+                SELECT min(doc_id) AS doc_id
+                FROM p4
+                GROUP BY {_URL_CANON_KEY}
+            ),
+            w AS (
+                SELECT d.doc_id, string_split(d.text, ' ') AS ws
+                FROM documents d JOIN firsts USING (doc_id)
+            ),
+            lined AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            dotted AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN substr(md5(line), 1, 1) < '8'
+                            THEN line || '.' ELSE line END AS line
+                FROM lined
+            ),
+            braced AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN doc_id % 97 = 0
+                             AND line_no = max(line_no)
+                                 OVER (PARTITION BY doc_id)
+                            THEN line || ' {{' ELSE line END AS line
+                FROM dotted
+            ),
+            judged AS (
+                SELECT doc_id, line_no, line,
+                       (substr(rtrim(line), -1, 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(
+                                regexp_split_to_array(line, '\\s+'),
+                                x -> x <> '')) >= 2
+                        AND NOT regexp_matches(lower(line), 'javascript'))
+                           AS keep_line,
+                       contains(line, '{{') AS has_brace,
+                       contains(lower(line), 'lorem ipsum') AS has_lorem
+                FROM braced
+            ),
+            c4agg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS kept,
+                       bool_or(has_brace) AS brace,
+                       bool_or(has_lorem) AS lorem
+                FROM judged GROUP BY doc_id
+            ),
+            c4ok AS (
+                SELECT doc_id FROM c4agg
+                WHERE NOT brace AND NOT lorem AND kept >= 3
+            ),
+            gt AS (
+                SELECT d.doc_id,
+                       list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                   x -> x <> '') AS gws,
+                       string_split(d.text, chr(10)) AS glines,
+                       list_filter(regexp_split_to_array(lower(d.text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS gtoks,
+                       d.text AS gtext
+                FROM documents d JOIN firsts USING (doc_id)
+            ),
+            gm AS (
+                SELECT doc_id,
+                       len(gws) AS n_words,
+                       coalesce(list_sum(list_transform(gws, x -> len(x))), 0)
+                           AS total_len,
+                       len(list_filter(gws,
+                           x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+                       (len(gtext) - len(replace(gtext, '#', '')))
+                       + (len(gtext) - len(replace(gtext, '...', ''))) // 3
+                           AS n_symbols,
+                       len(glines) AS n_lines,
+                       len(list_filter(glines,
+                           l -> substr(ltrim(l), 1, 1) IN ('-','*','•')))
+                           AS bullets,
+                       len(list_filter(glines, l -> rtrim(l) LIKE '%...'))
+                           AS ells,
+                       CAST(list_contains(gtoks, 'the') AS INT)
+                       + CAST(list_contains(gtoks, 'be') AS INT)
+                       + CAST(list_contains(gtoks, 'to') AS INT)
+                       + CAST(list_contains(gtoks, 'of') AS INT)
+                       + CAST(list_contains(gtoks, 'and') AS INT)
+                       + CAST(list_contains(gtoks, 'that') AS INT)
+                       + CAST(list_contains(gtoks, 'have') AS INT)
+                       + CAST(list_contains(gtoks, 'with') AS INT) AS stop_hits
+                FROM gt
+            ),
+            gpass AS (
+                SELECT doc_id FROM gm
+                WHERE n_words >= 50 AND n_words <= 100000
+                  AND total_len >= n_words * 3 AND total_len <= n_words * 10
+                  AND n_symbols * 10 <= n_words
+                  AND bullets * 10 <= n_lines * 9
+                  AND ells * 10 <= n_lines * 3
+                  AND alpha_words * 5 >= n_words * 4
+                  AND stop_hits >= 1
+            ){rep_ctes if with_repetition else ''},
+            staged AS (
+                SELECT j.doc_id, j.line_no, j.line
+                FROM judged j
+                JOIN c4ok USING (doc_id)
+                JOIN gpass USING (doc_id)
+                {rep_join}
+                WHERE j.keep_line
+            ),
+            nrm AS (
+                SELECT doc_id, line_no, line,
+                       trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM staged
+            ),
+            hot AS (
+                SELECT norm FROM nrm WHERE norm <> '' GROUP BY norm
+                HAVING count(DISTINCT doc_id) > 15
+            ),
+            kept2 AS (
+                SELECT doc_id, line_no, line FROM nrm
+                WHERE norm NOT IN (SELECT norm FROM hot)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           AS clean_text
+                FROM kept2 GROUP BY doc_id
+            ),
+            base AS (
+                SELECT s.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines
+                FROM staged s GROUP BY s.doc_id
+            )
+            SELECT base.doc_id AS id, base.n_lines,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM base LEFT JOIN rebuilt r USING (doc_id)
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7130,260 +7420,20 @@ def oracle_sql() -> dict[str, str]:
         # gopher -> boilerplate lines, each stage the verbatim CTE of
         # its standalone oracle, filtered stepwise. Line-df counts in
         # the final stage run over the FILTERED corpus by design.
-        "web_pipeline": """
-            WITH u AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 3 = 0 THEN
-                                'HTTPS://Site' || (doc_id % 7) || '.COM:443/Page/'
-                                || (doc_id % 11) || '?utm_source=x&b=2&a=1#frag'
-                            WHEN doc_id % 3 = 1 THEN
-                                'https://site' || (doc_id % 7) || '.com/Page/'
-                                || (doc_id % 11) || '?a=1&b=2'
-                            ELSE 'http://user:pw@Host' || (doc_id % 7)
-                                 || '.org:80'
-                       END AS url
-                FROM documents
-            ),
-            p1 AS (
-                SELECT doc_id,
-                       lower(regexp_extract(url,
-                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                       regexp_replace(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-                FROM u
-            ),
-            p2 AS (
-                SELECT doc_id, scheme,
-                       regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
-                       regexp_replace(rest, '^[^/?#]*', '') AS after_auth
-                FROM p1
-            ),
-            p3 AS (
-                SELECT doc_id, scheme,
-                       lower(CASE WHEN contains(authority, '@')
-                                  THEN regexp_extract(authority, '@(.*)$', 1)
-                                  ELSE authority END) AS hostport,
-                       coalesce(nullif(
-                           regexp_extract(after_auth, '^([^?#]*)', 1), ''),
-                           '/') AS path,
-                       regexp_extract(after_auth, '\\?([^#]*)', 1) AS query
-                FROM p2
-            ),
-            p4 AS (
-                SELECT doc_id, scheme, path,
-                       CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
-                              OR (scheme = 'https' AND hostport LIKE '%:443')
-                            THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
-                            ELSE hostport END AS host,
-                       array_to_string(list_sort(list_filter(
-                           string_split(query, '&'),
-                           p -> p <> ''
-                                AND NOT (starts_with(p, 'utm_')
-                                     OR list_contains(
-                                            ['gclid','fbclid','ref','msclkid'],
-                                            string_split(p, '=')[1])))), '&')
-                           AS qs
-                FROM p3
-            ),
-            firsts AS (
-                SELECT min(doc_id) AS doc_id
-                FROM p4
-                GROUP BY scheme || '://' || host || path
-                         || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
-            ),
-            w AS (
-                SELECT d.doc_id, string_split(d.text, ' ') AS ws
-                FROM documents d JOIN firsts USING (doc_id)
-            ),
-            lined AS (
-                SELECT doc_id, CAST(i AS INT) AS line_no,
-                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
-                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
-            ),
-            dotted AS (
-                SELECT doc_id, line_no,
-                       CASE WHEN substr(md5(line), 1, 1) < '8'
-                            THEN line || '.' ELSE line END AS line
-                FROM lined
-            ),
-            braced AS (
-                SELECT doc_id, line_no,
-                       CASE WHEN doc_id % 97 = 0
-                             AND line_no = max(line_no)
-                                 OVER (PARTITION BY doc_id)
-                            THEN line || ' {' ELSE line END AS line
-                FROM dotted
-            ),
-            judged AS (
-                SELECT doc_id, line_no, line,
-                       (substr(rtrim(line), -1, 1) IN ('.', '!', '?', '"')
-                        AND len(list_filter(
-                                regexp_split_to_array(line, '\\s+'),
-                                x -> x <> '')) >= 2
-                        AND NOT regexp_matches(lower(line), 'javascript'))
-                           AS keep_line,
-                       contains(line, '{') AS has_brace,
-                       contains(lower(line), 'lorem ipsum') AS has_lorem
-                FROM braced
-            ),
-            c4agg AS (
-                SELECT doc_id,
-                       sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS kept,
-                       bool_or(has_brace) AS brace,
-                       bool_or(has_lorem) AS lorem
-                FROM judged GROUP BY doc_id
-            ),
-            c4ok AS (
-                SELECT doc_id FROM c4agg
-                WHERE NOT brace AND NOT lorem AND kept >= 3
-            ),
-            gt AS (
-                SELECT d.doc_id,
-                       list_filter(regexp_split_to_array(d.text, '\\s+'),
-                                   x -> x <> '') AS gws,
-                       string_split(d.text, chr(10)) AS glines,
-                       list_filter(regexp_split_to_array(lower(d.text),
-                                                         '[^a-z0-9]+'),
-                                   x -> x <> '') AS gtoks,
-                       d.text AS gtext
-                FROM documents d JOIN firsts USING (doc_id)
-            ),
-            gm AS (
-                SELECT doc_id,
-                       len(gws) AS n_words,
-                       coalesce(list_sum(list_transform(gws, x -> len(x))), 0)
-                           AS total_len,
-                       len(list_filter(gws,
-                           x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
-                       (len(gtext) - len(replace(gtext, '#', '')))
-                       + (len(gtext) - len(replace(gtext, '...', ''))) // 3
-                           AS n_symbols,
-                       len(glines) AS n_lines,
-                       len(list_filter(glines,
-                           l -> substr(ltrim(l), 1, 1) IN ('-','*','•')))
-                           AS bullets,
-                       len(list_filter(glines, l -> rtrim(l) LIKE '%...'))
-                           AS ells,
-                       CAST(list_contains(gtoks, 'the') AS INT)
-                       + CAST(list_contains(gtoks, 'be') AS INT)
-                       + CAST(list_contains(gtoks, 'to') AS INT)
-                       + CAST(list_contains(gtoks, 'of') AS INT)
-                       + CAST(list_contains(gtoks, 'and') AS INT)
-                       + CAST(list_contains(gtoks, 'that') AS INT)
-                       + CAST(list_contains(gtoks, 'have') AS INT)
-                       + CAST(list_contains(gtoks, 'with') AS INT) AS stop_hits
-                FROM gt
-            ),
-            gpass AS (
-                SELECT doc_id FROM gm
-                WHERE n_words >= 50 AND n_words <= 100000
-                  AND total_len >= n_words * 3 AND total_len <= n_words * 10
-                  AND n_symbols * 10 <= n_words
-                  AND bullets * 10 <= n_lines * 9
-                  AND ells * 10 <= n_lines * 3
-                  AND alpha_words * 5 >= n_words * 4
-                  AND stop_hits >= 1
-            ),
-            staged AS (
-                SELECT j.doc_id, j.line_no, j.line
-                FROM judged j
-                JOIN c4ok USING (doc_id)
-                JOIN gpass USING (doc_id)
-                WHERE j.keep_line
-            ),
-            nrm AS (
-                SELECT doc_id, line_no, line,
-                       trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
-                           AS norm
-                FROM staged
-            ),
-            hot AS (
-                SELECT norm FROM nrm GROUP BY norm
-                HAVING count(DISTINCT doc_id) > 15
-            ),
-            kept2 AS (
-                SELECT doc_id, line_no, line FROM nrm
-                WHERE norm NOT IN (SELECT norm FROM hot)
-            ),
-            rebuilt AS (
-                SELECT doc_id,
-                       CAST(count(*) AS BIGINT) AS n_kept,
-                       string_agg(line, chr(10) ORDER BY line_no)
-                           AS clean_text
-                FROM kept2 GROUP BY doc_id
-            ),
-            base AS (
-                SELECT s.doc_id,
-                       CAST(count(*) AS BIGINT) AS n_lines
-                FROM staged s GROUP BY s.doc_id
-            )
-            SELECT base.doc_id AS id, base.n_lines,
-                   coalesce(r.n_kept, 0) AS n_kept,
-                   coalesce(r.clean_text, '') AS clean_text
-            FROM base LEFT JOIN rebuilt r USING (doc_id)
-        """,
+        "web_pipeline": _web_pipeline_oracle(False),
+        "web_pipeline_full": _web_pipeline_oracle(True),
         # url_dedup: the same deterministic URL synthesis, then RFC
-        # 3986 §6 normalization (scheme/host lowercase, default-port
-        # and userinfo and fragment drop, tracker-param strip, query
-        # sort, empty path -> '/'), then keep-first per canonical.
-        "url_dedup": """
+        # 3986 §6 normalization (percent-encoding normalization,
+        # scheme/host lowercase, default-port and userinfo and
+        # fragment drop, tracker-param strip, query sort, empty path
+        # -> '/'), then keep-first per canonical.
+        "url_dedup": f"""
             WITH u AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 3 = 0 THEN
-                                'HTTPS://Site' || (doc_id % 7) || '.COM:443/Page/'
-                                || (doc_id % 11) || '?utm_source=x&b=2&a=1#frag'
-                            WHEN doc_id % 3 = 1 THEN
-                                'https://site' || (doc_id % 7) || '.com/Page/'
-                                || (doc_id % 11) || '?a=1&b=2'
-                            ELSE 'http://user:pw@Host' || (doc_id % 7)
-                                 || '.org:80'
-                       END AS url
+                SELECT doc_id, {_URL_SYNTH_CASE} AS url
                 FROM documents
             ),
-            p1 AS (
-                SELECT doc_id,
-                       lower(regexp_extract(url,
-                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                       regexp_replace(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-                FROM u
-            ),
-            p2 AS (
-                SELECT doc_id, scheme,
-                       regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
-                       regexp_replace(rest, '^[^/?#]*', '') AS after_auth
-                FROM p1
-            ),
-            p3 AS (
-                SELECT doc_id, scheme,
-                       lower(CASE WHEN contains(authority, '@')
-                                  THEN regexp_extract(authority, '@(.*)$', 1)
-                                  ELSE authority END) AS hostport,
-                       coalesce(nullif(
-                           regexp_extract(after_auth, '^([^?#]*)', 1), ''),
-                           '/') AS path,
-                       regexp_extract(after_auth, '\\?([^#]*)', 1) AS query
-                FROM p2
-            ),
-            p4 AS (
-                SELECT doc_id, scheme, path,
-                       CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
-                              OR (scheme = 'https' AND hostport LIKE '%:443')
-                            THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
-                            ELSE hostport END AS host,
-                       array_to_string(list_sort(list_filter(
-                           string_split(query, '&'),
-                           p -> p <> ''
-                                AND NOT (starts_with(p, 'utm_')
-                                     OR list_contains(
-                                            ['gclid','fbclid','ref','msclkid'],
-                                            string_split(p, '=')[1])))), '&')
-                           AS qs
-                FROM p3
-            )
-            SELECT scheme || '://' || host || path
-                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
-                       AS canonical_url,
+            {_url_canon_ctes("u")}
+            SELECT {_URL_CANON_KEY} AS canonical_url,
                    CAST(min(doc_id) AS BIGINT) AS first_id,
                    CAST(count(*) - 1 AS BIGINT) AS n_dups
             FROM p4
@@ -7391,64 +7441,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stream_url_dedup: the emitted set == distinct canonical
         # URLs of the closed input (same synthesis + normalization).
-        "stream_url_dedup": """
+        "stream_url_dedup": f"""
             WITH u AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 3 = 0 THEN
-                                'HTTPS://Site' || (doc_id % 7) || '.COM:443/Page/'
-                                || (doc_id % 11) || '?utm_source=x&b=2&a=1#frag'
-                            WHEN doc_id % 3 = 1 THEN
-                                'https://site' || (doc_id % 7) || '.com/Page/'
-                                || (doc_id % 11) || '?a=1&b=2'
-                            ELSE 'http://user:pw@Host' || (doc_id % 7)
-                                 || '.org:80'
-                       END AS url
+                SELECT doc_id, {_URL_SYNTH_CASE} AS url
                 FROM documents
             ),
-            p1 AS (
-                SELECT doc_id,
-                       lower(regexp_extract(url,
-                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                       regexp_replace(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-                FROM u
-            ),
-            p2 AS (
-                SELECT doc_id, scheme,
-                       regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
-                       regexp_replace(rest, '^[^/?#]*', '') AS after_auth
-                FROM p1
-            ),
-            p3 AS (
-                SELECT doc_id, scheme,
-                       lower(CASE WHEN contains(authority, '@')
-                                  THEN regexp_extract(authority, '@(.*)$', 1)
-                                  ELSE authority END) AS hostport,
-                       coalesce(nullif(
-                           regexp_extract(after_auth, '^([^?#]*)', 1), ''),
-                           '/') AS path,
-                       regexp_extract(after_auth, '\\?([^#]*)', 1) AS query
-                FROM p2
-            ),
-            p4 AS (
-                SELECT doc_id, scheme, path,
-                       CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
-                              OR (scheme = 'https' AND hostport LIKE '%:443')
-                            THEN regexp_extract(hostport, '^(.*):[0-9]+$', 1)
-                            ELSE hostport END AS host,
-                       array_to_string(list_sort(list_filter(
-                           string_split(query, '&'),
-                           p -> p <> ''
-                                AND NOT (starts_with(p, 'utm_')
-                                     OR list_contains(
-                                            ['gclid','fbclid','ref','msclkid'],
-                                            string_split(p, '=')[1])))), '&')
-                           AS qs
-                FROM p3
-            )
-            SELECT DISTINCT scheme || '://' || host || path
-                   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
-                       AS canonical_url
+            {_url_canon_ctes("u")}
+            SELECT DISTINCT {_URL_CANON_KEY} AS canonical_url
             FROM p4
         """,
         # boilerplate_lines / line_dedup_keep_first: documents re-cut
@@ -7469,7 +7468,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM lined
             ),
             hot AS (
-                SELECT norm FROM nrm GROUP BY norm
+                SELECT norm FROM nrm WHERE norm <> '' GROUP BY norm
                 HAVING count(DISTINCT doc_id) > 15
             ),
             kept AS (
@@ -7514,7 +7513,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_kept,
                        string_agg(line, chr(10) ORDER BY line_no)
                            AS clean_text
-                FROM ranked WHERE rn = 1 GROUP BY doc_id
+                FROM ranked WHERE rn = 1 OR norm = '' GROUP BY doc_id
             )
             SELECT w.doc_id AS id,
                    CAST(ceil(len(w.ws)/2.0) AS BIGINT) AS n_lines,

@@ -830,20 +830,25 @@ def compression_ratio_table(
     stdlib replay + repetitive << prose << noise ordering) instead of
     DuckDB-oracle-gated. Returns (id, raw_len, compressed_len,
     ratio) with ratio = compressed/raw rounded to 4 via the
-    round-half-up fixed rule (0.0 for empty text)."""
+    round-half-up fixed rule (0.0 for empty text). NULL text is
+    missing text: raw_len 0, ratio 0.0 — never the literal string
+    'None'. The id keeps the caller's ``id_col`` type (derived from
+    the input schema), so string ids survive the Arrow stage."""
     import pandas as pd  # noqa: F811
     import zlib
+
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def fn(batches):
         for pdf in batches:
             raw, comp = [], []
-            for t in pdf[text_col].astype(str):
-                b = t.encode("utf-8")
+            for t in pdf[text_col].fillna(""):
+                b = str(t).encode("utf-8")
                 raw.append(len(b))
                 comp.append(len(zlib.compress(b, level)))
             out = pd.DataFrame(
                 {
-                    "id": pdf[id_col].to_numpy(),
+                    "id": pdf[id_col],
                     "raw_len": raw,
                     "compressed_len": comp,
                 }
@@ -851,7 +856,7 @@ def compression_ratio_table(
             yield out
 
     res = docs.select(id_col, text_col).mapInPandas(
-        fn, "id long, raw_len long, compressed_len long"
+        fn, f"id {id_type}, raw_len long, compressed_len long"
     )
     ratio = F.when(
         F.col("raw_len") > 0, F.col("compressed_len") / F.col("raw_len")

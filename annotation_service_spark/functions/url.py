@@ -6,21 +6,30 @@ URL dedup as its first stage). The canonicalizer below applies the
 standard RFC 3986 §6 syntax-based normalizations plus the
 tracker-param strip every crawler does:
 
+- percent-encoding normalized (RFC 3986 §6.2.2.1/.2: hex digits
+  uppercased, encodings of UNRESERVED characters decoded — %7E → ~,
+  %41 → A; reserved characters like %2F stay encoded, so parsing
+  structure never changes);
 - scheme and host lowercased (path/query case-preserved);
 - default ports dropped (http:80, https:443);
 - userinfo ('user@') dropped from the authority;
 - fragment dropped;
-- tracking query params dropped (utm_*, gclid, fbclid, ref, msclkid);
+- tracking query params dropped (utm_* plus an exact-name list —
+  PARAMETERIZED, because e.g. 'ref' is functional on code hosts:
+  callers on non-web corpora pass their own list);
 - remaining query params sorted (order-insensitive equality);
 - empty path normalized to '/'.
 
-Everything is a pure Column expression (regexp_extract + array ops)
-— no UDF, engine-portable, and DuckDB can replay it for the oracle
-gate. A string that doesn't parse as scheme://... comes back
-unchanged (trimmed): garbage in, garbage out beats silent drops.
+Everything is a pure Column expression (regexp_extract + array ops +
+higher-order transform) — no UDF, engine-portable, and DuckDB can
+replay it for the oracle gate. A string that doesn't parse as
+scheme://... comes back percent-normalized only (trimmed): garbage
+in, garbage out beats silent drops.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -29,19 +38,64 @@ TRACKING_PREFIXES = ("utm_",)
 TRACKING_PARAMS = ("gclid", "fbclid", "ref", "msclkid")
 
 
-def _is_tracking(p: Column) -> Column:
+def _is_tracking(
+    p: Column,
+    prefixes: Sequence[str],
+    exacts: Sequence[str],
+) -> Column:
     name = F.split(p, "=")[0]
     cond = F.lit(False)
-    for pre in TRACKING_PREFIXES:
+    for pre in prefixes:
         cond = cond | name.startswith(pre)
-    for exact in TRACKING_PARAMS:
+    for exact in exacts:
         cond = cond | (name == exact)
     return cond
 
 
-def canonical_url(url: Column) -> Column:
+def _pct_fix(p: Column) -> Column:
+    """Normalize ONE '%'-split segment: the leading two characters are
+    the (candidate) hex pair of the percent triplet this segment
+    began with. Unreserved codepoints (ALPHA / DIGIT / '-' '.' '_'
+    '~', RFC 3986 §2.3) decode; everything else re-emits '%' with
+    UPPERCASE hex; a malformed pair re-emits the segment verbatim."""
+    pair = p.substr(1, 2)
+    rest = p.substr(F.lit(3), F.length(p))
+    code = F.conv(pair, 16, 10).cast("int")
+    unreserved = (
+        ((code >= 48) & (code <= 57))
+        | ((code >= 65) & (code <= 90))
+        | ((code >= 97) & (code <= 122))
+        | code.isin(45, 46, 95, 126)
+    )
+    return F.when(
+        pair.rlike("^[0-9A-Fa-f]{2}$"),
+        F.when(unreserved, F.concat(F.char(code), rest)).otherwise(
+            F.concat(F.lit("%"), F.upper(pair), rest)
+        ),
+    ).otherwise(F.concat(F.lit("%"), p))
+
+
+def pct_normalize(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as a pure
+    Column expression: split on '%', fix each tail segment, rejoin.
+    Only unreserved characters decode, so delimiters ('/', '?', '#',
+    '&', '=') can never appear out of an encoding — applying this
+    BEFORE parsing is structure-safe."""
+    parts = F.split(url, "%", -1)
+    fixed_tail = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        _pct_fix,
+    )
+    return F.concat(F.element_at(parts, 1), F.array_join(fixed_tail, ""))
+
+
+def canonical_url(
+    url: Column,
+    tracking_prefixes: Sequence[str] = TRACKING_PREFIXES,
+    tracking_params: Sequence[str] = TRACKING_PARAMS,
+) -> Column:
     """Canonical form of an absolute URL (see module docstring)."""
-    u = F.trim(url)
+    u = pct_normalize(F.trim(url))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     # everything after '://'
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -62,7 +116,9 @@ def canonical_url(url: Column) -> Column:
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(after_auth, r"\?([^#]*)", 1)
     params = F.filter(
-        F.split(query, "&"), lambda p: (p != "") & ~_is_tracking(p)
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~_is_tracking(p, tuple(tracking_prefixes), tuple(tracking_params)),
     )
     qs = F.array_join(F.array_sort(params), "&")
     rebuilt = F.concat(
@@ -94,15 +150,23 @@ def dedup_urls_keep_first(
     docs: DataFrame,
     id_col: str = "doc_id",
     url_col: str = "url",
+    tracking_prefixes: Sequence[str] = TRACKING_PREFIXES,
+    tracking_params: Sequence[str] = TRACKING_PARAMS,
 ) -> DataFrame:
     """URL-level exact dedup after canonicalization — the RefinedWeb
     first stage: one document survives per canonical URL, the one
     with the smallest id (a min over values, deterministic under any
-    partitioning). Returns (canonical_url, first_id, n_dups).
+    partitioning). Returns (canonical_url, first_id, n_dups). The
+    tracker-param list is forwarded to ``canonical_url`` so callers
+    on corpora where e.g. '?ref=branch' is functional can shrink it.
 
     Scale shape: ONE content-keyed groupBy on the canonical string —
     a URL crawled 10^6 times is one aggregation key. No joins."""
-    c = canonical_url(F.col(url_col))
+    c = canonical_url(
+        F.col(url_col),
+        tracking_prefixes=tracking_prefixes,
+        tracking_params=tracking_params,
+    )
     return (
         docs.select(F.col(id_col).alias("id"), c.alias("canonical_url"))
         .groupBy("canonical_url")

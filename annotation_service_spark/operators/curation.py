@@ -834,6 +834,11 @@ def remove_boilerplate_lines(
     (id, n_lines, n_kept, clean_text) with lines rejoined by ``sep``
     in original order (same contract as remove_duplicate_spans).
 
+    Blank lines (empty normalized form) are paragraph STRUCTURE, not
+    boilerplate — they are excluded from the hot-line count and
+    always kept, so a corpus-wide '' never strips every paragraph
+    break once it crosses the threshold.
+
     Plan: linear line explode -> count(DISTINCT doc) per normalized
     line (one content-keyed shuffle, partial-aggregated) -> left_anti
     join of occurrences against the beyond-threshold line set ->
@@ -841,7 +846,8 @@ def remove_boilerplate_lines(
     by 10^9 documents is one aggregation key, not a fan-out."""
     lines = _doc_lines(docs, id_col, text_col, sep)
     hot = (
-        lines.groupBy("norm")
+        lines.where(F.col("norm") != "")
+        .groupBy("norm")
         .agg(F.count_distinct("id").alias("docs"))
         .where(F.col("docs") > max_line_df)
         .select("norm")
@@ -874,23 +880,52 @@ def dedup_lines_keep_first(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    broadcast_dup_limit: int = 500_000,
 ) -> DataFrame:
     """Paragraph/line-level exact dedup keeping ONE canonical copy —
     the literal CCNet paragraph-dedup semantics: every normalized
     line that occurs more than once corpus-wide keeps only its FIRST
     occurrence in (id, line_no) order (a min over values, so the
     survivor is deterministic under any partitioning), all other
-    occurrences are removed. Same output contract as
-    remove_boilerplate_lines: (id, n_lines, n_kept, clean_text)."""
+    occurrences are removed. Blank lines (empty normalized form) are
+    paragraph structure, never a dedup key — every one is kept. Same
+    output contract as remove_boilerplate_lines:
+    (id, n_lines, n_kept, clean_text).
+
+    Shuffle shape: the keep-first decision only needs the
+    DUPLICATED-norm subset (count > 1) with its winning (id,
+    line_no) — unique lines decide themselves. That subset is
+    usually tiny relative to the corpus, so when a limit probe shows
+    it fits (≤ ``broadcast_dup_limit`` rows) it is BROADCAST into a
+    left join and the line fan-out never shuffles by content — a
+    cookie banner in 10^9 documents costs its occurrences one
+    broadcast-map lookup each, not a single-reducer pile-up. Above
+    the limit the same left join runs content-keyed (AQE skew-split
+    applies). The groupBy that finds the subset is partial-aggregated
+    either way."""
     lines = _doc_lines(docs, id_col, text_col, sep)
-    first = lines.groupBy("norm").agg(
-        F.min(F.struct("id", "line_no")).alias("f"),
-        F.count(F.lit(1)).alias("cnt"),
+    dup_first = (
+        lines.where(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(
+            F.min(F.struct("id", "line_no")).alias("f"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") > 1)
+        .select("norm", "f")
     )
+    # limit(+1) probe: rides the aggregation once, bounds the answer —
+    # same bounded-decision contract as token_budget_sample's offset
+    # guard, but degrading to the shuffle join instead of raising.
+    fits = (
+        len(dup_first.limit(broadcast_dup_limit + 1).take(broadcast_dup_limit + 1))
+        <= broadcast_dup_limit
+    )
+    right = F.broadcast(dup_first) if fits else dup_first
     kept = (
-        lines.join(first, "norm")
+        lines.join(right, "norm", "left")
         .where(
-            (F.col("cnt") == 1)
+            F.col("f").isNull()
             | (
                 (F.col("id") == F.col("f.id"))
                 & (F.col("line_no") == F.col("f.line_no"))

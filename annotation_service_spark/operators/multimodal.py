@@ -1181,10 +1181,13 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize each media blob → (id, features
     array<float>, n_bytes). Real Arrow batch plumbing; real codecs
-    for PPM/WAV, stub for everything else (see module docstring)."""
+    for PPM/WAV, stub for everything else (see module docstring).
+    The id comes back under the CALLER'S ``id_col`` name and type
+    (derived from the input schema, same contract as
+    ``_frames_table``) — string/long ids both work."""
     out_schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
+            T.StructField(id_col, media.schema[id_col].dataType),
             T.StructField("features", T.ArrayType(T.FloatType())),
             T.StructField("n_bytes", T.LongType()),
         ]
@@ -1198,7 +1201,7 @@ def extract_features(
             ]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "features": feats,
                     "n_bytes": [len(bytes(b)) for b in pdf[media_col]],
                 }
@@ -1265,8 +1268,11 @@ def resize_media(
     Payloads without a built-in image codec pass through unchanged
     with resized=false — skip-don't-kill, like decode_features.
     Output: (id_col, payload binary, width int, height int,
-    resized boolean)."""
+    resized boolean); the id keeps the CALLER'S column name and type
+    (derived from the input schema), so string/long ids both work."""
     import pandas as pd
+
+    id_type = media.schema[id_col].dataType.simpleString()
 
     def fn(batches):
         for pdf in batches:
@@ -1305,7 +1311,9 @@ def resize_media(
             )
 
     return media.select(id_col, media_col).mapInPandas(
-        fn, f"{id_col} long, payload binary, width int, height int, resized boolean"
+        fn,
+        f"`{id_col}` {id_type}, payload binary, width int, height int, "
+        "resized boolean",
     )
 
 
@@ -1973,20 +1981,25 @@ def demux_mp4_mjpeg(payload: bytes) -> list[bytes]:
         raise ValueError("MP4 video track is missing sample tables")
 
     # stsd: version/flags(4) entry_count(4) then sample-entry boxes,
-    # whose box TYPE is the codec fourcc.
+    # whose box TYPE is the codec fourcc. EVERY entry must be
+    # (Motion-)JPEG, not just the first — stsc's
+    # sample_description_index can point later samples at a later
+    # entry, so a mixed jpeg/H.264 track would otherwise be decoded
+    # assuming MJPEG throughout instead of declining the foreign
+    # codec by name.
     s, e = stsd[0]
     if _u32be(payload, s + 4) < 1:
         raise ValueError("empty stsd (no codec entry)")
-    codec = next(iter(_iso_boxes(payload, s + 8, e)), None)
-    if codec is None:
+    entries = list(_iso_boxes(payload, s + 8, e))
+    if not entries:
         raise ValueError("truncated stsd entry")
-    fourcc = codec[0]
-    if fourcc.lower() not in (b"jpeg", b"mjpa", b"mjpb"):
-        raise NotImplementedError(
-            f"MP4 video codec {fourcc!r} is not (Motion-)JPEG; only "
-            "jpeg/mjpa/mjpb samples can finish through the built-in "
-            "JPEG decoder — plug an external decoder for other codecs"
-        )
+    for fourcc, *_ in entries:
+        if fourcc.lower() not in (b"jpeg", b"mjpa", b"mjpb"):
+            raise NotImplementedError(
+                f"MP4 video codec {fourcc!r} is not (Motion-)JPEG; only "
+                "jpeg/mjpa/mjpb samples can finish through the built-in "
+                "JPEG decoder — plug an external decoder for other codecs"
+            )
 
     # Every count field is validated against its box's extent BEFORE
     # allocation — a corrupt count must raise, not allocate gigabytes

@@ -528,6 +528,7 @@ def streaming_hot_lines(
     lines_stream: DataFrame,
     norm_col: str = "norm",
     threshold: int = 30,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming hot-line (boilerplate) detection — the stream twin of
     ``curation.remove_boilerplate_lines``'s hot-line stage: a
@@ -545,10 +546,37 @@ def streaming_hot_lines(
     state); identical when documents don't repeat a line internally,
     and the documented trade-off otherwise — run the batch form at
     compaction time for the document-exact cut, use this gate to
-    start suppressing template chrome mid-ingest."""
+    start suppressing template chrome mid-ingest.
+
+    State bound: without a TTL, state is two longs per DISTINCT line
+    ever seen — fine for a fixed corpus replay, unbounded over an
+    unbounded crawl. Pass ``ttl_ms`` to evict COLD state on a
+    processing-time timeout (re-armed on every arrival, so it is an
+    inactivity timeout): an UNEMITTED line idle for ttl_ms loses its
+    partial count (it must now exceed the threshold within a TTL
+    window of activity to be detected — the detection becomes
+    windowed, never double-emitting); an EMITTED line keeps a
+    tombstone so the exactly-once emission contract survives eviction
+    (tombstone cardinality == the emitted set — the operator's own
+    output, small by construction)."""
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fn(key, pdf_iter, state: GroupState):
         (norm,) = key
+        if ttl_ms and state.hasTimedOut:
+            cnt, emitted = state.get if state.exists else (0, 0)
+            if emitted:
+                # keep the tombstone (exactly-once), re-arm the clock
+                state.update((int(cnt), 1))
+                state.setTimeoutDuration(ttl_ms)
+            else:
+                state.remove()
+            return
         cnt, emitted = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             cnt += len(pdf)
@@ -557,6 +585,8 @@ def streaming_hot_lines(
             emitted = 1
             out_rows.append(norm)
         state.update((int(cnt), int(emitted)))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         if out_rows:
             yield pd.DataFrame({"norm": out_rows})
 
@@ -565,5 +595,5 @@ def streaming_hot_lines(
         HOTLINE_OUT_SCHEMA,
         HOTLINE_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )

@@ -118,15 +118,57 @@ def test_line_ops_empty_and_fully_removed_docs(spark):
     assert kf[0] == 2 and all(v == 0 for i, v in kf.items() if i != 0)
 
 
+def test_blank_lines_are_structure_not_boilerplate(spark):
+    """ADVICE r12: blank (and whitespace-only) lines are paragraph
+    STRUCTURE — they must be excluded from the hot-line count and the
+    keep-first dedup key, or a corpus where blanks exceed the
+    threshold silently collapses every paragraph break."""
+    rows = [
+        (i, f"para one {i}\n\npara two {i}\n \nend {i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in remove_boilerplate_lines(df, max_line_df=5).collect()
+    }
+    # blanks occur in all 30 docs (> 5) yet every line survives
+    for i in range(30):
+        assert out[i] == (5, 5, f"para one {i}\n\npara two {i}\n \nend {i}")
+    kf = {
+        r.id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in dedup_lines_keep_first(df).collect()
+    }
+    # blanks repeat corpus-wide but are never deduped to one copy
+    for i in range(30):
+        assert kf[i] == (5, 5, f"para one {i}\n\npara two {i}\n \nend {i}")
+
+
+def test_keep_first_broadcast_and_shuffle_paths_agree(spark):
+    """The broadcast fast path (dup subset fits) and the content-keyed
+    fallback (broadcast_dup_limit=0 forces it) must return identical
+    results — the limit probe changes the PLAN, never the answer."""
+    rows = _docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        r.id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in dedup_lines_keep_first(df).collect()
+    }
+    slow = {
+        r.id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in dedup_lines_keep_first(df, broadcast_dup_limit=0).collect()
+    }
+    assert fast == slow
+
+
 def test_line_ops_randomized_differential(spark):
     """Randomized corpora (small line space so cross-doc repeats,
-    internal repeats, and threshold boundaries all arise naturally)
-    vs the pure-python replay, several thresholds."""
+    internal repeats, blank lines, and threshold boundaries all arise
+    naturally) vs the pure-python replay, several thresholds."""
     import random
 
     rng = random.Random(42)
     pool = [f"line variant {i}" for i in range(12)] + [
-        "  Spaced   LINE  a ", "shared FOOTER text"
+        "  Spaced   LINE  a ", "shared FOOTER text", "", "   "
     ]
     for trial in range(3):
         rows = []
@@ -143,7 +185,7 @@ def test_line_ops_randomized_differential(spark):
             for ln, l in enumerate(doc_lines[i]):
                 df_count.setdefault(_norm(l), set()).add(i)
                 occ.setdefault(_norm(l), []).append((i, ln))
-        hot = {n_ for n_, s in df_count.items() if len(s) > thr}
+        hot = {n_ for n_, s in df_count.items() if len(s) > thr and n_ != ""}
 
         out = {
             r.id: (r.n_lines, r.n_kept, r.clean_text)
@@ -164,7 +206,9 @@ def test_line_ops_randomized_differential(spark):
             kept = [
                 l
                 for ln, l in enumerate(ls)
-                if len(occ[_norm(l)]) == 1 or occ[_norm(l)][0] == (i, ln)
+                if _norm(l) == ""
+                or len(occ[_norm(l)]) == 1
+                or occ[_norm(l)][0] == (i, ln)
             ]
             exp_kf[i] = (len(ls), len(kept), "\n".join(kept))
         assert out_kf == exp_kf, trial

@@ -52,6 +52,7 @@ def mux_mp4(
     use_co64: bool = False,
     faststart: bool = False,
     audio_track_first: bool = False,
+    second_codec: bytes | None = None,
 ) -> bytes:
     """Minimal spec-shaped MP4: ftyp, mdat of concatenated samples,
     moov(mvhd, trak(tkhd, mdia(mdhd, hdlr 'vide', minf(vmhd,
@@ -72,7 +73,15 @@ def mux_mp4(
         # 70 bytes of predefined/width/height/dpi/frame-count/name/
         # depth fields the demuxer ignores.
         entry = _box(codec, b"\x00" * 6 + (1).to_bytes(2, "big") + b"\x00" * 70)
-        stsd = _box(b"stsd", _full() + _u32(1) + entry)
+        if second_codec is not None:
+            entry += _box(
+                second_codec,
+                b"\x00" * 6 + (1).to_bytes(2, "big") + b"\x00" * 70,
+            )
+        stsd = _box(
+            b"stsd",
+            _full() + _u32(2 if second_codec is not None else 1) + entry,
+        )
         stts = _box(b"stts", _full() + _u32(1) + _u32(len(frames)) + _u32(100))
         runs = _stsc_runs(chunks)
         stsc = _box(
@@ -251,6 +260,20 @@ def test_video_frames_table_mixed_containers_and_string_ids(spark):
     assert set(out) == {"avi-1", "mp4-1"}
     assert out["avi-1"] == frames
     assert out["mp4-1"] == frames
+
+
+def test_mp4_mixed_stsd_entries_declined_by_name():
+    """ADVICE r12: a track whose stsd holds MIXED codec entries (first
+    jpeg, later avc1) must decline the foreign codec by name — stsc's
+    sample_description_index can route later samples to the later
+    entry, so decoding everything as MJPEG would be silently wrong."""
+    frames = _frames(2)
+    mixed = mux_mp4(frames, second_codec=b"avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mm.demux_mp4_mjpeg(mixed)
+    # two MJPEG-family entries are fine — all samples decode the same way
+    ok = mux_mp4(frames, second_codec=b"mjpa")
+    assert mm.demux_mp4_mjpeg(ok) == frames
 
 
 def test_mp4_demux_fuzz_never_hangs_or_miscategorizes():

@@ -307,6 +307,12 @@ def test_line_family_plans(spark):
     _assert_no_blowups(p2)
     assert any(j in p2 for j in EQUI_JOINS)
     assert "SinglePartition" not in p2
+    # r13 (VERDICT r12 item 5): the keep-first decision joins the
+    # DUPLICATED-norm subset; when the limit probe says it fits, the
+    # subset is BROADCAST so hot-line occurrences never shuffle by
+    # content — at this SF the probe always fits, so the plan must
+    # show the broadcast.
+    assert "BroadcastHashJoin" in p2, p2
 
 
 def test_shared_passages_merge_pass_plan(spark):

@@ -492,3 +492,76 @@ def test_streaming_hot_lines_crossing_once_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     rows = [r.norm for r in spark.sql("select * from hot_lines_out").collect()]
     assert sorted(rows) == ["banner", "footer"]  # each EXACTLY once
+
+
+def test_streaming_hot_lines_ttl_evicts_cold_keeps_tombstone(spark, tmp_path):
+    """VERDICT r12 item 3 — bounded state over an unbounded crawl:
+    with ``ttl_ms`` set, an UNEMITTED line idle past the TTL loses its
+    partial count (eviction — its detection becomes windowed), while
+    an EMITTED line keeps a tombstone so it can NEVER re-emit.
+    Timeline (ttl 700 ms, live processingTime trigger):
+
+      b1: cold x2 (below threshold 3), hot x4 (emits)
+      ... > ttl idle: cold's state evicts, hot's tombstone survives
+      b2: probe x4 (emits; forces the timeout batch)
+      b3: cold x2 again (2+2=4 would cross WITHOUT eviction -> must
+          stay silent), hot x4 again (tombstone -> must stay silent)
+
+    Emitted set: exactly {hot, probe}, each once."""
+    import json
+    import time as _t
+
+    from annotation_service_spark.streaming.stateful import (
+        streaming_hot_lines,
+    )
+
+    src = tmp_path / "lines_ttl"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"norm": n}) for n in ["cold"] * 2 + ["hot"] * 4)
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("norm string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming_hot_lines(stream, threshold=3, ttl_ms=700)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hot_lines_ttl_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def total_input() -> int:
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    def wait_rows(n: int) -> None:
+        deadline = _t.time() + 90
+        while total_input() < n and _t.time() < deadline:
+            _t.sleep(0.2)
+        assert total_input() >= n, f"stream stalled at {total_input()}/{n}"
+
+    try:
+        wait_rows(6)
+        _t.sleep(2.5)  # >> ttl: cold + hot both idle past the timeout
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps({"norm": "probe"}) for _ in range(4))
+        )
+        wait_rows(10)
+        (src / "b3.json").write_text(
+            "\n".join(
+                json.dumps({"norm": n}) for n in ["cold"] * 2 + ["hot"] * 4
+            )
+        )
+        wait_rows(16)
+        _t.sleep(1.0)  # let the final batch's (non-)emissions land
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    rows = [
+        r.norm for r in spark.sql("select * from hot_lines_ttl_out").collect()
+    ]
+    assert sorted(rows) == ["hot", "probe"], rows

@@ -22,8 +22,33 @@ def _tracking(p: str) -> bool:
     return name.startswith(TRACKING_PREFIXES) or name in TRACKING_PARAMS
 
 
+def _pct(u: str) -> str:
+    """Python replay of RFC 3986 §6.2.2 percent normalization:
+    uppercase hex, decode UNRESERVED codepoints only (explicit ASCII
+    ranges — chr(0xC3).isalnum() is True in Python, so isalnum() is
+    the wrong test)."""
+    parts = u.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        pair = p[:2]
+        if re.fullmatch(r"[0-9A-Fa-f]{2}", pair or ""):
+            c = int(pair, 16)
+            if (
+                48 <= c <= 57
+                or 65 <= c <= 90
+                or 97 <= c <= 122
+                or c in (45, 46, 95, 126)
+            ):
+                out.append(chr(c) + p[2:])
+            else:
+                out.append("%" + pair.upper() + p[2:])
+        else:
+            out.append("%" + p)
+    return "".join(out)
+
+
 def _canon(url: str) -> str:
-    u = url.strip()
+    u = _pct(url.strip())
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
     if not m:
         return u
@@ -61,6 +86,12 @@ CASES = [
     "not a url at all",
     "ftp://Files.example.com/Dir/File.txt",
     "https://case.com/Preserved/PATH?Key=Value",
+    # RFC 3986 §6.2.2 percent-encoding normalization
+    "https://pct.com/%7Euser/%41%42?x=%31",   # all unreserved → decode
+    "https://pct.com/a%2fb%3Fc",              # reserved → keep, UPPER hex
+    "https://pct.com/x%2",                    # malformed pair → verbatim
+    "https://pct.com/x%zz",                   # non-hex pair → verbatim
+    "https://pct.com/mix%20%2E%2e",           # space keeps, dots decode
 ]
 
 
@@ -81,6 +112,47 @@ def test_canonical_url_matches_replay(spark):
     assert out[5] == "https://site.com/p?a=1"
     assert out[6] == "https://site.com/p"
     assert out[9] == "not a url at all"
+    # percent normalization spot checks
+    assert out[12] == "https://pct.com/~user/AB?x=1"
+    assert out[13] == "https://pct.com/a%2Fb%3Fc"
+    assert out[14] == "https://pct.com/x%2"
+    assert out[15] == "https://pct.com/x%zz"
+    assert out[16] == "https://pct.com/mix%20.."
+
+
+def test_pct_encoded_twins_collide(spark):
+    """An encoded-unreserved URL and its decoded twin must produce the
+    SAME canonical key — the reason §6.2.2 exists for URL dedup."""
+    rows = [
+        (1, "https://a.com/%7Edocs/x%2Dy?q=%41"),
+        (2, "https://a.com/~docs/x-y?q=A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dedup_urls_keep_first(df).collect()
+    assert len(out) == 1
+    assert out[0].canonical_url == "https://a.com/~docs/x-y?q=A"
+    assert (out[0].first_id, out[0].n_dups) == (1, 1)
+
+
+def test_tracker_param_list_is_parameterizable(spark):
+    """ADVICE r12: '?ref=branch' is FUNCTIONAL on code hosts — callers
+    must be able to drop 'ref' from the exact-name tracker list (the
+    default keeps stripping it)."""
+    rows = [
+        (1, "https://code.host/repo?ref=main"),
+        (2, "https://code.host/repo?ref=dev"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    merged = dedup_urls_keep_first(df).collect()
+    assert len(merged) == 1  # default list strips ref → both collapse
+    kept = dedup_urls_keep_first(
+        df, tracking_params=("gclid", "fbclid", "msclkid")
+    ).collect()
+    assert len(kept) == 2  # ref preserved → distinct pages survive
+    assert {r.canonical_url for r in kept} == {
+        "https://code.host/repo?ref=main",
+        "https://code.host/repo?ref=dev",
+    }
 
 
 def test_url_host(spark):

@@ -3365,6 +3365,52 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-blocklist filtering with dot-suffix matching
+    (functions/url.py::filter_blocked_hosts — RefinedWeb §3.1's URL
+    blocklist stage): a blocked registrable domain covers every
+    subdomain, the matched entry is the LONGEST (most specific) hit,
+    and garbage URLs (no scheme) are never blocked. Synthesis covers
+    subdomain-via-parent blocking (cdn.adsN.net ← adsN.net),
+    specificity (www.site3.com beats site3.com), port/case stripping,
+    and an unparseable row every 13th doc. Plan: bounded suffix
+    explode (≤ label count) + broadcast dim join + one id-keyed
+    reduce."""
+    from annotation_service_spark.functions import url as fu
+
+    docs = _t(spark, sf_dir, "documents")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m11 = (F.col("doc_id") % 11).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("oops no scheme"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://www.site"), m7, F.lit(".com/p/"), m11
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("HTTP://CDN.Ads"), m5, F.lit(".NET:8080/x")),
+        )
+        .otherwise(F.concat(F.lit("https://host"), m7, F.lit(".org")))
+    )
+    blocklist = spark.createDataFrame(
+        [
+            ("ads0.net",),
+            ("ads1.net",),
+            ("site3.com",),
+            ("www.site3.com",),
+            ("host5.org",),
+        ],
+        "domain string",
+    )
+    return fu.filter_blocked_hosts(
+        docs.select("doc_id", url.alias("url")), blocklist
+    )
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-efficient batch assignment (operators/curation.py::
     length_bucket_batches — the group-by-length batching trainers
@@ -4168,11 +4214,13 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     percent-encoding normalization + parameterized tracker list,
     streaming hot-line TTL plumbing), then the FULL 33-gate cohort
     whose newest driver evidence was round 9, then a fill of the
-    oldest round-10 gates. `queries()` asserts the count so a
-    rotation edit can never silently misplace the boundary."""
+    oldest round-10 gates (9 — the second new gate takes the tenth
+    slot). `queries()` asserts the count so a rotation edit can never
+    silently misplace the boundary."""
     return {
-        # -- NEW round-13 operator ---------------------------------------
+        # -- NEW round-13 operators --------------------------------------
         "web_pipeline_full": q_web_pipeline_full,
+        "url_host_filter": q_url_host_filter,
         # -- touched by round-13 code (empty-norm exclusion + broadcast
         #    keep-first in curation.py, pct_normalize + tracker-param
         #    parameter in url.py, TTL in streaming_hot_lines) ----------
@@ -4226,7 +4274,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_annotate": q_stream_annotate,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
-        "dedup_winnow": q_dedup_winnow,
     }
 
 
@@ -4239,6 +4286,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round, freshest evidence)."""
     return {
         # -- remaining round-10 gates (head of the r14 rotation) --------
+        "dedup_winnow": q_dedup_winnow,
         "decontaminate_spans": q_decontaminate_spans,
         "nation_volume": q_nation_volume,
         "percentile_approx": q_percentile_approx,
@@ -7438,6 +7486,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - 1 AS BIGINT) AS n_dups
             FROM p4
             GROUP BY 1
+        """,
+        # url_host_filter: same host extraction as url_host, suffix
+        # expansion via list slicing, longest-match via max_by.
+        "url_host_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 'oops no scheme'
+                            WHEN doc_id % 3 = 0 THEN
+                                'https://www.site' || (doc_id % 7)
+                                || '.com/p/' || (doc_id % 11)
+                            WHEN doc_id % 3 = 1 THEN
+                                'HTTP://CDN.Ads' || (doc_id % 5)
+                                || '.NET:8080/x'
+                            ELSE 'https://host' || (doc_id % 7) || '.org'
+                       END AS url
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_matches(url,
+                                '^[A-Za-z][A-Za-z0-9+.-]*://')
+                            THEN regexp_replace(
+                                lower(CASE WHEN contains(auth, '@')
+                                           THEN regexp_extract(auth,
+                                                '@(.*)$', 1)
+                                           ELSE auth END),
+                                ':[0-9]+$', '')
+                            ELSE '' END AS host
+                FROM (
+                    SELECT doc_id, url,
+                           regexp_extract(regexp_replace(trim(url),
+                               '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                               '^([^/?#]*)', 1) AS auth
+                    FROM u
+                )
+            ),
+            sfx AS (
+                SELECT doc_id, host,
+                       unnest(list_transform(
+                           range(1, len(string_split(host, '.')) + 1),
+                           i -> array_to_string(
+                               string_split(host, '.')[i:], '.'))) AS suffix
+                FROM h WHERE host <> ''
+            ),
+            bl AS (
+                SELECT * FROM (VALUES ('ads0.net'), ('ads1.net'),
+                    ('site3.com'), ('www.site3.com'), ('host5.org'))
+                    AS t(suffix)
+            ),
+            hit AS (
+                SELECT doc_id, max_by(s.suffix, len(s.suffix)) AS matched
+                FROM sfx s JOIN bl USING (suffix) GROUP BY doc_id
+            )
+            SELECT h.doc_id AS id, h.host,
+                   hit.matched IS NOT NULL AS blocked, hit.matched
+            FROM h LEFT JOIN hit USING (doc_id)
         """,
         # stream_url_dedup: the emitted set == distinct canonical
         # URLs of the closed input (same synthesis + normalization).

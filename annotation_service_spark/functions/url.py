@@ -146,6 +146,67 @@ def url_host(url: Column) -> Column:
     return F.when(has_scheme, host).otherwise(F.lit(""))
 
 
+def domain_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname, longest first: 'a.b.c' →
+    ['a.b.c', 'b.c', 'c']. Pure higher-order Column expression (the
+    lambda index drives an array slice) — this is the matching key
+    set for registrable-domain blocklists, where blocking 'ads.net'
+    must also block 'cdn.ads.net'."""
+    labels = F.split(host, r"\.")
+    return F.transform(
+        labels,
+        lambda _, i: F.array_join(
+            F.slice(labels, i + 1, F.size(labels)), "."
+        ),
+    )
+
+
+def filter_blocked_hosts(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Host-level blocklist filtering — the OTHER URL stage of a web
+    pipeline (public: Penedo et al. 2023 "RefinedWeb" §3.1 filters by
+    a URL blocklist before any content work; C4 used a badwords
+    list). A document is BLOCKED when any dot-suffix of its URL's
+    host appears in ``blocklist`` (so a blocked registrable domain
+    covers every subdomain). Returns every input row as
+    (id, host, blocked, matched) with ``matched`` the LONGEST (most
+    specific) blocklist entry that hit, NULL when clean — callers
+    keep ``~blocked`` and log ``matched`` for blocklist auditing.
+
+    Scale shape: the host explodes into its ≤ label-count suffixes
+    (bounded linear fan-out, never content-squared) and equi-joins
+    the blocklist — a dim table by nature, so Spark broadcasts it;
+    the per-document reduce is one groupBy on the id. Garbage URLs
+    (no scheme) get host '' and are never blocked — filtering decides
+    on evidence, not parse failures."""
+    host = url_host(F.col(url_col))
+    base = docs.select(F.col(id_col).alias("id"), host.alias("host"))
+    cand = base.select(
+        "id",
+        "host",
+        F.explode(domain_suffixes(F.col("host"))).alias("suffix"),
+    ).where(F.col("suffix") != "")
+    bl = F.broadcast(
+        blocklist.select(F.col(domain_col).alias("suffix")).distinct()
+    )
+    hits = (
+        cand.join(bl, "suffix")
+        .groupBy("id")
+        .agg(F.max_by("suffix", F.length("suffix")).alias("matched"))
+    )
+    return base.join(hits, "id", "left").select(
+        "id",
+        "host",
+        F.col("matched").isNotNull().alias("blocked"),
+        "matched",
+    )
+
+
 def dedup_urls_keep_first(
     docs: DataFrame,
     id_col: str = "doc_id",

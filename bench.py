@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "url_dedup",
     "length_buckets",
     "web_pipeline",
+    "web_pipeline_full",
+    "url_host_filter",
     "stream_url_dedup",
     "dedup_incremental",
     "dedup_incremental_minhash",
@@ -256,6 +258,10 @@ SF1_QUERIES = [
     "gopher_quality",
     "c4_filter",
     "url_dedup",
+    # r13 (VERDICT r12 item 4): the composed chains are what a user
+    # runs at scale — measure the compositions, not just the stages
+    "web_pipeline",
+    "web_pipeline_full",
     "length_buckets",
     "vocab_topk",
     "text_normalize",
@@ -991,6 +997,11 @@ def main() -> None:
             # ~10x/decade shape the counts show
             "shared_passages",
             "span_dedup_keep_first",
+            # r13 (VERDICT r12 item 4): the composed four-stage web
+            # chain one decade past the 10x block — every stage is
+            # content-keyed/per-row, so the composition must hold the
+            # linear shape its stages show individually
+            "web_pipeline",
         ):
             run_median3(sf100_docs_timings, name, sf100d_dir)
         spark.catalog.clearCache()

@@ -57,7 +57,7 @@ R13_TOUCHED = {
 
 # Operators introduced in round 13 — never driver-verified before, so
 # they lead the window.
-R13_NEW = {"web_pipeline_full"}
+R13_NEW = {"web_pipeline_full", "url_host_filter"}
 
 
 def test_window_size_and_boundary():

@@ -182,6 +182,45 @@ def test_dedup_urls_keep_first(spark):
     assert out["https://b.com/x?a=1&b=2"] == (5, 0)
 
 
+def test_domain_suffixes_and_blocklist_filter(spark):
+    """filter_blocked_hosts: suffix matching blocks subdomains of a
+    blocked domain, the matched entry is the LONGEST hit, clean and
+    garbage rows come back blocked=false."""
+    from annotation_service_spark.functions.url import (
+        domain_suffixes,
+        filter_blocked_hosts,
+    )
+
+    sfx = (
+        spark.range(1)
+        .select(domain_suffixes(F.lit("a.b.co.uk")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert sfx == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+
+    rows = [
+        (1, "https://cdn.ads.net/banner"),     # parent-domain block
+        (2, "https://ads.net/x"),              # exact block
+        (3, "https://www.bad.com/y"),          # most-specific wins
+        (4, "https://clean.org/z"),
+        (5, "not a url"),
+        (6, "https://notads.net/x"),           # 'notads.net' != 'ads.net'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("ads.net",), ("bad.com",), ("www.bad.com",)], "domain string"
+    )
+    out = {r.id: r for r in filter_blocked_hosts(docs, bl).collect()}
+    assert len(out) == 6
+    assert out[1].blocked and out[1].matched == "ads.net"
+    assert out[2].blocked and out[2].matched == "ads.net"
+    assert out[3].blocked and out[3].matched == "www.bad.com"
+    assert not out[4].blocked and out[4].matched is None
+    assert not out[5].blocked and out[5].host == ""
+    assert not out[6].blocked
+
+
 def test_canonical_url_idempotent_fuzz(spark):
     """Canonicalization must be IDEMPOTENT: canon(canon(u)) ==
     canon(u) for randomized messy URLs (the property that makes it a

@@ -315,6 +315,18 @@ def test_line_family_plans(spark):
     assert "BroadcastHashJoin" in p2, p2
 
 
+def test_url_host_filter_plan(spark):
+    """Host-blocklist filtering (r13): the blocklist is a dim table —
+    it must BROADCAST into the suffix equi-join (never shuffle the
+    exploded corpus side by suffix), the per-doc reduce must carry a
+    partial (map-side) phase, and nothing single-partitions."""
+    p = _plan(em.q_url_host_filter(spark, SF))
+    _assert_no_blowups(p)
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p
+    assert "partial_max_by" in p or "partial_max" in p, p
+
+
 def test_shared_passages_merge_pass_plan(spark):
     """The cap-split merge pass (r12): gap verification joins the
     uncapped gram table per (id, position) — equi-joins only, no

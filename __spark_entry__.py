@@ -3411,6 +3411,163 @@ def q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_html() -> F.Column:
+    """Deterministic HTML page per document — the corpus has no
+    markup column, so the gate synthesizes one from (doc_id, lang,
+    text), exercising every branch of the extraction chain: comments,
+    script/style blocks (with tags INSIDE the script body), break
+    tags in mixed case, inline-tag welding, the entity set
+    (&amp;/&lt;/&nbsp;/&#39; plus a double-encoded &amp;lt;), a
+    titleless page, a markupless page, and a 4-newline squeeze run.
+    The oracle rebuilds the identical string in SQL (_HTML_SYNTH_CASE).
+    """
+    m3 = F.col("doc_id") % 3
+    ds = F.col("doc_id").cast("string")
+    return (
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit("<html><head><title> Doc "), ds,
+                F.lit(" &amp; "), F.col("lang"),
+                F.lit("</title><style>p{color:red}</style></head>"
+                      "<body><!-- nav\nchrome --><P>"),
+                F.col("text"),
+                F.lit("</P><script type=\"x\">var a='<p>null</p>';"
+                      "</script><div>tail<b>bold</b>weld&nbsp;"
+                      "&#39;q&#39;</div>"
+                      "<ul><li>lang "),
+                F.col("lang"),
+                F.lit("</li><li>item&amp;lt;2</li></ul>"
+                      "<a href=\"https://Site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/p/"), (F.col("doc_id") % 11).cast("string"),
+                F.lit("\">x</a><a href=\"/rel/"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("\">r</a></body></html>"),
+            ),
+        )
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("<div>"), F.col("text"),
+                F.lit("<BR/>second&nbsp;line</div>"
+                      "<a href=\"HTTP://EXT"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(".NET:8080/y\">e</a>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit("\n\n\n\ntail &amp; end"),
+            )
+        )
+    )
+
+
+# The same synthesis as ONE SQL CASE (DuckDB) — string-identical to
+# _synth_html() output: CAST(bigint AS VARCHAR) and Spark's
+# cast(long as string) both render plain digits.
+_HTML_SYNTH_CASE = (
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; ' "
+    "|| lang || '</title><style>p{color:red}</style></head>"
+    "<body><!-- nav' || chr(10) || 'chrome --><P>' || text || "
+    "'</P><script type=\"x\">var a=''<p>null</p>'';</script>"
+    "<div>tail<b>bold</b>weld&nbsp;&#39;q&#39;</div>"
+    "<ul><li>lang ' || lang || '</li><li>item&amp;lt;2</li></ul>"
+    "<a href=\"https://Site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.com/p/' || CAST(doc_id % 11 AS VARCHAR) || '\">x</a>"
+    "<a href=\"/rel/' || CAST(doc_id % 5 AS VARCHAR) || '\">r</a>"
+    "</body></html>' "
+    "WHEN doc_id % 3 = 1 THEN "
+    "'<div>' || text || '<BR/>second&nbsp;line</div>"
+    "<a href=\"HTTP://EXT' || CAST(doc_id % 4 AS VARCHAR) || "
+    "'.NET:8080/y\">e</a>' "
+    "ELSE text || chr(10) || chr(10) || chr(10) || chr(10) "
+    "|| 'tail &amp; end' END"
+)
+
+# Source URL for the link-graph gate: parseable for most docs, a
+# scheme-less string every 13th (the relative-href fallback then
+# resolves to src_host '').
+_HTML_SRC_URL_CASE = (
+    "CASE WHEN doc_id % 13 = 0 THEN 'no scheme here' "
+    "ELSE 'https://src' || CAST(doc_id % 4 AS VARCHAR) || '.org/d/' "
+    "|| CAST(doc_id AS VARCHAR) END"
+)
+
+
+def _synth_src_url() -> F.Column:
+    return F.when(
+        F.col("doc_id") % 13 == 0, F.lit("no scheme here")
+    ).otherwise(
+        F.concat(
+            F.lit("https://src"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".org/d/"), F.col("doc_id").cast("string"),
+        )
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible-text extraction (functions/html.py::
+    extract_html_text — the C4/CCNet/RefinedWeb stage every web
+    corpus runs FIRST): comment/script/style removal, break-tag →
+    newline, tag strip with inline-weld protection, ordered entity
+    decode (&amp; last), whitespace canonicalization. Pure per-row
+    regex/replace Column chain — scan + project, no shuffle; the
+    oracle replays the identical 6-step chain in RE2."""
+    from annotation_service_spark.functions import html as fh
+
+    docs = _t(spark, sf_dir, "documents")
+    return fh.extract_html_text(
+        docs.select("doc_id", _synth_html().alias("html"))
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from raw markup (functions/html.py::
+    link_host_edges): quoted hrefs via regexp_extract_all group 1,
+    relative links resolved to the SOURCE host (url.py::url_host,
+    '' for unparseable sources), one content-keyed groupBy to
+    (src_host, dst_host, n_links) — the crawl-frontier edge list. A
+    host pair crawled 10^9 times is one aggregation key."""
+    from annotation_service_spark.functions import html as fh
+
+    docs = _t(spark, sf_dir, "documents")
+    return fh.link_host_edges(
+        docs.select(
+            "doc_id",
+            _synth_html().alias("html"),
+            _synth_src_url().alias("url"),
+        )
+    )
+
+
+def q_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram NLL under interpolated KNESER-NEY smoothing
+    (functions/text.py::kneser_ney_nll_table, D=0.75) — the
+    CCNet-class LM perplexity filter signal, next to bigram_nll's
+    Laplace baseline. Continuation/backoff arithmetic is replayed
+    op-for-op by the oracle; 1e-6 rounding absorbs log2 ulps."""
+    return txt.kneser_ney_nll_table(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-blocklist page filter (functions/text.py::
+    blocked_word_filter — the C4 §2.2 blocklist stage, mechanism
+    only: the list is the caller's policy). Whole-token matching on
+    the shared tokenizer; hit set returned sorted for determinism.
+    The blocklist folds into the plan as a literal array —
+    array_intersect per row, NO join, no shuffle beyond the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return txt.blocked_word_filter(
+        docs, ["slow", "dup", "crash", "spill", "skew"]
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-efficient batch assignment (operators/curation.py::
     length_bucket_batches — the group-by-length batching trainers
@@ -4221,6 +4378,10 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round-13 operators --------------------------------------
         "web_pipeline_full": q_web_pipeline_full,
         "url_host_filter": q_url_host_filter,
+        "html_extract": q_html_extract,
+        "html_links": q_html_links,
+        "kn_nll": q_kn_nll,
+        "badword_filter": q_badword_filter,
         # -- touched by round-13 code (empty-norm exclusion + broadcast
         #    keep-first in curation.py, pct_normalize + tracker-param
         #    parameter in url.py, TTL in streaming_hot_lines) ----------
@@ -4264,16 +4425,15 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "span_dedup_apply": q_span_dedup_apply,
         "upsert_merge": q_upsert_merge,
-        # -- fill: the 10 oldest round-10 gates --------------------------
+        # -- fill: the oldest round-10 gates (4 slots ceded to the new
+        #    r13 html/kn/badword gates — never-verified gates must sit
+        #    in the window; the displaced r10 gates rejoin the backlog
+        #    head at exactly the rotation horizon) ----------------------
         "pipeline_full": q_pipeline_full,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "leakage_safe_split": q_leakage_safe_split,
         "stream_annotate": q_stream_annotate,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
     }
 
 
@@ -4285,7 +4445,13 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 cohort, then the gates the r12 driver verified (rotated out
     this round, freshest evidence)."""
     return {
-        # -- remaining round-10 gates (head of the r14 rotation) --------
+        # -- remaining round-10 gates (head of the r14 rotation; the
+        #    first four were displaced from the r13 fill by the new
+        #    html/kn/badword gates) --------------------------------------
+        "dedup_keep_best": q_dedup_keep_best,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
         "dedup_winnow": q_dedup_winnow,
         "decontaminate_spans": q_decontaminate_spans,
         "nation_volume": q_nation_volume,
@@ -7542,6 +7708,179 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id AS id, h.host,
                    hit.matched IS NOT NULL AS blocked, hit.matched
             FROM h LEFT JOIN hit USING (doc_id)
+        """,
+        # html_extract: identical synthesis + the identical 6-step
+        # extraction chain in RE2 (regexes chosen to mean the same
+        # thing under Java regex and RE2; entity decode is literal
+        # replace in the same order, &amp; last).
+        "html_extract": f"""
+            WITH pg AS (
+                SELECT doc_id, {_HTML_SYNTH_CASE} AS html
+                FROM documents
+            ),
+            s4 AS (
+                SELECT doc_id, html,
+                    regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(html,
+                        '(?s)<!--.*?-->', '', 'g'),
+                        '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+                        '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+                        '(?i)<br\\s*/?>|</(?:p|div|h[1-6]|li|tr|ul|ol|table|blockquote|title)\\s*>',
+                        chr(10), 'g') AS c
+                FROM pg
+            ),
+            s6 AS (
+                SELECT doc_id, html,
+                    replace(replace(replace(replace(replace(replace(
+                        regexp_replace(c, '<[^>]*>', ' ', 'g'),
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&#39;', chr(39)), '&nbsp;', ' '),
+                        '&amp;', '&') AS c
+                FROM s4
+            ),
+            fin AS (
+                SELECT doc_id,
+                    regexp_replace(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_extract(html,
+                                '(?is)<title[^>]*>(.*?)</title>', 1),
+                            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                            '&#39;', chr(39)), '&nbsp;', ' '),
+                            '&amp;', '&'),
+                        '[ \\t\\r\\n\\f]+', ' ', 'g'),
+                        '^ +| +$', '', 'g') AS title,
+                    regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(c,
+                        '[ \\t\\r\\f]+', ' ', 'g'),
+                        ' *\\n *', chr(10), 'g'),
+                        '\\n{{3,}}', chr(10)||chr(10), 'g'),
+                        '^[ \\n]+|[ \\n]+$', '', 'g') AS clean_text
+                FROM s6
+            )
+            SELECT doc_id, title, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS n_chars
+            FROM fin
+        """,
+        # html_links: same page synthesis; quoted-href extraction via
+        # regexp_extract_all group 1; host extraction is the
+        # url_host replica; relative hrefs resolve to src_host.
+        "html_links": f"""
+            WITH pg AS (
+                SELECT doc_id, {_HTML_SYNTH_CASE} AS html,
+                       {_HTML_SRC_URL_CASE} AS url
+                FROM documents
+            ),
+            src AS (
+                SELECT doc_id, html,
+                    CASE WHEN regexp_matches(trim(url),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://')
+                         THEN regexp_replace(lower(
+                              CASE WHEN contains(auth, '@')
+                                   THEN regexp_extract(auth, '@(.*)$', 1)
+                                   ELSE auth END), ':[0-9]+$', '')
+                         ELSE '' END AS src_host
+                FROM (
+                    SELECT doc_id, html, url,
+                        regexp_extract(regexp_replace(trim(url),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                            '^([^/?#]*)', 1) AS auth
+                    FROM pg
+                )
+            ),
+            lk AS (
+                SELECT doc_id, src_host,
+                    unnest(regexp_extract_all(html,
+                        '(?is)<a\\b[^>]*\\bhref\\s*=\\s*"([^"]*)"',
+                        1)) AS href
+                FROM src
+            ),
+            dst AS (
+                SELECT src_host,
+                    CASE WHEN h <> '' THEN h ELSE src_host END AS dst_host
+                FROM (
+                    SELECT src_host,
+                        CASE WHEN regexp_matches(trim(href),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://')
+                             THEN regexp_replace(lower(
+                                  CASE WHEN contains(a2, '@')
+                                       THEN regexp_extract(a2, '@(.*)$', 1)
+                                       ELSE a2 END), ':[0-9]+$', '')
+                             ELSE '' END AS h
+                    FROM (
+                        SELECT src_host, href,
+                            regexp_extract(regexp_replace(trim(href),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                                '^([^/?#]*)', 1) AS a2
+                        FROM lk
+                    )
+                )
+            )
+            SELECT src_host, dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM dst GROUP BY 1, 2
+        """,
+        # kn_nll: the bigram_nll oracle's count pipeline extended with
+        # the three KN type counts; probability arithmetic replayed
+        # with the exact parenthesization of the Spark expression.
+        "kn_nll": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id AS id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i]||' '||ws[i+1])) AS bg
+                FROM w0 WHERE len(ws) >= 2
+            ),
+            cab AS (SELECT bg, count(*) AS c_ab FROM big GROUP BY 1),
+            ca AS (SELECT string_split(bg, ' ')[1] AS a,
+                          sum(c_ab) AS c_a, count(*) AS n1_fwd
+                   FROM cab GROUP BY 1),
+            cb AS (SELECT string_split(bg, ' ')[2] AS b,
+                          count(*) AS n1_back
+                   FROM cab GROUP BY 1),
+            nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM cab),
+            p AS (
+                SELECT bg,
+                       (greatest(c_ab - 0.75, 0.0) / c_a)
+                       + (((0.75 * n1_fwd) / c_a) * (n1_back / nt.nt)) AS p
+                FROM cab
+                JOIN ca ON string_split(cab.bg, ' ')[1] = ca.a
+                JOIN cb ON string_split(cab.bg, ' ')[2] = cb.b, nt
+            )
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   floor(-avg(log2(p.p)) * 1000000 + 0.5)/1000000 AS nll_bits
+            FROM big JOIN p USING (bg)
+            GROUP BY id
+        """,
+        # badword_filter: whole-token blocklist hits over the shared
+        # tokenizer; hit set sorted + comma-joined on both engines.
+        "badword_filter": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (
+                SELECT DISTINCT doc_id, unnest(ws) AS t FROM w0
+            ),
+            hit AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                       string_agg(t, ',' ORDER BY t) AS hit_words
+                FROM tok
+                WHERE t IN ('crash', 'dup', 'skew', 'slow', 'spill')
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   (h.doc_id IS NOT NULL) AS blocked,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.hit_words, '') AS hit_words
+            FROM documents d LEFT JOIN hit h USING (doc_id)
         """,
         # stream_url_dedup: the emitted set == distinct canonical
         # URLs of the closed input (same synthesis + normalization).

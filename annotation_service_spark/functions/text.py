@@ -529,6 +529,99 @@ def bigram_nll_table(
     )
 
 
+def kneser_ney_nll_table(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+):
+    """Per-document bigram NLL under INTERPOLATED KNESER-NEY
+    smoothing (Kneser & Ney 1995; absolute-discount form of Chen &
+    Goodman 1998 §2.7 — public) — the smoothing actually used by
+    n-gram perplexity filters (CCNet's LM stage is a KN-smoothed
+    model): Laplace (``bigram_nll_table``) over-penalizes rare
+    continuations, KN backs off to the CONTINUATION unigram
+    ("how many contexts does this word follow?"), which is the
+    right prior for boilerplate words that appear often but only
+    ever after one context.
+
+      P_cont(b)  = N1+(·b) / N1+(··)        (continuation prob)
+      λ(a)       = D · N1+(a·) / c(a·)      (backoff mass)
+      P(b|a)     = max(c(a,b) − D, 0)/c(a·) + λ(a) · P_cont(b)
+      nll        = mean over the doc's bigrams of −log2 P(b|a)
+
+    with D = ``discount`` (0.75, the textbook constant), N1+(a·) the
+    distinct-successor count of a, N1+(·b) the distinct-predecessor
+    count of b, N1+(··) the total distinct bigram types. Self-scoring
+    over the corpus's own counts means c(a·) > 0 for every scored
+    bigram, so no zero-context branch is needed (mirrored by the
+    oracle). Docs with < 2 tokens have no bigrams and drop out.
+
+    Scale shape is the bigram_nll plan plus two more
+    map-side-combinable groupBys over the DISTINCT-bigram table
+    (strictly smaller than the bigram stream): c(a,b) and the three
+    type counts all key on content strings; N1+(··) is a 1-row
+    broadcast. The probability arithmetic is written with explicit
+    parentheses and replayed op-for-op by the oracle, so the only
+    engine noise is log2 ulps — absorbed by the same 1e-6 rounding
+    of the per-doc mean as unigram/bigram NLL.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = float(discount)
+    ws = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams).alias("bg")
+    )
+    cab = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    # cab has one row per DISTINCT bigram: count(*) grouped by a is
+    # N1+(a·), grouped by b is N1+(·b), ungrouped is N1+(··).
+    ca = cab.groupBy(F.split("bg", " ")[0].alias("a")).agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    cb = cab.groupBy(F.split("bg", " ")[1].alias("b")).agg(
+        F.count(F.lit(1)).alias("n1_back")
+    )
+    ntypes = cab.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    p = (
+        cab.withColumn("a", F.split("bg", " ")[0])
+        .withColumn("b", F.split("bg", " ")[1])
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "bg",
+            (
+                (
+                    F.greatest(F.col("c_ab") - F.lit(d), F.lit(0.0))
+                    / F.col("c_a")
+                )
+                + (
+                    ((F.lit(d) * F.col("n1_fwd")) / F.col("c_a"))
+                    * (F.col("n1_back") / F.col("nt"))
+                )
+            ).alias("p"),
+        )
+    )
+    return (
+        big.join(p, "bg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            round_fixed(-F.avg(F.log2("p")), 6).alias("nll_bits"),
+        )
+    )
+
+
 def pmi_collocations(
     df,
     id_col: str = "doc_id",
@@ -805,6 +898,49 @@ def c4_clean(
         F.when(page_ok, F.concat_ws(sep, kept_arr)).otherwise(F.lit("")).alias(
             "clean_text"
         ),
+    )
+
+
+def blocked_word_filter(
+    docs: DataFrame,
+    blocked: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-blocklist page filter — the C4 stage this module's
+    ``c4_clean`` deliberately leaves out (Raffel et al. 2020 §2.2
+    drops any page containing a word from a public blocklist; Dolma
+    and RefinedWeb run the same stage with their own lists). The
+    LIST is the caller's policy input — this operator ships the
+    MECHANISM only.
+
+    Matching contract: whole-token match on the shared pipeline
+    tokenizer (lowercased alphanumeric runs), so 'class' never
+    matches inside 'classic' — the word-boundary semantics the C4
+    list requires. Multi-word phrases are out of contract (the
+    published list is word-dominated; a phrase stage would be a
+    ``contains`` sweep).
+
+    Returns one row per input doc: (id, blocked, n_hits, hit_words)
+    with hit_words the SORTED comma-joined distinct hits ('' when
+    clean) — sorted so the row is deterministic regardless of token
+    order, and a flat string so every engine compares it bit-exactly.
+
+    Scale shape: the blocklist (couple of thousand words) folds into
+    the plan as a LITERAL array; matching is array_intersect on the
+    doc's distinct-token array — a pure per-row expression, no join,
+    no shuffle, whole-stage-codegen'd. At 100 TB this costs exactly
+    one scan."""
+    blocked_arr = F.array(
+        *[F.lit(w.lower()) for w in sorted(set(blocked))]
+    )
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hits = F.array_sort(F.array_intersect(toks, blocked_arr))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        (F.size(hits) > 0).alias("blocked"),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.concat_ws(",", hits).alias("hit_words"),
     )
 
 

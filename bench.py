@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "web_pipeline",
     "web_pipeline_full",
     "url_host_filter",
+    "html_extract",
+    "html_links",
+    "kn_nll",
+    "badword_filter",
     "stream_url_dedup",
     "dedup_incremental",
     "dedup_incremental_minhash",

@@ -61,6 +61,9 @@ QUERIES = [
     "boilerplate_lines", "line_dedup_keep_first",
     "token_budget_sample_tokens", "gopher_quality", "c4_filter",
     "url_dedup", "length_buckets", "web_pipeline",
+    # round 13: html extraction family, KN smoothing, blocklist stage
+    "web_pipeline_full", "url_host_filter",
+    "html_extract", "html_links", "kn_nll", "badword_filter",
 ]
 
 

@@ -364,3 +364,36 @@ def test_url_and_length_bucket_plans(spark):
     _assert_no_blowups(p2)
     assert "Window" in p2 and "SinglePartition" not in p2
     assert "BroadcastHashJoin" in p2  # the n_shards-row offset table
+
+
+def test_html_family_plans(spark):
+    """html_extract is the no-shuffle ideal: scan + project, zero
+    Exchange, zero Join — the whole extraction chain lives in one
+    whole-stage-codegen span. html_links adds exactly the explode +
+    ONE content-keyed aggregate (partial + final around one
+    Exchange); a hot host pair is a single aggregation key."""
+    p = _plan(em.q_html_extract(spark, SF))
+    _assert_no_blowups(p)
+    assert "Exchange" not in p and "Join" not in p
+    p2 = _plan(em.q_html_links(spark, SF))
+    _assert_no_blowups(p2)
+    assert "Join" not in p2
+    assert p2.count("Exchange") == 1
+    assert "HashAggregate" in p2
+
+
+def test_kn_and_badword_plans(spark):
+    """kn_nll: every join keys on bigram/context strings (equi-joins
+    only; the 1-row type count broadcasts); badword_filter folds the
+    blocklist literal into a per-row expression — no Exchange, no
+    Join."""
+    p = _plan(em.q_kn_nll(spark, SF))
+    assert "CartesianProduct" not in p
+    # exactly ONE BroadcastNestedLoopJoin is allowed: the 1-row
+    # N1+(··) type-count cross join (bigram_nll's `v` has the same
+    # shape) — broadcasting one row is not a blowup
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert any(j in p for j in EQUI_JOINS)
+    p2 = _plan(em.q_badword_filter(spark, SF))
+    _assert_no_blowups(p2)
+    assert "Exchange" not in p2 and "Join" not in p2

@@ -57,7 +57,10 @@ R13_TOUCHED = {
 
 # Operators introduced in round 13 — never driver-verified before, so
 # they lead the window.
-R13_NEW = {"web_pipeline_full", "url_host_filter"}
+R13_NEW = {
+    "web_pipeline_full", "url_host_filter",
+    "html_extract", "html_links", "kn_nll", "badword_filter",
+}
 
 
 def test_window_size_and_boundary():

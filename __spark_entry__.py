@@ -3498,6 +3498,58 @@ _HTML_SRC_URL_CASE = (
 )
 
 
+# Shared DuckDB replay of page synthesis + the 6-step extraction
+# chain (html_extract and html_pipeline build on the same CTEs —
+# one chain per engine, so the two gates cannot drift):
+# pg(html) -> s4 (comments/script/style removed, break tags ->
+# newline) -> s6 (tag strip + ordered entity decode) -> fin
+# (title + whitespace-canonical clean_text per doc).
+_HTML_EXTRACT_CTES = f"""
+            pg AS (
+                SELECT doc_id, {_HTML_SYNTH_CASE} AS html
+                FROM documents
+            ),
+            s4 AS (
+                SELECT doc_id, html,
+                    regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(html,
+                        '(?s)<!--.*?-->', '', 'g'),
+                        '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+                        '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+                        '(?i)<br\\s*/?>|</(?:p|div|h[1-6]|li|tr|ul|ol|table|blockquote|title)\\s*>',
+                        chr(10), 'g') AS c
+                FROM pg
+            ),
+            s6 AS (
+                SELECT doc_id, html,
+                    replace(replace(replace(replace(replace(replace(
+                        regexp_replace(c, '<[^>]*>', ' ', 'g'),
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&#39;', chr(39)), '&nbsp;', ' '),
+                        '&amp;', '&') AS c
+                FROM s4
+            ),
+            fin AS (
+                SELECT doc_id,
+                    regexp_replace(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_extract(html,
+                                '(?is)<title[^>]*>(.*?)</title>', 1),
+                            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                            '&#39;', chr(39)), '&nbsp;', ' '),
+                            '&amp;', '&'),
+                        '[ \\t\\r\\n\\f]+', ' ', 'g'),
+                        '^ +| +$', '', 'g') AS title,
+                    regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(c,
+                        '[ \\t\\r\\f]+', ' ', 'g'),
+                        ' *\\n *', chr(10), 'g'),
+                        '\\n{{3,}}', chr(10)||chr(10), 'g'),
+                        '^[ \\n]+|[ \\n]+$', '', 'g') AS clean_text
+                FROM s6
+            )"""
+
+
 def _synth_src_url() -> F.Column:
     return F.when(
         F.col("doc_id") % 13 == 0, F.lit("no scheme here")
@@ -3542,6 +3594,38 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             _synth_src_url().alias("url"),
         )
     )
+
+
+def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-rooted composition: raw markup → text extraction →
+    word-blocklist drop → Gopher quality gate → boilerplate line
+    removal — web_pipeline's chain but STARTING from HTML, the way a
+    production pipeline actually runs (WARC bytes in, training text
+    out). Every stage is the unmodified gated operator; the
+    interplay being pinned here is that the blocklist, quality
+    rules, and hot-line counts all judge the EXTRACTED text — chrome
+    the extractor turns into repeated lines ('second line', link
+    anchors) becomes exactly the boilerplate the line stage removes."""
+    from annotation_service_spark.functions import html as fh
+    from annotation_service_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _synth_html().alias("html"))
+    ext = fh.extract_html_text(pages).select(
+        F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    bw_keep = (
+        tx.blocked_word_filter(ext, ["dup"])
+        .where(~F.col("blocked"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    gq_pass = (
+        tx.gopher_quality_table(ext, min_stop_hits=1)
+        .where(F.col("passes"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    staged = ext.join(bw_keep, "doc_id").join(gq_pass, "doc_id")
+    return cu.remove_boilerplate_lines(staged, max_line_df=15)
 
 
 def q_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4380,6 +4464,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_filter": q_url_host_filter,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
+        "html_pipeline": q_html_pipeline,
         "kn_nll": q_kn_nll,
         "badword_filter": q_badword_filter,
         # -- touched by round-13 code (empty-norm exclusion + broadcast
@@ -4433,7 +4518,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
-        "stream_annotate": q_stream_annotate,
     }
 
 
@@ -4452,6 +4536,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
+        "stream_annotate": q_stream_annotate,
         "dedup_winnow": q_dedup_winnow,
         "decontaminate_spans": q_decontaminate_spans,
         "nation_volume": q_nation_volume,
@@ -7714,52 +7799,125 @@ def oracle_sql() -> dict[str, str]:
         # thing under Java regex and RE2; entity decode is literal
         # replace in the same order, &amp; last).
         "html_extract": f"""
-            WITH pg AS (
-                SELECT doc_id, {_HTML_SYNTH_CASE} AS html
-                FROM documents
-            ),
-            s4 AS (
-                SELECT doc_id, html,
-                    regexp_replace(regexp_replace(regexp_replace(
-                        regexp_replace(html,
-                        '(?s)<!--.*?-->', '', 'g'),
-                        '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
-                        '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
-                        '(?i)<br\\s*/?>|</(?:p|div|h[1-6]|li|tr|ul|ol|table|blockquote|title)\\s*>',
-                        chr(10), 'g') AS c
-                FROM pg
-            ),
-            s6 AS (
-                SELECT doc_id, html,
-                    replace(replace(replace(replace(replace(replace(
-                        regexp_replace(c, '<[^>]*>', ' ', 'g'),
-                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                        '&#39;', chr(39)), '&nbsp;', ' '),
-                        '&amp;', '&') AS c
-                FROM s4
-            ),
-            fin AS (
-                SELECT doc_id,
-                    regexp_replace(regexp_replace(
-                        replace(replace(replace(replace(replace(replace(
-                            regexp_extract(html,
-                                '(?is)<title[^>]*>(.*?)</title>', 1),
-                            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                            '&#39;', chr(39)), '&nbsp;', ' '),
-                            '&amp;', '&'),
-                        '[ \\t\\r\\n\\f]+', ' ', 'g'),
-                        '^ +| +$', '', 'g') AS title,
-                    regexp_replace(regexp_replace(regexp_replace(
-                        regexp_replace(c,
-                        '[ \\t\\r\\f]+', ' ', 'g'),
-                        ' *\\n *', chr(10), 'g'),
-                        '\\n{{3,}}', chr(10)||chr(10), 'g'),
-                        '^[ \\n]+|[ \\n]+$', '', 'g') AS clean_text
-                FROM s6
-            )
+            WITH {_HTML_EXTRACT_CTES}
             SELECT doc_id, title, clean_text,
                    CAST(length(clean_text) AS BIGINT) AS n_chars
             FROM fin
+        """,
+        # html_pipeline: extraction feeds the cleaning chain — the
+        # blocklist replay, the Gopher quality replay, and the
+        # boilerplate line family ALL run over the EXTRACTED text.
+        "html_pipeline": f"""
+            WITH {_HTML_EXTRACT_CTES},
+            ext AS (
+                SELECT doc_id, clean_text AS text FROM fin
+            ),
+            bwhit AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '')) AS t
+                    FROM ext
+                ) WHERE t IN ('dup')
+            ),
+            bwkeep AS (
+                SELECT doc_id FROM ext
+                WHERE doc_id NOT IN (SELECT doc_id FROM bwhit)
+            ),
+            gt AS (
+                SELECT e.doc_id,
+                       list_filter(regexp_split_to_array(e.text, '\\s+'),
+                                   x -> x <> '') AS gws,
+                       string_split(e.text, chr(10)) AS glines,
+                       list_filter(regexp_split_to_array(lower(e.text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS gtoks,
+                       e.text AS gtext
+                FROM ext e
+            ),
+            gm AS (
+                SELECT doc_id,
+                       len(gws) AS n_words,
+                       coalesce(list_sum(list_transform(gws, x -> len(x))), 0)
+                           AS total_len,
+                       len(list_filter(gws,
+                           x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+                       (len(gtext) - len(replace(gtext, '#', '')))
+                       + (len(gtext) - len(replace(gtext, '...', ''))) // 3
+                           AS n_symbols,
+                       len(glines) AS n_lines,
+                       len(list_filter(glines,
+                           l -> substr(ltrim(l), 1, 1) IN ('-','*','•')))
+                           AS bullets,
+                       len(list_filter(glines, l -> rtrim(l) LIKE '%...'))
+                           AS ells,
+                       CAST(list_contains(gtoks, 'the') AS INT)
+                       + CAST(list_contains(gtoks, 'be') AS INT)
+                       + CAST(list_contains(gtoks, 'to') AS INT)
+                       + CAST(list_contains(gtoks, 'of') AS INT)
+                       + CAST(list_contains(gtoks, 'and') AS INT)
+                       + CAST(list_contains(gtoks, 'that') AS INT)
+                       + CAST(list_contains(gtoks, 'have') AS INT)
+                       + CAST(list_contains(gtoks, 'with') AS INT) AS stop_hits
+                FROM gt
+            ),
+            gpass AS (
+                SELECT doc_id FROM gm
+                WHERE n_words >= 50 AND n_words <= 100000
+                  AND total_len >= n_words * 3 AND total_len <= n_words * 10
+                  AND n_symbols * 10 <= n_words
+                  AND bullets * 10 <= n_lines * 9
+                  AND ells * 10 <= n_lines * 3
+                  AND alpha_words * 5 >= n_words * 4
+                  AND stop_hits >= 1
+            ),
+            stext AS (
+                SELECT e.doc_id, e.text
+                FROM ext e
+                JOIN bwkeep USING (doc_id)
+                JOIN gpass USING (doc_id)
+            ),
+            sw AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM stext
+            ),
+            sl AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       ls[CAST(i + 1 AS INT)] AS line
+                FROM sw, unnest(range(len(ls))) AS u(i)
+            ),
+            nrm AS (
+                SELECT doc_id, line_no, line,
+                       trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM sl
+            ),
+            hot AS (
+                SELECT norm FROM nrm WHERE norm <> '' GROUP BY norm
+                HAVING count(DISTINCT doc_id) > 15
+            ),
+            kept2 AS (
+                SELECT doc_id, line_no, line FROM nrm
+                WHERE norm NOT IN (SELECT norm FROM hot)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           AS clean_text
+                FROM kept2 GROUP BY doc_id
+            ),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT)
+                           AS n_lines
+                FROM stext
+            )
+            SELECT base.doc_id AS id, base.n_lines,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM base LEFT JOIN rebuilt r USING (doc_id)
         """,
         # html_links: same page synthesis; quoted-href extraction via
         # regexp_extract_all group 1; host extraction is the

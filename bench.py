@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "url_host_filter",
     "html_extract",
     "html_links",
+    "html_pipeline",
     "kn_nll",
     "badword_filter",
     "stream_url_dedup",

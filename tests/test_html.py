@@ -233,3 +233,34 @@ def test_column_helpers_null_safe(spark):
     ).collect()[0]
     # regexp_replace of NULL stays NULL — extraction never invents text
     assert row.t is None and row.ti is None
+
+
+def test_html_pipeline_stage_interplay(spark):
+    """The composed markup-rooted pipeline: chrome the extractor
+    turns into corpus-repeated lines is removed as boilerplate,
+    per-doc unique text survives, and docs whose EXTRACTED text hits
+    the blocklist are gone entirely."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = em.q_html_pipeline(spark, sf)
+    rows = out.collect()
+    assert rows, "pipeline produced no survivors"
+    all_text = "\n".join(r.clean_text for r in rows)
+    # extractor-generated chrome lines are hot (df >> 15) -> removed
+    assert "second line" not in all_text
+    assert "item&lt;2" not in all_text
+    # survivors keep fewer lines than they had
+    assert all(r.n_kept <= r.n_lines for r in rows)
+    # blocklist stage ran on EXTRACTED text: no survivor contains the
+    # blocked token 'dup' as a whole token
+    toks = set(
+        t
+        for r in rows
+        for t in __import__("re").split(r"[^a-z0-9]+", r.clean_text.lower())
+    )
+    assert "dup" not in toks
+    # and the pipeline is selective, not degenerate
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert 0 < len(rows) < n_docs

@@ -397,3 +397,15 @@ def test_kn_and_badword_plans(spark):
     p2 = _plan(em.q_badword_filter(spark, SF))
     _assert_no_blowups(p2)
     assert "Exchange" not in p2 and "Join" not in p2
+
+
+def test_html_pipeline_plan(spark):
+    """Composed markup pipeline: extraction is projection-only, the
+    stage gates join on doc_id (equi-joins), the hot-line decision is
+    a LeftAnti against the content-keyed aggregate — no cross
+    products, no single-partition window."""
+    p = _plan(em.q_html_pipeline(spark, SF))
+    _assert_no_blowups(p)
+    assert any(j in p for j in EQUI_JOINS)
+    assert "LeftAnti" in p
+    assert "SinglePartition" not in p

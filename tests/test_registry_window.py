@@ -59,7 +59,8 @@ R13_TOUCHED = {
 # they lead the window.
 R13_NEW = {
     "web_pipeline_full", "url_host_filter",
-    "html_extract", "html_links", "kn_nll", "badword_filter",
+    "html_extract", "html_links", "html_pipeline",
+    "kn_nll", "badword_filter",
 }
 
 

@@ -3628,6 +3628,36 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.remove_boilerplate_lines(staged, max_line_df=15)
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE-level exact dedup keeping the first occurrence
+    (operators/curation.py::dedup_sentences_keep_first — the Dolma
+    sentence-dedup stage in its exact compaction-time form, sharing
+    the line family's broadcast keep-first core). The corpus has no
+    sentence punctuation, so the gate synthesizes it with the
+    web_pipeline dotting rule (2-token chunks, '.' appended when the
+    chunk's md5 leads < '8') and joins chunks with SPACES — dotless
+    chunks merge into their successor sentence, the realistic ragged
+    shape. The oracle re-segments in SQL and decides keep-first with
+    a row_number window — a different formulation of the same
+    semantics than the operator's min-struct."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 2 + 1, 2)),
+    )
+    dotted = F.transform(
+        lines_arr,
+        lambda l: F.when(
+            F.substring(F.md5(l), 1, 1) < F.lit("8"), F.concat(l, F.lit("."))
+        ).otherwise(l),
+    )
+    txt = F.concat_ws(" ", dotted)
+    return cu.dedup_sentences_keep_first(
+        docs.select("doc_id", txt.alias("text"))
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram NLL under interpolated KNESER-NEY smoothing
     (functions/text.py::kneser_ney_nll_table, D=0.75) — the
@@ -4465,6 +4495,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "html_pipeline": q_html_pipeline,
+        "sentence_dedup": q_sentence_dedup,
         "kn_nll": q_kn_nll,
         "badword_filter": q_badword_filter,
         # -- touched by round-13 code (empty-norm exclusion + broadcast
@@ -4517,7 +4548,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full": q_pipeline_full,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
-        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -4537,6 +4567,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
         "stream_annotate": q_stream_annotate,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_winnow": q_dedup_winnow,
         "decontaminate_spans": q_decontaminate_spans,
         "nation_volume": q_nation_volume,
@@ -8014,6 +8045,74 @@ def oracle_sql() -> dict[str, str]:
                    floor(-avg(log2(p.p)) * 1000000 + 0.5)/1000000 AS nll_bits
             FROM big JOIN p USING (bg)
             GROUP BY id
+        """,
+        # sentence_dedup: dotting synthesis (the web_pipeline rule,
+        # space-joined), regexp sentence segmentation, keep-first via
+        # a row_number window — an independent formulation of the
+        # operator's min-struct decision.
+        "sentence_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            lined AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            dotted AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN substr(md5(line), 1, 1) < '8'
+                            THEN line || '.' ELSE line END AS line
+                FROM lined
+            ),
+            txt AS (
+                SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+                FROM dotted GROUP BY doc_id
+            ),
+            sa AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                               s -> trim(s, ' ' || chr(9) || chr(10)
+                                          || chr(13) || chr(12))),
+                           s -> s <> '') AS ss
+                FROM txt
+            ),
+            sx AS (
+                SELECT doc_id, CAST(i AS INT) AS sent_no,
+                       ss[CAST(i + 1 AS INT)] AS s
+                FROM sa, unnest(range(len(ss))) AS u(i)
+            ),
+            nr AS (
+                SELECT doc_id, sent_no, s,
+                       trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM sx
+            ),
+            rn AS (
+                SELECT doc_id, sent_no, s, norm,
+                       row_number() OVER (PARTITION BY norm
+                           ORDER BY doc_id, sent_no) AS rk,
+                       count(*) OVER (PARTITION BY norm) AS cnt
+                FROM nr
+            ),
+            kept AS (
+                SELECT doc_id, sent_no, s FROM rn
+                WHERE norm = '' OR cnt = 1 OR rk = 1
+            ),
+            rebuilt AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(s, ' ' ORDER BY sent_no) AS clean_text
+                FROM kept GROUP BY doc_id
+            ),
+            base AS (
+                SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sents FROM sa
+            )
+            SELECT base.doc_id, base.n_sents,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM base LEFT JOIN rebuilt r USING (doc_id)
         """,
         # badword_filter: whole-token blocklist hits over the shared
         # tokenizer; hit set sorted + comma-joined on both engines.

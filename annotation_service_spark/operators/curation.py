@@ -904,6 +904,25 @@ def dedup_lines_keep_first(
     applies). The groupBy that finds the subset is partial-aggregated
     either way."""
     lines = _doc_lines(docs, id_col, text_col, sep)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return _keep_first_units(lines, base, sep, broadcast_dup_limit)
+
+
+def _keep_first_units(
+    lines: DataFrame,
+    base: DataFrame,
+    sep: str,
+    broadcast_dup_limit: int,
+) -> DataFrame:
+    """Shared keep-first core over any (id, line_no, line, norm) unit
+    table (lines OR sentences) + an (id, n_lines) base: duplicated
+    norms keep their min-(id, line_no) occurrence, blank norms are
+    structure (always kept), reassembly joins by ``sep`` in original
+    order. Extracted verbatim from dedup_lines_keep_first so the
+    line gate's plan is unchanged."""
     dup_first = (
         lines.where(F.col("norm") != "")
         .groupBy("norm")
@@ -943,16 +962,81 @@ def dedup_lines_keep_first(
             ),
         ).alias("clean_text"),
     )
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
-    )
     return base.join(rebuilt, "id", "left").select(
         "id",
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def _doc_sentences(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, line_no, line, norm) at SENTENCE granularity — the unit
+    table the keep-first core consumes, cut by a deterministic,
+    engine-portable segmentation: a sentence is a maximal run of
+    non-terminal characters plus its trailing terminal run
+    (``[^.!?]+[.!?]*``, so 'Hi!! Ok.' cuts to 'Hi!!' / 'Ok.'),
+    trimmed of whitespace, empties dropped. No lookaround (RE2 has
+    none), no abbreviation model — the contract is reproducibility,
+    not linguistic perfection (the same trade every published
+    pipeline's rule-based splitter makes).
+
+    The unit keeps the ``line_no``/``line`` column names so the
+    keep-first core and its tests apply verbatim; ``line_no`` is the
+    sentence's index among the KEPT (non-empty) sentences, which is
+    also the reassembly order."""
+    arr = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
+    )
+    trimmed = F.transform(
+        arr, lambda s: F.regexp_replace(s, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")
+    )
+    sents = F.filter(trimmed, lambda s: s != "")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sents).alias("line_no", "line"),
+    ).withColumn(
+        "norm",
+        F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")),
+    )
+
+
+def dedup_sentences_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_dup_limit: int = 500_000,
+) -> DataFrame:
+    """SENTENCE-level exact dedup keeping one canonical copy — the
+    Dolma toolkit's sentence/paragraph dedup stage (public: Soldaini
+    et al. 2024 "Dolma" §4; their bloom-filter pass is approximate,
+    this is the exact compaction-time form): every normalized
+    sentence occurring more than once corpus-wide keeps only its
+    FIRST occurrence in (id, sent_no) order; survivors rejoin with a
+    single space (sentences carry their own punctuation). Returns
+    (id, n_sents, n_kept, clean_text).
+
+    Same shuffle shape as dedup_lines_keep_first (the shared
+    ``_keep_first_units`` core): the keep-first decision reads only
+    the DUPLICATED-norm subset, broadcast when a limit probe says it
+    fits — a corpus-hot sentence never piles onto one reducer."""
+    sents = _doc_sentences(docs, id_col, text_col)
+    arr = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
+    )
+    trimmed = F.transform(
+        arr, lambda s: F.regexp_replace(s, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(trimmed, lambda s: s != ""))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    out = _keep_first_units(sents, base, " ", broadcast_dup_limit)
+    return out.withColumnRenamed("n_lines", "n_sents")
 
 
 def length_bucket_batches(

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "html_extract",
     "html_links",
     "html_pipeline",
+    "sentence_dedup",
     "kn_nll",
     "badword_filter",
     "stream_url_dedup",
@@ -267,6 +268,15 @@ SF1_QUERIES = [
     # runs at scale — measure the compositions, not just the stages
     "web_pipeline",
     "web_pipeline_full",
+    # r13 session 2: the markup-rooted family — extraction is the
+    # scan-bound ideal (no shuffle), the composed chain is the
+    # user-facing product
+    "html_extract",
+    "html_links",
+    "html_pipeline",
+    "sentence_dedup",
+    "kn_nll",
+    "badword_filter",
     "length_buckets",
     "vocab_topk",
     "text_normalize",
@@ -1007,6 +1017,10 @@ def main() -> None:
             # content-keyed/per-row, so the composition must hold the
             # linear shape its stages show individually
             "web_pipeline",
+            # r13 session 2: the markup-rooted chain at x100 — the
+            # extraction stage is scan-bound (no shuffle) so the
+            # composition's scale shape is the line stage's
+            "html_pipeline",
         ):
             run_median3(sf100_docs_timings, name, sf100d_dir)
         spark.catalog.clearCache()

@@ -63,8 +63,8 @@ QUERIES = [
     "url_dedup", "length_buckets", "web_pipeline",
     # round 13: html extraction family, KN smoothing, blocklist stage
     "web_pipeline_full", "url_host_filter",
-    "html_extract", "html_links", "html_pipeline", "kn_nll",
-    "badword_filter",
+    "html_extract", "html_links", "html_pipeline", "sentence_dedup",
+    "kn_nll", "badword_filter",
 ]
 
 

@@ -14,6 +14,7 @@ import re
 
 from annotation_service_spark.operators.curation import (
     dedup_lines_keep_first,
+    dedup_sentences_keep_first,
     remove_boilerplate_lines,
 )
 
@@ -212,3 +213,121 @@ def test_line_ops_randomized_differential(spark):
             ]
             exp_kf[i] = (len(ls), len(kept), "\n".join(kept))
         assert out_kf == exp_kf, trial
+
+
+# ---------------------------------------------------------------------------
+# sentence-level family (r13): dedup_sentences_keep_first
+# ---------------------------------------------------------------------------
+
+def _seg(text: str) -> list[str]:
+    """Python replica of the engine segmentation contract."""
+    out = []
+    for m in re.findall(r"[^.!?]+[.!?]*", text):
+        s = m.strip(" \t\n\r\f")
+        if s:
+            out.append(s)
+    return out
+
+
+def _sent_replay(docs: dict[int, str]) -> dict[int, tuple[int, int, str]]:
+    """Keep-first over sentences, pure Python."""
+    units = []  # (doc, no, sent, norm)
+    for d in sorted(docs):
+        for i, s in enumerate(_seg(docs[d])):
+            norm = re.sub(r"\s+", " ", s.lower()).strip()
+            units.append((d, i, s, norm))
+    firsts: dict[str, tuple[int, int]] = {}
+    counts: dict[str, int] = {}
+    for d, i, s, n in units:
+        counts[n] = counts.get(n, 0) + 1
+        firsts.setdefault(n, (d, i))
+    out: dict[int, tuple[int, int, str]] = {}
+    for d in docs:
+        mine = [(i, s) for dd, i, s, n in units if dd == d
+                and (counts[n] == 1 or firsts[n] == (d, i))]
+        out[d] = (len(_seg(docs[d])), len(mine),
+                  " ".join(s for _, s in sorted(mine)))
+    return out
+
+
+def test_sentence_segmentation_contract(spark):
+    from annotation_service_spark.operators.curation import _doc_sentences
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hi!! Ok. done"),          # glued terminals, tail w/o dot
+            (1, "  spaced .  x  "),        # whitespace trim
+            (2, "no punctuation at all"),  # one sentence
+            (3, "..."),                    # all-terminal: no sentences
+        ],
+        "doc_id long, text string",
+    )
+    got: dict[int, list[tuple[int, str]]] = {}
+    for r in _doc_sentences(df, "doc_id", "text").collect():
+        got.setdefault(r.id, []).append((r.line_no, r.line))
+    assert [s for _, s in sorted(got[0])] == ["Hi!!", "Ok.", "done"]
+    assert [s for _, s in sorted(got[1])] == ["spaced .", "x"]
+    assert [s for _, s in sorted(got[2])] == ["no punctuation at all"]
+    assert 3 not in got
+
+
+def test_sentence_dedup_keep_first_semantics(spark):
+    docs = {
+        0: "The same pitch. Unique to zero.",
+        1: "the   SAME pitch.  Unique to one.",  # norm-dup of doc 0's first
+        2: "Twice here. Twice here. And a tail",  # within-doc dup
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_sents, r.n_kept, r.clean_text)
+        for r in dedup_sentences_keep_first(df).collect()
+    }
+    assert got == _sent_replay(docs)
+    # spot meaning: doc 1 lost its normalized duplicate, doc 2 its
+    # second copy
+    assert got[1][2] == "Unique to one."
+    assert got[2][2] == "Twice here. And a tail"
+
+
+def test_sentence_dedup_randomized_differential(spark):
+    import random
+
+    rnd = random.Random(77)
+    vocab = ["red", "blue", "green", "ash", "oak"]
+    docs = {}
+    for d in range(40):
+        parts = []
+        for _ in range(rnd.randint(1, 8)):
+            n = rnd.randint(1, 3)
+            s = " ".join(rnd.choice(vocab) for _ in range(n))
+            parts.append(s + rnd.choice([".", "!", "?", ""]))
+        docs[d] = " ".join(parts)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_sents, r.n_kept, r.clean_text)
+        for r in dedup_sentences_keep_first(df).collect()
+    }
+    assert got == _sent_replay(docs)
+
+
+def test_sentence_dedup_paths_agree(spark):
+    docs = {i: f"same pitch. own {i} tail." for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    a = {(r.id, r.n_kept, r.clean_text)
+         for r in dedup_sentences_keep_first(df).collect()}
+    b = {(r.id, r.n_kept, r.clean_text)
+         for r in dedup_sentences_keep_first(
+             df, broadcast_dup_limit=0).collect()}
+    assert a == b
+    # and the shared sentence survives exactly once, in doc 0
+    texts = {r.id: r.clean_text
+             for r in dedup_sentences_keep_first(df).collect()}
+    assert texts[0].startswith("same pitch.")
+    assert all(not texts[i].startswith("same pitch.") for i in range(1, 12))

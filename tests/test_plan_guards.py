@@ -409,3 +409,14 @@ def test_html_pipeline_plan(spark):
     assert any(j in p for j in EQUI_JOINS)
     assert "LeftAnti" in p
     assert "SinglePartition" not in p
+
+
+def test_sentence_dedup_plan(spark):
+    """Sentence keep-first shares the line family's broadcast shape:
+    the duplicated-norm subset broadcasts into the unit join on the
+    gate fixture (no content-keyed pile-up), no single-partition
+    window, no cross product."""
+    p = _plan(em.q_sentence_dedup(spark, SF))
+    _assert_no_blowups(p)
+    assert "BroadcastHashJoin" in p
+    assert "SinglePartition" not in p

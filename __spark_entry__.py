@@ -3628,6 +3628,50 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.remove_boilerplate_lines(staged, max_line_df=15)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filter (functions/url.py::filter_robots
+    — RFC 9309 §2.2.2 longest-match, allow-wins-ties, no-rule →
+    allowed). Synthesis covers the site-wide ban with a longer
+    Allow carve-out, a deeper carve-out inside a Disallow subtree,
+    the equal-length tie (allow wins), a host whose rules match
+    nothing (allowed), and an unparseable URL (host '', no ''-host
+    rules → allowed). Plan: broadcast dim join on host + per-row
+    startswith + ONE id-keyed max over a packed ordering key — the
+    URL fact side never shuffles by content."""
+    from annotation_service_spark.functions import url as fu
+
+    docs = _t(spark, sf_dir, "documents")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m11 = (F.col("doc_id") % 11).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("not a url"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://site"), m7, F.lit(".com/private/"), m11
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://site"), m7, F.lit(".com/public/"), m11),
+        )
+        .otherwise(F.concat(F.lit("https://open"), m7, F.lit(".org")))
+    )
+    rules = spark.createDataFrame(
+        [
+            ("site0.com", False, "/"),
+            ("site0.com", True, "/public/"),
+            ("site1.com", False, "/private/"),
+            ("site1.com", True, "/private/7"),
+            ("site2.com", False, "/private"),
+            ("site2.com", True, "/private"),
+            ("open3.org", False, "/x"),
+        ],
+        "host string, allow boolean, prefix string",
+    )
+    return fu.filter_robots(docs.select("doc_id", url.alias("url")), rules)
+
+
 def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SENTENCE-level exact dedup keeping the first occurrence
     (operators/curation.py::dedup_sentences_keep_first — the Dolma
@@ -4495,6 +4539,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_links": q_html_links,
         "html_pipeline": q_html_pipeline,
+        "robots_filter": q_robots_filter,
         "sentence_dedup": q_sentence_dedup,
         "kn_nll": q_kn_nll,
         "badword_filter": q_badword_filter,
@@ -4547,7 +4592,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    head at exactly the rotation horizon) ----------------------
         "pipeline_full": q_pipeline_full,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -4568,6 +4612,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
         "stream_annotate": q_stream_annotate,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_containment": q_dedup_containment,
         "dedup_winnow": q_dedup_winnow,
         "decontaminate_spans": q_decontaminate_spans,
         "nation_volume": q_nation_volume,
@@ -8045,6 +8090,81 @@ def oracle_sql() -> dict[str, str]:
                    floor(-avg(log2(p.p)) * 1000000 + 0.5)/1000000 AS nll_bits
             FROM big JOIN p USING (bg)
             GROUP BY id
+        """,
+        # robots_filter: host/path extraction replica + the rules as
+        # VALUES + RFC 9309 longest-match/allow-wins via the same
+        # packed ordering key (printf('%04d') == lpad-4).
+        "robots_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 'not a url'
+                            WHEN doc_id % 3 = 0 THEN
+                                'https://site' || (doc_id % 7)
+                                || '.com/private/' || (doc_id % 11)
+                            WHEN doc_id % 3 = 1 THEN
+                                'https://site' || (doc_id % 7)
+                                || '.com/public/' || (doc_id % 11)
+                            ELSE 'https://open' || (doc_id % 7) || '.org'
+                       END AS url
+                FROM documents
+            ),
+            hp AS (
+                SELECT doc_id,
+                       CASE WHEN ok THEN host ELSE '' END AS host,
+                       CASE WHEN ok THEN
+                                CASE WHEN p = '' THEN '/' ELSE p END
+                            ELSE '' END AS path
+                FROM (
+                    SELECT doc_id,
+                        regexp_matches(trim(url),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://') AS ok,
+                        regexp_replace(lower(
+                            CASE WHEN contains(auth, '@')
+                                 THEN regexp_extract(auth, '@(.*)$', 1)
+                                 ELSE auth END), ':[0-9]+$', '') AS host,
+                        regexp_extract(regexp_replace(rest,
+                            '^[^/?#]*', ''), '^([^?#]*)', 1) AS p
+                    FROM (
+                        SELECT doc_id, url,
+                            regexp_replace(trim(url),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+                            regexp_extract(regexp_replace(trim(url),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                                '^([^/?#]*)', 1) AS auth
+                        FROM u
+                    )
+                )
+            ),
+            r AS (
+                SELECT * FROM (VALUES
+                    ('site0.com', false, '/'),
+                    ('site0.com', true, '/public/'),
+                    ('site1.com', false, '/private/'),
+                    ('site1.com', true, '/private/7'),
+                    ('site2.com', false, '/private'),
+                    ('site2.com', true, '/private'),
+                    ('open3.org', false, '/x'))
+                    AS t(host, allow, prefix)
+                WHERE prefix <> ''
+            ),
+            cand AS (
+                SELECT hp.doc_id AS id, hp.host, hp.path,
+                       CASE WHEN r.prefix IS NOT NULL
+                             AND starts_with(hp.path, r.prefix)
+                            THEN printf('%04d', len(r.prefix))
+                                 || CAST(CAST(r.allow AS INT) AS VARCHAR)
+                                 || r.prefix
+                       END AS k
+                FROM hp LEFT JOIN r USING (host)
+            ),
+            agg AS (
+                SELECT id, host, path, max(k) AS k
+                FROM cand GROUP BY 1, 2, 3
+            )
+            SELECT id, host, path,
+                   coalesce(substr(k, 5, 1) = '1', true) AS allowed,
+                   coalesce(substr(k, 6), '') AS matched_rule
+            FROM agg
         """,
         # sentence_dedup: dotting synthesis (the web_pipeline rule,
         # space-joined), regexp sentence segmentation, keep-first via

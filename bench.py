@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "html_extract",
     "html_links",
     "html_pipeline",
+    "robots_filter",
     "sentence_dedup",
     "kn_nll",
     "badword_filter",

@@ -64,7 +64,7 @@ QUERIES = [
     # round 13: html extraction family, KN smoothing, blocklist stage
     "web_pipeline_full", "url_host_filter",
     "html_extract", "html_links", "html_pipeline", "sentence_dedup",
-    "kn_nll", "badword_filter",
+    "robots_filter", "kn_nll", "badword_filter",
 ]
 
 

@@ -420,3 +420,13 @@ def test_sentence_dedup_plan(spark):
     _assert_no_blowups(p)
     assert "BroadcastHashJoin" in p
     assert "SinglePartition" not in p
+
+
+def test_robots_filter_plan(spark):
+    """Robots rules are a dimension: the host join must broadcast,
+    the winner is one id-keyed aggregate — the URL fact side never
+    shuffles by content."""
+    p = _plan(em.q_robots_filter(spark, SF))
+    _assert_no_blowups(p)
+    assert "BroadcastHashJoin" in p
+    assert "SinglePartition" not in p

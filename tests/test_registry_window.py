@@ -60,7 +60,7 @@ R13_TOUCHED = {
 R13_NEW = {
     "web_pipeline_full", "url_host_filter",
     "html_extract", "html_links", "html_pipeline",
-    "sentence_dedup", "kn_nll", "badword_filter",
+    "robots_filter", "sentence_dedup", "kn_nll", "badword_filter",
 }
 
 

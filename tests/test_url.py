@@ -255,3 +255,65 @@ def test_canonical_url_idempotent_fuzz(spark):
     twice = once.select("i", canonical_url(F.col("c")).alias("c2"), "c")
     bad = twice.where(F.col("c") != F.col("c2")).collect()
     assert not bad, bad[:5]
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance (RFC 9309) — filter_robots
+# ---------------------------------------------------------------------------
+
+def _robots(spark, urls, rules):
+    from annotation_service_spark.functions.url import filter_robots
+
+    u = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(urls)], "doc_id long, url string"
+    )
+    r = spark.createDataFrame(rules, "host string, allow boolean, prefix string")
+    return {
+        row.id: (row.allowed, row.matched_rule)
+        for row in filter_robots(u, r).collect()
+    }
+
+
+def test_robots_longest_match_and_carveout(spark):
+    rules = [("a.com", False, "/"), ("a.com", True, "/pub/")]
+    got = _robots(
+        spark,
+        ["https://a.com/priv/x", "https://a.com/pub/x", "https://a.com"],
+        rules,
+    )
+    assert got[0] == (False, "/")        # site-wide ban
+    assert got[1] == (True, "/pub/")     # longer allow carve-out
+    assert got[2] == (False, "/")        # empty path normalizes to '/'
+
+
+def test_robots_tie_allow_wins(spark):
+    rules = [("a.com", False, "/p"), ("a.com", True, "/p")]
+    got = _robots(spark, ["https://a.com/pq"], rules)
+    assert got[0] == (True, "/p")        # RFC 9309 §2.2.2
+
+
+def test_robots_no_match_and_no_rules_allowed(spark):
+    rules = [("a.com", False, "/x")]
+    got = _robots(
+        spark,
+        ["https://a.com/y", "https://other.net/x", "garbage"],
+        rules,
+    )
+    assert got[0] == (True, "")   # host has rules, none match
+    assert got[1] == (True, "")   # host has no rules
+    assert got[2] == (True, "")   # unparseable: host '', no '' rules
+
+
+def test_robots_empty_prefix_matches_nothing(spark):
+    # the bare 'Disallow:' line is the EMPTY prefix = matches nothing
+    rules = [("a.com", False, "")]
+    got = _robots(spark, ["https://a.com/x"], rules)
+    assert got[0] == (True, "")
+
+
+def test_robots_byte_prefix_not_segment(spark):
+    # RFC prefix matching is on octets: '/p' governs '/pq' too
+    rules = [("a.com", False, "/p")]
+    got = _robots(spark, ["https://a.com/pq", "https://a.com/q"], rules)
+    assert got[0] == (False, "/p")
+    assert got[1] == (True, "")

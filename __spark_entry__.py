@@ -3628,6 +3628,56 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.remove_boilerplate_lines(staged, max_line_df=15)
 
 
+def q_stream_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sentence-level dedup, hash-verified: the
+    sentence_dedup gate's dotted synthesis streams through
+    ``_doc_sentences`` (posexplode + per-row expressions — runs
+    UNMODIFIED on the stream) and a streaming dropDuplicates keyed by
+    the normalized sentence — the live-ingest twin of
+    ``dedup_sentences_keep_first``. Which occurrence survives is
+    batch-order dependent, so the gate pins the NORM SET — the
+    deterministic projection of the operator's state (the
+    stream_url_dedup pattern). Oracle: the closed input's distinct
+    sentence norms."""
+    from annotation_service_spark.operators.curation import _doc_sentences
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    words = F.split(F.col("text"), " ")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 2 + 1, 2)),
+    )
+    dotted = F.transform(
+        lines_arr,
+        lambda l: F.when(
+            F.substring(F.md5(l), 1, 1) < F.lit("8"), F.concat(l, F.lit("."))
+        ).otherwise(l),
+    )
+    txt = F.concat_ws(" ", dotted)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(F.col("doc_id"), txt.alias("text"))
+    )
+    sents = (
+        _doc_sentences(stream, "doc_id", "text")
+        .select("norm")
+        .dropDuplicates(["norm"])
+    )
+    name = f"stream_sentence_dedup_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        sents.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("norm").distinct()
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filter (functions/url.py::filter_robots
     — RFC 9309 §2.2.2 longest-match, allow-wins-ties, no-rule →
@@ -4541,6 +4591,7 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_pipeline": q_html_pipeline,
         "robots_filter": q_robots_filter,
         "sentence_dedup": q_sentence_dedup,
+        "stream_sentence_dedup": q_stream_sentence_dedup,
         "kn_nll": q_kn_nll,
         "badword_filter": q_badword_filter,
         # -- touched by round-13 code (empty-norm exclusion + broadcast
@@ -4591,7 +4642,6 @@ def _window_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in the window; the displaced r10 gates rejoin the backlog
         #    head at exactly the rotation horizon) ----------------------
         "pipeline_full": q_pipeline_full,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     }
 
 
@@ -4613,6 +4663,7 @@ def _backlog_gates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_annotate": q_stream_annotate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_containment": q_dedup_containment,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_winnow": q_dedup_winnow,
         "decontaminate_spans": q_decontaminate_spans,
         "nation_volume": q_nation_volume,
@@ -8233,6 +8284,45 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_kept, 0) AS n_kept,
                    coalesce(r.clean_text, '') AS clean_text
             FROM base LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # stream_sentence_dedup: the emitted set == distinct sentence
+        # norms of the closed input (same synthesis + segmentation).
+        "stream_sentence_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            lined AS (
+                SELECT doc_id, CAST(i AS INT) AS line_no,
+                       array_to_string(ws[2*i+1 : 2*i+2], ' ') AS line
+                FROM w, unnest(range(CAST(ceil(len(ws)/2.0) AS BIGINT))) AS u(i)
+            ),
+            dotted AS (
+                SELECT doc_id, line_no,
+                       CASE WHEN substr(md5(line), 1, 1) < '8'
+                            THEN line || '.' ELSE line END AS line
+                FROM lined
+            ),
+            txt AS (
+                SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+                FROM dotted GROUP BY doc_id
+            ),
+            sa AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                               s -> trim(s, ' ' || chr(9) || chr(10)
+                                          || chr(13) || chr(12))),
+                           s -> s <> '') AS ss
+                FROM txt
+            ),
+            sx AS (
+                SELECT doc_id, ss[CAST(i + 1 AS INT)] AS s
+                FROM sa, unnest(range(len(ss))) AS u(i)
+            )
+            SELECT DISTINCT
+                   trim(regexp_replace(lower(s), '\\s+', ' ', 'g')) AS norm
+            FROM sx
         """,
         # badword_filter: whole-token blocklist hits over the shared
         # tokenizer; hit set sorted + comma-joined on both engines.

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "html_pipeline",
     "robots_filter",
     "sentence_dedup",
+    "stream_sentence_dedup",
     "kn_nll",
     "badword_filter",
     "stream_url_dedup",

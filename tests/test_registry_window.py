@@ -60,7 +60,8 @@ R13_TOUCHED = {
 R13_NEW = {
     "web_pipeline_full", "url_host_filter",
     "html_extract", "html_links", "html_pipeline",
-    "robots_filter", "sentence_dedup", "kn_nll", "badword_filter",
+    "robots_filter", "sentence_dedup", "stream_sentence_dedup",
+    "kn_nll", "badword_filter",
 }
 
 

@@ -102,7 +102,11 @@ def html_to_text(html: Column) -> Column:
 def html_title(html: Column) -> Column:
     """First ``<title>`` content, entity-decoded and space-collapsed
     ('' when the page has none — never NULL, so downstream group keys
-    stay total)."""
+    stay total). Reads the RAW markup: a commented-out or
+    script-embedded <title> earlier in the byte stream wins over a
+    live one — acceptable for the crawl-metadata use (real pages put
+    <title> first in <head>), documented rather than paying a second
+    comment-strip pass on every page."""
     t = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
     t = decode_entities(t)
     t = F.regexp_replace(t, r"[ \t\r\n\f]+", " ")

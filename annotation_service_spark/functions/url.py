@@ -280,7 +280,12 @@ def filter_robots(
     rule matched). Decision and audit column are both decided by ONE
     deterministic max over the packed ordering key
     lpad(len)+allow+prefix — identical lexicographic rule on both
-    engines, no ties possible across distinct outcomes.
+    engines, no ties possible across distinct outcomes. The 4-digit
+    pad bounds rule prefixes at 9999 octets — above both the RFC's
+    500 KiB FILE bound per-line practice and Google's 8 KiB line
+    cap, and Spark's lpad TRUNCATES past the pad width while
+    printf('%04d') widens, so longer prefixes are out of contract
+    rather than silently divergent.
 
     Scale shape: robots rule sets are a DIMENSION (even the full
     crawl's robots corpus is ~10^7 rows); the join is a BROADCAST

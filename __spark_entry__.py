@@ -501,25 +501,34 @@ def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays both methods' SQL as subqueries and the same
     counts, so the report itself is driver-hash-verified."""
     docs = _t(spark, sf_dir, "documents")
+    # r13 (guide §2.3): all three methods consume the IDENTICAL (id, s)
+    # 3-gram shingle relation — tokenize+explode+distinct the corpus
+    # ONCE and share the cached table (before: each method built and
+    # separately cached its own copy — two redundant corpus passes)
+    sh = scoped_cache(
+        "entry.eval_report.shingles",
+        dd.shingle_table(docs, "doc_id", "text", 3),
+    )
     # cache each PAIR SET (tiny: the near-dup pairs, not the corpus) —
     # without it every count/intersection replays the whole pipeline
     # (measured 21.5 s -> the cached form's cost is one run of each)
     exact = scoped_cache(
         "entry.eval_report.exact",
-        dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5)
+        dd.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5, shingles=sh)
         .select("id_a", "id_b"),
     )
     methods = {
         "minhash": scoped_cache(
             "entry.eval_report.minhash",
             dd.minhash_lsh_pairs(
-                docs, ngram=3, num_hashes=16, bands=8, threshold=0.5
+                docs, ngram=3, num_hashes=16, bands=8, threshold=0.5,
+                shingles=sh,
             ).select("id_a", "id_b"),
         ),
         "prefix": scoped_cache(
             "entry.eval_report.prefix",
             dd.prefix_filter_jaccard_pairs(
-                docs, ngram=3, threshold=0.5
+                docs, ngram=3, threshold=0.5, shingles=sh
             ).select("id_a", "id_b"),
         ),
     }
@@ -557,7 +566,13 @@ def q_dedup_eval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same report shape as dedup_eval_report; the oracle replays both
     methods' SQL as subqueries, so the report is hash-verified."""
     docs = _t(spark, sf_dir, "documents")
-    tf = dd.shingle_tf_table(docs, "doc_id", "text", 3)
+    # r13 (guide §2.3): both methods consume the SAME (id, s, tf)
+    # relation — tokenize once, share the cached table (before: the
+    # minhash path re-built its own tf table from the raw text)
+    tf = scoped_cache(
+        "entry.eval_weighted.tf",
+        dd.shingle_tf_table(docs, "doc_id", "text", 3),
+    )
     capped = tf.select(
         "id", "s", F.least(F.col("tf"), F.lit(8)).alias("tf")
     )
@@ -570,7 +585,8 @@ def q_dedup_eval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = scoped_cache(
         "entry.eval_weighted.minhash",
         dd.weighted_minhash_pairs(
-            docs, ngram=3, num_hashes=16, bands=8, threshold=0.5, tf_cap=8
+            docs, ngram=3, num_hashes=16, bands=8, threshold=0.5, tf_cap=8,
+            tf_table=tf,
         ).select("id_a", "id_b"),
     )
     n_exact = exact.count()
@@ -2391,6 +2407,13 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from annotation_service_spark.operators.profile import profile_table
 
     orders = _t(spark, sf_dir, "orders")
+    # r13 measurement note (guide §1.1): folding the HLL estimates
+    # into the exact pass (one aggregation, no join) was tried and
+    # MEASURED ~2x SLOWER (interleaved A/B at sf0.1: cold ~4.6 ->
+    # ~9.1 s) — the combined multi-countDistinct Expand plus 9 extra
+    # HLL ImperativeAggregate buffers costs more than the cheap
+    # Expand-free approx pass plus a 9-row column_name join. The
+    # two-pass + tiny-join form stays deliberately.
     ap = profile_table(orders, approx=True).select(
         "column_name",
         "n_rows",
@@ -3614,6 +3637,13 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = fh.extract_html_text(pages).select(
         F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
     )
+    # r13 measurement note (guide §1.1): chaining the blocklist and
+    # Gopher verdicts in one projection (keep_cols, zero joins) was
+    # tried and MEASURED ~2x SLOWER (interleaved A/B at sf0.1: cold
+    # ~5.2 -> ~10.8 s) — filter pushdown re-substitutes the extracted
+    # clean_text regex chain into every verdict use site, so the
+    # extraction evaluates 4-5x per row vs once per id-join branch.
+    # The id-keyed verdict joins stay deliberately.
     bw_keep = (
         tx.blocked_word_filter(ext, ["dup"])
         .where(~F.col("blocked"))
@@ -3624,7 +3654,15 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("passes"))
         .select(F.col("id").alias("doc_id"))
     )
-    staged = ext.join(bw_keep, "doc_id").join(gq_pass, "doc_id")
+    # r13: the boilerplate stage's hot-set limit probe executes its
+    # input once before the main action does — scoped-cache the
+    # staged survivors so the probe's execution is the one the main
+    # query reuses (without it the HTML extraction ran twice; A/B
+    # showed the probe regressing this composition ~+2.5 s cold).
+    staged = scoped_cache(
+        "entry.html_pipeline.staged",
+        ext.join(bw_keep, "doc_id").join(gq_pass, "doc_id"),
+    )
     return cu.remove_boilerplate_lines(staged, max_line_df=15)
 
 
@@ -3841,6 +3879,14 @@ def _web_pipeline(
     txt = F.when(
         F.col("doc_id") % 97 == 0, F.concat(txt, F.lit(" {"))
     ).otherwise(txt)
+    # r13 measurement note (guide §1.1): chaining the C4/Gopher
+    # verdicts in one projection (keep_cols passthrough, zero joins)
+    # was tried and MEASURED SLOWER (interleaved A/B at sf0.1:
+    # web_pipeline ~6.5 -> ~9.9 s cold, web_pipeline_full worse) —
+    # filter pushdown re-substitutes the collapsed synthesized-text
+    # expression tree into every verdict use site, so the heavy
+    # expressions evaluate 3-5x per row vs once per id-join branch.
+    # The id-keyed verdict joins stay deliberately.
     c4 = tx.c4_clean(
         survivors.select("doc_id", txt.alias("text")),
         min_line_words=2,
@@ -3862,6 +3908,12 @@ def _web_pipeline(
             .select(F.col("id").alias("doc_id"))
         )
         staged = staged.join(rep_keep, "doc_id")
+    # r13: same probe-reuse cache as q_html_pipeline — the boilerplate
+    # stage's hot-set limit probe otherwise re-executes the whole
+    # synthesize+C4+Gopher upstream a second time.
+    staged = scoped_cache(
+        f"entry.web_pipeline.staged.rep{with_repetition}", staged
+    )
     return cu.remove_boilerplate_lines(staged, max_line_df=15)
 
 

@@ -287,7 +287,16 @@ def repetition_metrics_table(
     (groupBy(id, gram) -> groupBy(id)), all map-side combinable and
     keyed by doc id / content — skew-free. The final join is
     id-to-id, one row per doc per side.
-    """
+
+    r13 measurement note (guide §1): a "zero-shuffle" per-row rewrite
+    (gram arrays + ``array_distinct`` + an ``aggregate`` fold over the
+    sorted gram array for the top-gram multiplicity) was tried and
+    MEASURED 40x SLOWER at sf0.1 (80 s vs 1.3-1.9 s cold): Spark's
+    higher-order array functions are CodegenFallback — the fold
+    evaluates interpreted, allocating an accumulator struct per gram
+    per row — so five exchanges of tiny (id, gram, count) rows beat
+    per-row interpreted array arithmetic by an order of magnitude.
+    Kept the exchange form deliberately."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F  # noqa: F811
 

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from annotation_service_spark.caching import scoped_cache
+
 
 def concat_chunk_map(
     docs: DataFrame,
@@ -799,17 +801,24 @@ def token_budget_sample(
 def _doc_lines(
     docs: DataFrame, id_col: str, text_col: str, sep: str
 ) -> DataFrame:
-    """(id, line_no, line, norm) — documents split into lines with a
-    whitespace-collapsed lowercase normalization key. Linear explode;
-    everything downstream keys on the norm's CONTENT, never on the
-    document, so hot boilerplate lines shuffle as single aggregation
-    keys (map-side combinable counts), not as row fan-out."""
+    """(id, n_lines, line_no, line, norm) — documents split into lines
+    with a whitespace-collapsed lowercase normalization key. Linear
+    explode; everything downstream keys on the norm's CONTENT, never on
+    the document, so hot boilerplate lines shuffle as single aggregation
+    keys (map-side combinable counts), not as row fan-out.
+
+    r13 (optimization): the per-doc line count rides the explode
+    (``n_lines``, one long per row) and the explode is OUTER, so a
+    null-text doc still yields one (null line) row. Downstream
+    reassembly therefore needs NO second scan of ``docs`` and no
+    doc-id re-join to recover per-doc totals or all-lines-removed
+    docs — the unit table alone carries everything."""
+    arr = F.split(F.col(text_col), sep)
     return (
         docs.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias(
-                "line_no", "line"
-            ),
+            F.size(arr).cast("long").alias("n_lines"),
+            F.posexplode_outer(arr).alias("line_no", "line"),
         )
         .withColumn(
             "norm",
@@ -824,6 +833,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     sep: str = "\n",
     max_line_df: int = 30,
+    hot_broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """Line-level boilerplate removal (the CCNet/RefinedWeb line-hash
     family; public: Wenzek et al. 2020 "CCNet", Penedo et al. 2023
@@ -839,39 +849,52 @@ def remove_boilerplate_lines(
     always kept, so a corpus-wide '' never strips every paragraph
     break once it crosses the threshold.
 
-    Plan: linear line explode -> count(DISTINCT doc) per normalized
-    line (one content-keyed shuffle, partial-aggregated) -> left_anti
-    join of occurrences against the beyond-threshold line set ->
-    groupBy doc to reassemble. No all-pairs anywhere; a line shared
-    by 10^9 documents is one aggregation key, not a fan-out."""
+    Plan (r13 optimization — guide §2.3/§2.4): linear line explode ->
+    count(DISTINCT doc) per normalized line (one content-keyed
+    shuffle, partial-aggregated; scoped-cached so the limit probe and
+    the join read one materialization) -> the hot set is BROADCAST
+    (limit-probe gated, shuffle fallback) into a left join that marks
+    hot occurrences -> ONE groupBy doc reassembles, counting and
+    collecting only unmarked lines. The per-doc line total rides the
+    explode, so there is no second scan of ``docs`` and no doc-id
+    re-join; the line fan-out itself never shuffles by content. No
+    all-pairs anywhere; a line shared by 10^9 documents is one
+    aggregation key, not a fan-out."""
     lines = _doc_lines(docs, id_col, text_col, sep)
-    hot = (
+    hot = scoped_cache(
+        "curation.boilerplate.hot",
         lines.where(F.col("norm") != "")
         .groupBy("norm")
         .agg(F.count_distinct("id").alias("docs"))
         .where(F.col("docs") > max_line_df)
-        .select("norm")
+        .select("norm", F.lit(True).alias("__hot")),
     )
-    kept = lines.join(hot, "norm", "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("clean_text"),
+    # limit(+1) probe: materializes the (tiny) hot set once; bounds
+    # the broadcast decision — same contract as _keep_first_units.
+    fits = (
+        len(hot.limit(hot_broadcast_limit + 1).take(hot_broadcast_limit + 1))
+        <= hot_broadcast_limit
     )
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
-    )
-    return base.join(rebuilt, "id", "left").select(
-        "id",
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    right = F.broadcast(hot) if fits else hot
+    keep = F.col("__hot").isNull() & F.col("line").isNotNull()
+    return (
+        lines.join(right, "norm", "left")
+        .groupBy("id", "n_lines")
+        .agg(
+            F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("id", "n_lines", "n_kept", "clean_text")
     )
 
 
@@ -902,28 +925,32 @@ def dedup_lines_keep_first(
     broadcast-map lookup each, not a single-reducer pile-up. Above
     the limit the same left join runs content-keyed (AQE skew-split
     applies). The groupBy that finds the subset is partial-aggregated
-    either way."""
+    either way. r13: the per-doc line total rides the explode
+    (``_doc_lines``), so there is no second scan of ``docs``."""
     lines = _doc_lines(docs, id_col, text_col, sep)
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
-    )
-    return _keep_first_units(lines, base, sep, broadcast_dup_limit)
+    return _keep_first_units(lines, sep, broadcast_dup_limit)
 
 
 def _keep_first_units(
     lines: DataFrame,
-    base: DataFrame,
     sep: str,
     broadcast_dup_limit: int,
 ) -> DataFrame:
-    """Shared keep-first core over any (id, line_no, line, norm) unit
-    table (lines OR sentences) + an (id, n_lines) base: duplicated
-    norms keep their min-(id, line_no) occurrence, blank norms are
-    structure (always kept), reassembly joins by ``sep`` in original
-    order. Extracted verbatim from dedup_lines_keep_first so the
-    line gate's plan is unchanged."""
-    dup_first = (
+    """Shared keep-first core over any (id, n_lines, line_no, line,
+    norm) unit table (lines OR sentences): duplicated norms keep
+    their min-(id, line_no) occurrence, blank norms are structure
+    (always kept), reassembly joins by ``sep`` in original order.
+
+    r13 (optimization, guide §2.3/§2.4): the duplicated-norm subset
+    is scoped-cached, so the limit probe's materialization is the one
+    the join reuses instead of replaying the whole explode+agg; the
+    per-doc unit total rides the explode (see ``_doc_lines``), so the
+    old (id, n_lines) base scan and its doc-id re-join are gone —
+    one groupBy(id) reassembly over flag-marked lines emits the
+    final rows directly (null-line rows from the outer explode keep
+    empty/null-text docs in the output without a join)."""
+    dup_first = scoped_cache(
+        "curation.keep_first.dup_first",
         lines.where(F.col("norm") != "")
         .groupBy("norm")
         .agg(
@@ -931,47 +958,47 @@ def _keep_first_units(
             F.count(F.lit(1)).alias("cnt"),
         )
         .where(F.col("cnt") > 1)
-        .select("norm", "f")
+        .select("norm", "f"),
     )
-    # limit(+1) probe: rides the aggregation once, bounds the answer —
-    # same bounded-decision contract as token_budget_sample's offset
-    # guard, but degrading to the shuffle join instead of raising.
+    # limit(+1) probe: materializes the (small) dup subset once,
+    # bounds the broadcast decision — same bounded-decision contract
+    # as token_budget_sample's offset guard, but degrading to the
+    # shuffle join instead of raising.
     fits = (
         len(dup_first.limit(broadcast_dup_limit + 1).take(broadcast_dup_limit + 1))
         <= broadcast_dup_limit
     )
     right = F.broadcast(dup_first) if fits else dup_first
-    kept = (
-        lines.join(right, "norm", "left")
-        .where(
-            F.col("f").isNull()
-            | (
-                (F.col("id") == F.col("f.id"))
-                & (F.col("line_no") == F.col("f.line_no"))
-            )
+    keep = (
+        F.col("f").isNull()
+        | (
+            (F.col("id") == F.col("f.id"))
+            & (F.col("line_no") == F.col("f.line_no"))
         )
-        .select("id", "line_no", "line")
-    )
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("clean_text"),
-    )
-    return base.join(rebuilt, "id", "left").select(
-        "id",
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    ) & F.col("line").isNotNull()
+    return (
+        lines.join(right, "norm", "left")
+        .groupBy("id", "n_lines")
+        .agg(
+            F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("id", "n_lines", "n_kept", "clean_text")
     )
 
 
 def _doc_sentences(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame, id_col: str, text_col: str, outer: bool = False
 ) -> DataFrame:
     """(id, line_no, line, norm) at SENTENCE granularity — the unit
     table the keep-first core consumes, cut by a deterministic,
@@ -986,7 +1013,13 @@ def _doc_sentences(
     The unit keeps the ``line_no``/``line`` column names so the
     keep-first core and its tests apply verbatim; ``line_no`` is the
     sentence's index among the KEPT (non-empty) sentences, which is
-    also the reassembly order."""
+    also the reassembly order. r13: the per-doc sentence count rides
+    the explode as ``n_lines`` (what the old separate base scan
+    computed); ``outer=True`` switches to posexplode_outer so a
+    zero-sentence doc still yields one (null) row — the keep-first
+    core needs that to emit every doc without a base re-join, while
+    the streaming consumer keeps the inner default (its
+    dropDuplicates must never see a null norm row)."""
     arr = F.regexp_extract_all(
         F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
     )
@@ -994,9 +1027,11 @@ def _doc_sentences(
         arr, lambda s: F.regexp_replace(s, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")
     )
     sents = F.filter(trimmed, lambda s: s != "")
+    explode = F.posexplode_outer if outer else F.posexplode
     return docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(sents).alias("line_no", "line"),
+        F.size(sents).cast("long").alias("n_lines"),
+        explode(sents).alias("line_no", "line"),
     ).withColumn(
         "norm",
         F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")),
@@ -1021,21 +1056,11 @@ def dedup_sentences_keep_first(
     Same shuffle shape as dedup_lines_keep_first (the shared
     ``_keep_first_units`` core): the keep-first decision reads only
     the DUPLICATED-norm subset, broadcast when a limit probe says it
-    fits — a corpus-hot sentence never piles onto one reducer."""
-    sents = _doc_sentences(docs, id_col, text_col)
-    arr = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
-    )
-    trimmed = F.transform(
-        arr, lambda s: F.regexp_replace(s, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")
-    )
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.filter(trimmed, lambda s: s != ""))
-        .cast("long")
-        .alias("n_lines"),
-    )
-    out = _keep_first_units(sents, base, " ", broadcast_dup_limit)
+    fits — a corpus-hot sentence never piles onto one reducer. r13:
+    the per-doc sentence count rides the explode, so the old separate
+    base scan (a second full pass over ``docs``) is gone."""
+    sents = _doc_sentences(docs, id_col, text_col, outer=True)
+    out = _keep_first_units(sents, " ", broadcast_dup_limit)
     return out.withColumnRenamed("n_lines", "n_sents")
 
 

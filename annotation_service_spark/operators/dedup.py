@@ -211,6 +211,7 @@ def minhash_lsh_pairs(
     num_hashes: int | None = 16,
     bands: int | None = 8,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -226,6 +227,11 @@ def minhash_lsh_pairs(
     within tolerance and the signature size follows (b*r). Candidacy
     is one-sided approximation only — the exact-Jaccard verify runs
     either way — so planning affects recall, never precision.
+
+    ``shingles`` lets a composite pipeline pass a shared (id, s)
+    table (same contract as ngram_jaccard_pairs — r13: the eval
+    report shingles the corpus ONCE for all three methods); the
+    caller then owns its persistence.
     """
     if bands is None:
         bands, rows_per_band = lsh_band_plan(threshold, num_hashes=num_hashes)
@@ -236,8 +242,13 @@ def minhash_lsh_pairs(
             "only meaningful with bands=None; pass bands=None to plan the "
             "banding from threshold, or give a concrete num_hashes"
         )
-    sh = scoped_cache(
-        "dedup.minhash_lsh.shingles", shingle_table(df, id_col, text_col, ngram)
+    sh = (
+        shingles
+        if shingles is not None
+        else scoped_cache(
+            "dedup.minhash_lsh.shingles",
+            shingle_table(df, id_col, text_col, ngram),
+        )
     )
     sig = minhash_signatures(sh, num_hashes, include_size=True)
 
@@ -1589,6 +1600,7 @@ def weighted_minhash_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     tf_cap: int = 8,
+    tf_table: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted near-dup pairs at scale: MinHash over the TF-EXPANDED
     multiset (each shingle s with frequency tf becomes distinct
@@ -1609,10 +1621,17 @@ def weighted_minhash_pairs(
     only approximation — identical in kind to minhash_lsh_pairs.
 
     Returns (id_a, id_b, wjaccard), the capped weighted Jaccard,
-    >= threshold."""
-    tf = scoped_cache(
-        "dedup.weighted_minhash.tf",
-        shingle_tf_table(df, id_col, text_col, ngram),
+    >= threshold. ``tf_table`` lets a composite pipeline pass a
+    shared (id, s, tf) relation (r13: the weighted eval report
+    tokenizes once for both methods); the caller then owns its
+    persistence."""
+    tf = (
+        tf_table
+        if tf_table is not None
+        else scoped_cache(
+            "dedup.weighted_minhash.tf",
+            shingle_tf_table(df, id_col, text_col, ngram),
+        )
     )
     capped = _capped_tf(tf, tf_cap)
     expanded = _tf_expand(capped)
@@ -1841,8 +1860,11 @@ def incremental_minhash_dedup(
 
     Scale: candidates come from the band-bucket equi-join (md5 band
     keys — unbounded keyspace, candidates ∝ true near-dups); the
-    estimator join moves only signatures. The corpus text is read
-    once (shingle → signature aggregation, map-side combinable)."""
+    banded rows carry their signatures (bands × num_hashes longs per
+    doc — ~1 KB at the defaults) so the estimator is an in-line
+    filter on the collision rows and nothing but bounded-size
+    signature metadata ever shuffles. The corpus text is read once
+    (shingle → signature aggregation, map-side combinable)."""
     sh = shingle_table(new_docs, id_col, text_col, ngram)
     sig_new = scoped_cache(
         "dedup.incremental_minhash.sig", minhash_signatures(sh, num_hashes)
@@ -1858,64 +1880,59 @@ def incremental_minhash_dedup(
             ).otherwise(0)
         return m
 
-    banded_new = _minhash_banded_rows(sig_new, num_hashes, bands, [])
+    # r13 (guide §2.4): the banded rows CARRY their signature (the
+    # simhash_pairs carry_sig shape), so the dup decision is one band
+    # equi-join + an in-line estimator filter + a tiny id distinct —
+    # the r12 form shuffled band keys, distinct-ed the candidate
+    # PAIRS, then re-joined both signature tables back on each side
+    # (measured: 18 Exchanges / 6 SortMergeJoins at sf0.1, cut to a
+    # third). A pair colliding in several bands now evaluates the
+    # 16-term estimator once per collision instead of once per
+    # distinct pair — trivially cheaper than the two shuffles it
+    # replaces; the decision (and so the survivor set) is identical.
+    banded_new = _minhash_banded_rows(sig_new, num_hashes, bands, mh_cols)
     seen = seen_sigs.select(
         F.col(id_col).alias("id"), *mh_cols
     )
-    banded_seen = _minhash_banded_rows(seen, num_hashes, bands, [])
-    cand_vs_seen = (
-        banded_new.select(F.col("id").alias("new_id"), "band", "bucket")
-        .join(
-            banded_seen.select(F.col("id").alias("seen_id"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .select("new_id", "seen_id")
-        .distinct()
-    )
-    a = sig_new.select(
+    banded_seen = _minhash_banded_rows(seen, num_hashes, bands, mh_cols)
+    a_side = banded_new.select(
         F.col("id").alias("new_id"),
         *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+        "band",
+        "bucket",
     )
-    b = seen.select(
+    b_side = banded_seen.select(
         F.col("id").alias("seen_id"),
         *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+        "band",
+        "bucket",
     )
     dup_vs_seen = (
-        cand_vs_seen.join(a, "new_id")
-        .join(b, "seen_id")
+        a_side.join(b_side, ["band", "bucket"])
         .where(matches("a_", "b_") >= need)
         .select(F.col("new_id").alias("id"))
         .distinct()
     )
     fresh = sig_new.join(dup_vs_seen, "id", "left_anti")
-    # in-batch pair dominance among the still-fresh rows
-    banded_fresh = _minhash_banded_rows(fresh, num_hashes, bands, [])
-    batch_pairs = (
-        banded_fresh.select(F.col("id").alias("id_a"), "band", "bucket")
-        .join(
-            banded_fresh.select(F.col("id").alias("id_b"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # in-batch pair dominance among the still-fresh rows: same
+    # carried-signature band self-join (the two legs are identical
+    # subtrees, so the exchange is planned once and reused)
+    banded_fresh = _minhash_banded_rows(fresh, num_hashes, bands, mh_cols)
+    fa = banded_fresh.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+        "band",
+        "bucket",
+    )
+    fb = banded_fresh.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+        "band",
+        "bucket",
     )
     dominated = (
-        batch_pairs.join(
-            fresh.select(
-                F.col("id").alias("id_a"),
-                *[F.col(c).alias(f"a_{c}") for c in mh_cols],
-            ),
-            "id_a",
-        )
-        .join(
-            fresh.select(
-                F.col("id").alias("id_b"),
-                *[F.col(c).alias(f"b_{c}") for c in mh_cols],
-            ),
-            "id_b",
-        )
-        .where(matches("a_", "b_") >= need)
+        fa.join(fb, ["band", "bucket"])
+        .where((F.col("id_a") < F.col("id_b")) & (matches("a_", "b_") >= need))
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

@@ -220,14 +220,24 @@ def triangle_counts(
     (pytest-pinned).
 
     Returns (id, n_triangles) for every node on ≥1 edge (nodes with
-    zero triangles included — their count is 0)."""
-    e = (
+    zero triangles included — their count is 0).
+
+    The canonical edge set is scoped-cached (r13, guide §2.4): the
+    plan consumes it five times (three join legs + the node roll-up),
+    and when ``pairs`` is itself a shingle-join near-dup pipeline,
+    each uncached reference replayed that whole pipeline — measured
+    at sf0.1, 26 Exchanges with zero reuse. Edges are the tiny
+    relation here (∝ near-dup pairs, not corpus bytes)."""
+    from annotation_service_spark.caching import scoped_cache
+
+    e = scoped_cache(
+        "graph.triangles.edges",
         pairs.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
         )
         .where(F.col("lo") != F.col("hi"))
-        .distinct()
+        .distinct(),
     )
     nodes = (
         e.select(F.col("lo").alias("id"))

@@ -293,14 +293,17 @@ def test_shared_passages_plan(spark):
 
 
 def test_line_family_plans(spark):
-    """Line-hash family (r12): the hot-line filter must reach the
-    occurrences as a LeftAnti equi-join (boilerplate) / an equi-join
-    on the norm (keep-first) — never a cross product — and the
-    per-line distinct-doc count must carry a partial (map-side)
-    phase; reassembly groups by doc id, no single-partition stage."""
+    """Line-hash family (r12, reshaped r13): the hot-line filter must
+    reach the occurrences as a BROADCAST equi-join on the norm (the
+    hot set is tiny by construction — it IS the boilerplate; r12's
+    shuffle LeftAnti re-shuffled the whole line fan-out by content)
+    — never a cross product — and the per-line distinct-doc count
+    must carry a partial (map-side) phase; reassembly groups by doc
+    id, no single-partition stage, and since r13 no second scan-side
+    join back to the documents table."""
     p = _plan(em.q_boilerplate_lines(spark, SF))
     _assert_no_blowups(p)
-    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
     assert "SinglePartition" not in p
     assert "partial_count" in p or "partial_min" in p
     p2 = _plan(em.q_line_dedup_keep_first(spark, SF))
@@ -402,12 +405,12 @@ def test_kn_and_badword_plans(spark):
 def test_html_pipeline_plan(spark):
     """Composed markup pipeline: extraction is projection-only, the
     stage gates join on doc_id (equi-joins), the hot-line decision is
-    a LeftAnti against the content-keyed aggregate — no cross
-    products, no single-partition window."""
+    a broadcast equi-join against the content-keyed aggregate (r13)
+    — no cross products, no single-partition window."""
     p = _plan(em.q_html_pipeline(spark, SF))
     _assert_no_blowups(p)
     assert any(j in p for j in EQUI_JOINS)
-    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
     assert "SinglePartition" not in p
 
 

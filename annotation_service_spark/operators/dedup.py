@@ -299,7 +299,17 @@ def _span_grams(
     ``tok`` is (id, pos, tok) from one posexplode; ``grams`` is
     (id, pos, gh) — the md5 of each window-assembled k-gram at every
     start position (lead() over the per-doc position window, one
-    shuffle keyed by doc id)."""
+    shuffle keyed by doc id).
+
+    r13 measurement note (guide §1.1): the line family's
+    carry-n-through-an-outer-explode + flag-join rebuild was tried
+    here and MEASURED ~2x SLOWER (span_dedup_apply ~4.1 -> ~8.6 s
+    cold at sf0.1): ``tokens()`` is a heavy regex split and the
+    ``size(arr)`` rider re-evaluates it per row (no CSE across a
+    Generate), while the flag-join feeds ALL token rows — covered
+    ones included — through the collect_list reassembly instead of
+    only survivors. The separate cheap base scan + left_anti shape
+    stays deliberately."""
     from pyspark.sql import Window
 
     tok = df.select(
@@ -360,6 +370,11 @@ def shared_passage_anchors(
         g = cap_shingles(
             grams.select("id", "pos", F.col("gh").alias("s")), max_df
         ).select("id", "pos", F.col("s").alias("gh"))
+    # r13 (guide §2.4): both legs of the anchor self-join consume the
+    # SAME capped gram table — cache it so the tokenize+window gram
+    # pipeline runs once, not once per leg (measured: 4 scans / 3
+    # Window nodes in the shared_passages plan before).
+    g = scoped_cache("dedup.shared_passages.anchor_grams", g)
     a = g.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "gh")
     b = g.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "gh")
     return (
@@ -692,33 +707,7 @@ def remove_duplicate_spans_keep_first(
         )
         .select("id", "pos")
     )
-    covered = marked.select(
-        "id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
-            "pos"
-        ),
-    ).distinct()
-    kept = tok.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-    )
-    return base.join(rebuilt, "id", "left").select(
-        "id",
-        "n_tokens",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-    )
+    return _rebuild_uncovered(df, id_col, text_col, tok, marked, k)
 
 
 def remove_duplicate_spans(
@@ -745,6 +734,23 @@ def remove_duplicate_spans(
     hash, skew-free; nothing leaves the executors.
     """
     tok, marked = _span_tokens_and_marks(df, id_col, text_col, k)
+    return _rebuild_uncovered(df, id_col, text_col, tok, marked, k)
+
+
+def _rebuild_uncovered(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tok: DataFrame,
+    marked: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Shared rebuild of the span-dedup apply step: expand marked
+    span starts to covered positions, drop covered token rows
+    (left_anti), reassemble per document, and recover
+    fully-covered/empty docs via the cheap (id, n_tokens) base scan.
+    (See _span_grams for why the flag-join/outer-explode alternative
+    measured slower and was reverted.)"""
     covered = marked.select(
         "id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
@@ -1419,7 +1425,13 @@ def _prefix_docs_and_candidates(
     # one groupBy id builds the canonical rarest-first shingle array
     # AND the set size; array_sort on struct<df,s> sorts by (df, s) —
     # a deterministic total order both engines can replay
-    docs = (
+    # r13 (guide §2.4): the ordered-array doc table feeds FOUR plan
+    # legs (both prefix-explode sides + both verify attach sides) —
+    # cache it so the df window + array groupBy run once, not four
+    # times (measured: 8 Window nodes / 12 Exchanges in the
+    # dedup_jaccard_prefix plan before, 4 scans of the corpus).
+    docs = scoped_cache(
+        "dedup.prefix.docs",
         sh.select("id", "s", dfc.alias("df"))
         .groupBy("id")
         .agg(
@@ -1428,7 +1440,7 @@ def _prefix_docs_and_candidates(
         )
         .select(
             "id", "n", F.transform("ord", lambda x: x["s"]).alias("toks")
-        )
+        ),
     )
     alpha = F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
     prefix_len = (F.col("n") - alpha + 1).cast("int")
@@ -1796,6 +1808,11 @@ def winnow_pairs(
     if max_df is not None:
         fp = cap_shingles(fp.withColumnRenamed("h", "s"), max_df)
         fp = fp.withColumnRenamed("s", "h")
+    # r13 (guide §2.4): both legs of the pair self-join consume the
+    # SAME fingerprint table — cache it so the winnow window pipeline
+    # runs once, not once per leg (measured: 4 scans / 4 Window nodes
+    # in the plan before).
+    fp = scoped_cache("dedup.winnow.fp", fp)
     a = fp.select(F.col("id").alias("id_a"), "h")
     b = fp.select(F.col("id").alias("id_b"), "h")
     return (

@@ -28,18 +28,34 @@ from pyspark.sql import functions as F
 def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     """One row per column: (column_name, n_rows, n_nulls, n_distinct,
     min_value, max_value). min/max are computed on the native type
-    and cast to string for a uniform schema."""
+    and cast to string for a uniform schema.
+
+    r13 (guide §1.1/§2): exact mode runs TWO aggregation passes
+    cross-joined on their single rows rather than one combined pass.
+    The multi-column countDistinct plans through Expand, and string
+    min/max buffers are not HashAggregate-mutable — combined, the
+    whole aggregation fell back to SortAggregate over the
+    Expand-multiplied rows (measured: 2 Sorts of |rows|×(n_cols+1)
+    in the plan, 3.5 s on a 2.6 MB table). Split, the distinct pass
+    is a pure-long hash aggregation and the min/max pass is a global
+    (grouping-free, so sort-free) SortAggregate over the raw rows;
+    the cross join glues two 1-row relations. Approx mode keeps the
+    single pass (HLL plans Expand-free through ObjectHashAggregate)."""
     distinct = F.approx_count_distinct if approx else F.countDistinct
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    dist_aggs = [F.count(F.lit(1)).alias("__n")]
+    other_aggs = []
     for f in df.schema.fields:
         c = F.col(f.name)
-        aggs += [
+        dist_aggs.append(distinct(c).alias(f"{f.name}__distinct"))
+        other_aggs += [
             F.sum(c.isNull().cast("long")).alias(f"{f.name}__nulls"),
-            distinct(c).alias(f"{f.name}__distinct"),
             F.min(c).cast("string").alias(f"{f.name}__min"),
             F.max(c).cast("string").alias(f"{f.name}__max"),
         ]
-    row = df.agg(*aggs)
+    if approx:
+        row = df.agg(*dist_aggs, *other_aggs)
+    else:
+        row = df.agg(*dist_aggs).crossJoin(df.agg(*other_aggs))
     stacks = []
     for f in df.schema.fields:
         stacks.append(

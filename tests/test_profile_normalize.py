@@ -34,14 +34,23 @@ def test_profile_counts_and_nulls(spark):
 
 
 def test_profile_single_pass_no_join(spark):
-    """The whole profile must be ONE aggregation over the table —
-    no self-joins, no per-column scans."""
+    """The profile must be BOUNDED aggregation passes over the table
+    — no per-column scans, and (r13) no sort of the Expand-multiplied
+    stream: the exact mode splits into a hash-friendly distinct pass
+    plus a grouping-free min/max pass glued by a 1-row cross join,
+    because string min/max buffers in the combined pass forced
+    SortAggregate over |rows|×(n_cols+1) Expand output (measured 2
+    Sorts, ~3.5 s on a 2.6 MB table)."""
     out = profile_table(em._t(spark, SF, "orders"))
     p = out._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in p
-    # exactly one scan of the source
-    assert p.count("Scan parquet") + p.count("FileScan") >= 1
-    assert p.count("orders.parquet") <= 2  # columnar scan reused, not per-column
+    # the only join is the 1-row × 1-row cross glue — never a keyed
+    # self-join of the table
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # two bounded passes, not one per column
+    assert p.count("orders.parquet") <= 2
+    # the Expand stream must aggregate hash-side — no sorted
+    # aggregation of the multiplied rows
+    assert "Sort " not in p, p
 
 
 def test_profile_approx_mode_avoids_expand(spark):

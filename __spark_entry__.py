@@ -518,11 +518,14 @@ def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b"),
     )
     methods = {
+        # r13 (guide §2.4): the exact relation IS the verify's accept
+        # set — truth_pairs turns minhash's shingle⨝shingle verify
+        # into candidates ⨝ exact (identical set by definition)
         "minhash": scoped_cache(
             "entry.eval_report.minhash",
             dd.minhash_lsh_pairs(
                 docs, ngram=3, num_hashes=16, bands=8, threshold=0.5,
-                shingles=sh,
+                shingles=sh, truth_pairs=exact,
             ).select("id_a", "id_b"),
         ),
         "prefix": scoped_cache(
@@ -582,11 +585,13 @@ def q_dedup_eval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, ngram=3, threshold=0.5, tf_table=capped
         ).select("id_a", "id_b"),
     )
+    # r13 (guide §2.4): verify = candidates ⨝ exact (same set by
+    # definition — see weighted_minhash_pairs' truth_pairs contract)
     approx = scoped_cache(
         "entry.eval_weighted.minhash",
         dd.weighted_minhash_pairs(
             docs, ngram=3, num_hashes=16, bands=8, threshold=0.5, tf_cap=8,
-            tf_table=tf,
+            tf_table=tf, truth_pairs=exact,
         ).select("id_a", "id_b"),
     )
     n_exact = exact.count()
@@ -3663,7 +3668,11 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entry.html_pipeline.staged",
         ext.join(bw_keep, "doc_id").join(gq_pass, "doc_id"),
     )
-    return cu.remove_boilerplate_lines(staged, max_line_df=15)
+    # cache_units=False: staged is already cached — re-splitting it
+    # beats materializing a second corpus-sized units cache (A/B r13)
+    return cu.remove_boilerplate_lines(
+        staged, max_line_df=15, cache_units=False
+    )
 
 
 def q_stream_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3914,7 +3923,11 @@ def _web_pipeline(
     staged = scoped_cache(
         f"entry.web_pipeline.staged.rep{with_repetition}", staged
     )
-    return cu.remove_boilerplate_lines(staged, max_line_df=15)
+    # cache_units=False: staged is already cached — re-splitting it
+    # beats materializing a second corpus-sized units cache (A/B r13)
+    return cu.remove_boilerplate_lines(
+        staged, max_line_df=15, cache_units=False
+    )
 
 
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:

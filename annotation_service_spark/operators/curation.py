@@ -834,6 +834,7 @@ def remove_boilerplate_lines(
     sep: str = "\n",
     max_line_df: int = 30,
     hot_broadcast_limit: int = 100_000,
+    cache_units: bool = True,
 ) -> DataFrame:
     """Line-level boilerplate removal (the CCNet/RefinedWeb line-hash
     family; public: Wenzek et al. 2020 "CCNet", Penedo et al. 2023
@@ -859,8 +860,20 @@ def remove_boilerplate_lines(
     explode, so there is no second scan of ``docs`` and no doc-id
     re-join; the line fan-out itself never shuffles by content. No
     all-pairs anywhere; a line shared by 10^9 documents is one
-    aggregation key, not a fan-out."""
+    aggregation key, not a fan-out.
+
+    ``cache_units`` (r13, guide §5): the hot-set probe executes the
+    unit explode's upstream once before the main action does — with
+    the default True the unit table is scoped-cached so that upstream
+    (parquet scan + synthesis + split) runs ONCE (A/B: bare-gate cold
+    ~0.75x, warm ~0.3x). Callers whose input is ALREADY cached (the
+    composed pipelines cache their staged survivors) pass False: a
+    re-split of a cached input is cheaper than materializing a second
+    corpus-sized cache (A/B: html_pipeline regressed ~10% with the
+    double cache)."""
     lines = _doc_lines(docs, id_col, text_col, sep)
+    if cache_units:
+        lines = scoped_cache("curation.boilerplate.units", lines)
     hot = scoped_cache(
         "curation.boilerplate.hot",
         lines.where(F.col("norm") != "")
@@ -928,13 +941,17 @@ def dedup_lines_keep_first(
     either way. r13: the per-doc line total rides the explode
     (``_doc_lines``), so there is no second scan of ``docs``."""
     lines = _doc_lines(docs, id_col, text_col, sep)
-    return _keep_first_units(lines, sep, broadcast_dup_limit)
+    return _keep_first_units(
+        lines, sep, broadcast_dup_limit,
+        units_cache_key="curation.keep_first.units.lines",
+    )
 
 
 def _keep_first_units(
     lines: DataFrame,
     sep: str,
     broadcast_dup_limit: int,
+    units_cache_key: str | None = None,
 ) -> DataFrame:
     """Shared keep-first core over any (id, n_lines, line_no, line,
     norm) unit table (lines OR sentences): duplicated norms keep
@@ -948,7 +965,18 @@ def _keep_first_units(
     old (id, n_lines) base scan and its doc-id re-join are gone —
     one groupBy(id) reassembly over flag-marked lines emits the
     final rows directly (null-line rows from the outer explode keep
-    empty/null-text docs in the output without a join)."""
+    empty/null-text docs in the output without a join).
+
+    ``units_cache_key``: when set, the unit table itself is
+    scoped-cached so the broadcast probe's materialization of the
+    dup subset and the main action's join left side read ONE
+    execution of the upstream (parquet scan + text synthesis +
+    split) instead of two (guide §5 — reused AND expensive to
+    recompute; the cache spills to disk above memory). Callers on
+    corpora too large to spill can pass None to keep the
+    two-scan/no-cache shape."""
+    if units_cache_key is not None:
+        lines = scoped_cache(units_cache_key, lines)
     dup_first = scoped_cache(
         "curation.keep_first.dup_first",
         lines.where(F.col("norm") != "")
@@ -1060,7 +1088,10 @@ def dedup_sentences_keep_first(
     the per-doc sentence count rides the explode, so the old separate
     base scan (a second full pass over ``docs``) is gone."""
     sents = _doc_sentences(docs, id_col, text_col, outer=True)
-    out = _keep_first_units(sents, " ", broadcast_dup_limit)
+    out = _keep_first_units(
+        sents, " ", broadcast_dup_limit,
+        units_cache_key="curation.keep_first.units.sents",
+    )
     return out.withColumnRenamed("n_lines", "n_sents")
 
 

@@ -212,6 +212,7 @@ def minhash_lsh_pairs(
     bands: int | None = 8,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    truth_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -232,6 +233,19 @@ def minhash_lsh_pairs(
     table (same contract as ngram_jaccard_pairs — r13: the eval
     report shingles the corpus ONCE for all three methods); the
     caller then owns its persistence.
+
+    ``truth_pairs`` (r13, guide §2.4): when the caller has ALREADY
+    computed the exact ground-truth pair relation at the SAME
+    threshold over the SAME shingle space (the eval report does —
+    ngram_jaccard_pairs output, id_a < id_b), the verify stage is a
+    join against it instead of a second shingle⨝shingle + aggregate:
+    the verify accepts exactly the banded candidates whose exact
+    Jaccard ≥ threshold, i.e. candidates ∩ truth, and any accepted
+    pair shares ≥ 1 shingle (J ≥ threshold > 0) so it is in the
+    truth relation's blocking by construction — the output SET is
+    identical by definition, only the plan changes. The caller owns
+    the contract that truth_pairs really is the same-parameter exact
+    relation.
     """
     if bands is None:
         bands, rows_per_band = lsh_band_plan(threshold, num_hashes=num_hashes)
@@ -250,6 +264,20 @@ def minhash_lsh_pairs(
             shingle_table(df, id_col, text_col, ngram),
         )
     )
+    if truth_pairs is not None:
+        sig = minhash_signatures(sh, num_hashes)
+        banded = _minhash_banded_rows(sig, num_hashes, bands, [])
+        cand_ids = (
+            banded.select(F.col("id").alias("id_a"), "band", "bucket")
+            .join(
+                banded.select(F.col("id").alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return cand_ids.join(truth_pairs, ["id_a", "id_b"])
     sig = minhash_signatures(sh, num_hashes, include_size=True)
 
     # the per-doc shingle count n rides the band rows (2 extra longs
@@ -1613,6 +1641,7 @@ def weighted_minhash_pairs(
     threshold: float = 0.5,
     tf_cap: int = 8,
     tf_table: DataFrame | None = None,
+    truth_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted near-dup pairs at scale: MinHash over the TF-EXPANDED
     multiset (each shingle s with frequency tf becomes distinct
@@ -1636,7 +1665,15 @@ def weighted_minhash_pairs(
     >= threshold. ``tf_table`` lets a composite pipeline pass a
     shared (id, s, tf) relation (r13: the weighted eval report
     tokenizes once for both methods); the caller then owns its
-    persistence."""
+    persistence.
+
+    ``truth_pairs`` (r13, guide §2.4): same contract as
+    minhash_lsh_pairs — when the caller already holds the exact
+    capped-weighted-Jaccard pair relation at the same threshold over
+    the same tf space (weighted_jaccard_pairs fed the capped tf),
+    the verify becomes candidates ⨝ truth; the output set is
+    identical by definition (an accepted pair has J_w ≥ threshold >
+    0, so it shares a shingle and is in the truth blocking)."""
     tf = (
         tf_table
         if tf_table is not None
@@ -1647,6 +1684,20 @@ def weighted_minhash_pairs(
     )
     capped = _capped_tf(tf, tf_cap)
     expanded = _tf_expand(capped)
+    if truth_pairs is not None:
+        sig = minhash_signatures(expanded, num_hashes)
+        banded = _minhash_banded_rows(sig, num_hashes, bands, [])
+        cand_ids = (
+            banded.select(F.col("id").alias("id_a"), "band", "bucket")
+            .join(
+                banded.select(F.col("id").alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return cand_ids.join(truth_pairs, ["id_a", "id_b"])
     # include_size=True: n = count of expanded rows per doc = Σ ctf =
     # the capped total weight W — the denominator rides the signature
     # groupBy, exactly like the set form's size piggyback

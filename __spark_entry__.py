@@ -520,26 +520,43 @@ def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         # r13 (guide §2.4): the exact relation IS the verify's accept
         # set — truth_pairs turns minhash's shingle⨝shingle verify
-        # into candidates ⨝ exact (identical set by definition)
-        "minhash": scoped_cache(
-            "entry.eval_report.minhash",
-            dd.minhash_lsh_pairs(
-                docs, ngram=3, num_hashes=16, bands=8, threshold=0.5,
-                shingles=sh, truth_pairs=exact,
-            ).select("id_a", "id_b"),
+        # into candidates ⨝ exact (identical set by definition). The
+        # bool marks method ⊆ exact BY CONSTRUCTION (built as
+        # candidates ⨝ exact), so n_common == n_method and the
+        # intersection count action is redundant — provably the same
+        # number, one less job. prefix's 1.0/1.0 is an algorithmic
+        # RESULT (PPJoin losslessness), not a construction, so its
+        # intersection is still counted — the report must be able to
+        # catch a prefix-filter bug.
+        "minhash": (
+            scoped_cache(
+                "entry.eval_report.minhash",
+                dd.minhash_lsh_pairs(
+                    docs, ngram=3, num_hashes=16, bands=8, threshold=0.5,
+                    shingles=sh, truth_pairs=exact,
+                ).select("id_a", "id_b"),
+            ),
+            True,
         ),
-        "prefix": scoped_cache(
-            "entry.eval_report.prefix",
-            dd.prefix_filter_jaccard_pairs(
-                docs, ngram=3, threshold=0.5, shingles=sh
-            ).select("id_a", "id_b"),
+        "prefix": (
+            scoped_cache(
+                "entry.eval_report.prefix",
+                dd.prefix_filter_jaccard_pairs(
+                    docs, ngram=3, threshold=0.5, shingles=sh
+                ).select("id_a", "id_b"),
+            ),
+            False,
         ),
     }
     reports = []
     n_exact = exact.count()
-    for name, got in methods.items():
+    for name, (got, subset_of_exact) in methods.items():
         n_method = got.count()
-        n_common = got.join(exact, ["id_a", "id_b"]).count()
+        n_common = (
+            n_method
+            if subset_of_exact
+            else got.join(exact, ["id_a", "id_b"]).count()
+        )
         # exact double division of exact ints — bit-identical in both
         # engines, no rounding needed (python round() is half-even,
         # DuckDB's is half-away: rounding would be the portability bug)
@@ -596,7 +613,10 @@ def q_dedup_eval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_exact = exact.count()
     n_method = approx.count()
-    n_common = approx.join(exact, ["id_a", "id_b"]).count()
+    # approx ⊆ exact BY CONSTRUCTION (truth_pairs built it as
+    # candidates ⨝ exact), so the intersection count IS n_method —
+    # same number, one less count job (guide §2.4)
+    n_common = n_method
     return spark.createDataFrame(
         [
             (
@@ -1755,9 +1775,22 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(dd.tokens(F.col("text"))).alias("token"))
-    sketch = sk.count_min_build(tok, "token", depth=4, width=1024)
-    est = sk.count_min_estimate(sketch, tok, "token", depth=4, width=1024)
-    exact = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # r13 (guide §2.3 "aggregate before you shuffle"): the corpus is
+    # tokenized ONCE into the exact (token, cnt) vocabulary relation;
+    # the sketch is then built from it WEIGHTED (cell = Σ cnt — the
+    # occurrence count by definition) and the estimate probes the
+    # same tiny cached vocab, instead of all three legs re-running
+    # the regex tokenize over the corpus. (Caching the raw token
+    # explode instead was measured 1.28x WORSE cold — a corpus-sized
+    # cache write costs more than the scans it saves.)
+    exact = scoped_cache(
+        "entry.cms_counts.exact",
+        tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+    )
+    sketch = sk.count_min_build(
+        exact, "token", depth=4, width=1024, weight_col="cnt"
+    )
+    est = sk.count_min_estimate(sketch, exact, "token", depth=4, width=1024)
     return exact.join(est, "token")
 
 

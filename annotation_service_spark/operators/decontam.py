@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_cache
 from .dedup import shingle_table
 
 
@@ -164,6 +165,10 @@ def decontaminate_spans(
 
     from .dedup import shingle_table, tokens
 
+    # The token fan-out feeds two plan legs (gram builder + coverage
+    # join); caching it was measured ~par cold (a corpus-token-sized
+    # cache write buys back only one regex pass) — the legs re-split
+    # instead, and only the TINY merged-span table below is cached.
     tok = corpus.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
@@ -202,10 +207,16 @@ def decontaminate_spans(
         prev_max_hi.isNull() | (F.col("lo") > prev_max_hi), 1
     ).otherwise(0)
     grp = F.sum(brk).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-    merged = (
+    # r13 (guide §5): merged is TINY (∝ contaminated spans, not corpus
+    # bytes) but feeds two legs (n_spans and the coverage join build
+    # side) — uncached, each leg replayed the whole
+    # tokenize→gram→broadcast-join→two-window pipeline (measured:
+    # 16 Window nodes / 10 corpus scans in the gate's plan).
+    merged = scoped_cache(
+        "decontam.spans.merged",
         spans.withColumn("grp", grp)
         .groupBy("id", "grp")
-        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")),
     )
     n_spans = merged.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
     # rename the span side's key before the non-equi join: both sides

@@ -40,9 +40,16 @@ def count_min_build(
     key_col: str,
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (row, bucket, c) cells, at most depth·width
-    rows total."""
+    rows total.
+
+    ``weight_col`` (r13, guide §2.3 "aggregate before you shuffle"):
+    build from a PRE-AGGREGATED (key, weight) relation instead of raw
+    occurrence rows — cell value Σ_{keys hashing to cell} weight is
+    identical by definition to counting the occurrences, but the
+    explode fans out |vocabulary| rows instead of |corpus tokens|."""
     cells = F.array(
         *[
             F.struct(
@@ -52,9 +59,12 @@ def count_min_build(
             for i in range(depth)
         ]
     )
-    ex = df.select(F.explode(cells).alias("rb")).select("rb.row", "rb.bucket")
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    ex = df.select(F.explode(cells).alias("rb"), w.alias("_w")).select(
+        "rb.row", "rb.bucket", "_w"
+    )
     return ex.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        F.sum("_w").cast("long").alias("c")
     )
 
 

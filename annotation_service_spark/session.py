@@ -63,6 +63,16 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # preferSortMergeJoin stays at the default (true). r13 measured
+        # the guide-§9 alternative (preferSortMergeJoin=false +
+        # adaptive.maxShuffledHashJoinLocalMapThreshold=64m) with
+        # interleaved A/B over the SMJ-heaviest gates: steady-state
+        # NEUTRAL (dedup_eval_report ~7-10s both modes in isolation;
+        # first-batch "wins" were ambient-gradient artifacts and
+        # dedup_incremental_minhash leaned 1.2x WORSE under SHJ —
+        # its wide signature-carrying rows hash-build slower than they
+        # merge). A global planner change needs a consistent win to
+        # carry the OOM risk; this one does not have it.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 16g, not "all the RAM": G1 young regions and concurrent

@@ -96,6 +96,33 @@ def test_count_min_bounds(spark):
     assert sk.count() <= 4 * 256
 
 
+def test_count_min_weighted_build_matches_occurrences(spark):
+    """The r13 aggregate-first form — build from the pre-aggregated
+    (key, cnt) relation with weight_col — yields cell-for-cell the
+    SAME sketch as building from raw occurrence rows (cell value
+    Σ_{keys→cell} cnt ≡ occurrence count by definition)."""
+    from pyspark.sql import functions as F
+
+    from annotation_service_spark.operators.sketch import count_min_build
+
+    rows = []
+    for k in range(1, 400):
+        rows.extend([(f"key{k}",)] * max(1, 300 // k))
+    occ = spark.createDataFrame(rows, ["token"])
+    agg = occ.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    a = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in count_min_build(occ, "token", depth=4, width=64).collect()
+    }
+    b = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in count_min_build(
+            agg, "token", depth=4, width=64, weight_col="cnt"
+        ).collect()
+    }
+    assert a == b
+
+
 def test_count_min_streaming_update(spark, tmp_path):
     """count_min_build runs unchanged as a streaming aggregation:
     complete-mode cells after consuming the stream equal the batch

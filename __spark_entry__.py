@@ -550,8 +550,26 @@ def q_dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     reports = []
     n_exact = exact.count()
+    # r13 (guide §2.6 "overlap independent jobs"): the two method
+    # pipelines are independent ACTIONS the driver otherwise runs
+    # back-to-back, leaving the cluster idle through each one's
+    # stage tail — submit both counts from a 2-thread pool so the
+    # next pipeline's tasks back-fill executors the current one
+    # frees. exact is materialized FIRST (above): minhash's verify
+    # join consumes its cache, so overlapping it with the methods
+    # would duplicate the exact pipeline's work instead of reusing it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        n_methods = {
+            name: f
+            for name, f in zip(
+                methods,
+                pool.map(lambda kv: kv[0].count(), methods.values()),
+            )
+        }
     for name, (got, subset_of_exact) in methods.items():
-        n_method = got.count()
+        n_method = n_methods[name]
         n_common = (
             n_method
             if subset_of_exact

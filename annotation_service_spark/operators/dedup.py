@@ -320,7 +320,7 @@ def minhash_lsh_pairs(
 
 
 def _span_grams(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, cache: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Shared span machinery: (token positions, k-gram table).
 
@@ -328,6 +328,17 @@ def _span_grams(
     (id, pos, gh) — the md5 of each window-assembled k-gram at every
     start position (lead() over the per-doc position window, one
     shuffle keyed by doc id).
+
+    ``cache=True`` scoped-caches BOTH relations (guide §2.4/§5): the
+    span consumers reference ``grams`` from two plan legs (the dup
+    aggregate + the mark join-back) and ``tok`` from a third (the
+    left_anti rebuild), so uncached each leg replays the regex
+    tokenize + posexplode (+ the per-doc window for the gram legs)
+    over the whole corpus. Same precedent as the cached shingle
+    tables in ngram_jaccard_pairs — token-grain relations, spillable,
+    and released by release_caches(). Callers that consume the gram
+    table only once (shared_passage_anchors caches its own CAPPED
+    copy) keep the default uncached lazy plans.
 
     r13 measurement note (guide §1.1): the line family's
     carry-n-through-an-outer-explode + flag-join rebuild was tried
@@ -344,6 +355,8 @@ def _span_grams(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
+    if cache:
+        tok = scoped_cache("dedup.span.tok", tok)
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     grams = (
@@ -356,6 +369,8 @@ def _span_grams(
         .where(F.col("_last").isNotNull())
         .drop("_last")
     )
+    if cache:
+        grams = scoped_cache("dedup.span.grams", grams)
     return tok, grams
 
 
@@ -366,7 +381,7 @@ def _span_tokens_and_marks(
     (id, pos) of every k-gram occurrence whose gram appears >= twice
     corpus-wide (hash groupBy + equi-join — both shuffles keyed by
     content hash)."""
-    tok, grams = _span_grams(df, id_col, text_col, k)
+    tok, grams = _span_grams(df, id_col, text_col, k, cache=True)
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -722,7 +737,7 @@ def remove_duplicate_spans_keep_first(
 
     Same output contract as remove_duplicate_spans:
     (id, n_tokens, n_kept, clean_text)."""
-    tok, grams = _span_grams(df, id_col, text_col, k)
+    tok, grams = _span_grams(df, id_col, text_col, k, cache=True)
     # min_by struct: the gram's first (id, pos) corpus occurrence
     first = grams.groupBy("gh").agg(
         F.min(F.struct("id", "pos")).alias("f"),
@@ -1535,7 +1550,15 @@ def weighted_jaccard_pairs(
     tf = (
         tf_table
         if tf_table is not None
-        else shingle_tf_table(df, id_col, text_col, ngram)
+        # r14 (guide §2.4/§5): the plan below consumes ``tf`` from
+        # THREE legs (the weight aggregate + both self-join sides);
+        # uncached, each leg replays the tokenize+explode+groupBy
+        # corpus pass — the same replay bug scoped_cache already
+        # fixes in ngram_jaccard_pairs/ngram_containment_pairs.
+        else scoped_cache(
+            "dedup.weighted_jaccard.tf",
+            shingle_tf_table(df, id_col, text_col, ngram),
+        )
     )
     if max_df is not None:
         # cap_shingles counts rows per s, which on a (id, s, tf) table

@@ -3332,7 +3332,14 @@ def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined) — the synthetic corpus has no real line structure, so the
     line-family gates synthesize one the oracle reproduces exactly:
     line i = words[2i:2i+2]."""
-    docs = _t(spark, sf_dir, "documents")
+    from annotation_service_spark.partitioning import spread_underparallel
+
+    # r14 (guide §2.5): the O(words^2) transform/slice synthesis is
+    # the expensive projection — spread the RAW docs first so it runs
+    # on every core, not on the one-row-group scan task (A/B showed
+    # spreading ABOVE the synthesis is a net loss: the exchange is
+    # paid but the bottleneck stays serial)
+    docs = spread_underparallel(_t(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     lines = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),
@@ -3832,7 +3839,11 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. The oracle re-segments in SQL and decides keep-first with
     a row_number window — a different formulation of the same
     semantics than the operator's min-struct."""
-    docs = _t(spark, sf_dir, "documents")
+    from annotation_service_spark.partitioning import spread_underparallel
+
+    # r14: spread before the O(words^2) dotting synthesis (see
+    # _lined_documents)
+    docs = spread_underparallel(_t(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     lines_arr = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(words) / 2).cast("int") - 1),

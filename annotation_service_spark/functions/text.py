@@ -415,11 +415,19 @@ def unigram_nll_table(
     """
     from pyspark.sql import functions as F  # noqa: F811
 
+    from annotation_service_spark.caching import scoped_cache
+
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # r14 (guide §2.4/§5): ``vocab`` feeds two legs (the total and the
+    # probability projection), each of which otherwise replays the
+    # corpus tokenize+explode+groupBy; it is vocabulary-sized — cache.
+    vocab = scoped_cache(
+        "text.unigram_nll.vocab",
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+    )
     total = vocab.agg(F.sum("cnt").cast("double").alias("t"))
     p = vocab.crossJoin(F.broadcast(total)).select(
         "token", (F.col("cnt") / F.col("t")).alias("p")
@@ -506,10 +514,19 @@ def bigram_nll_table(
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from annotation_service_spark.caching import scoped_cache
+
     big = df.select(
         F.col(id_col).alias("id"), F.explode(bigrams).alias("bg")
     )
-    cab = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    # r14 (guide §2.4/§5): ``cab`` (one row per DISTINCT bigram —
+    # vocabulary-sized) feeds the context aggregate AND the
+    # probability projection; uncached each leg replays the corpus
+    # bigram explode.
+    cab = scoped_cache(
+        "text.bigram_nll.cab",
+        big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")),
+    )
     ca = cab.groupBy(F.split("bg", " ")[0].alias("a")).agg(
         F.sum("c_ab").alias("c_a")
     )
@@ -587,10 +604,20 @@ def kneser_ney_nll_table(
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from annotation_service_spark.caching import scoped_cache
+
     big = df.select(
         F.col(id_col).alias("id"), F.explode(bigrams).alias("bg")
     )
-    cab = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    # r14 (guide §2.4/§5): ``cab`` feeds FOUR legs below (ca, cb,
+    # ntypes, and the probability projection) — uncached, each leg
+    # replayed the corpus tokenize+zip_with+explode (measured: 10
+    # parquet scans / 24 Exchanges in the kn_nll gate plan). One row
+    # per DISTINCT bigram — vocabulary-sized, cache it.
+    cab = scoped_cache(
+        "text.kn_nll.cab",
+        big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")),
+    )
     # cab has one row per DISTINCT bigram: count(*) grouped by a is
     # N1+(a·), grouped by b is N1+(·b), ungrouped is N1+(··).
     ca = cab.groupBy(F.split("bg", " ")[0].alias("a")).agg(

@@ -813,6 +813,11 @@ def _doc_lines(
     reassembly therefore needs NO second scan of ``docs`` and no
     doc-id re-join to recover per-doc totals or all-lines-removed
     docs — the unit table alone carries everything."""
+    from annotation_service_spark.partitioning import spread_underparallel
+
+    # r14: a single-row-group corpus scan pins the split+explode to
+    # one task (A/B: boilerplate_lines cold 0.69x with the spread)
+    docs = spread_underparallel(docs)
     arr = F.split(F.col(text_col), sep)
     return (
         docs.select(
@@ -1048,6 +1053,12 @@ def _doc_sentences(
     core needs that to emit every doc without a base re-join, while
     the streaming consumer keeps the inner default (its
     dropDuplicates must never see a null norm row)."""
+    from annotation_service_spark.partitioning import spread_underparallel
+
+    # r14: parallelize the regex segmentation + explode (A/B:
+    # sentence_dedup cold 0.66x). On a STREAMING df the helper's
+    # .rdd probe raises and it no-ops — the stream keeps its plan.
+    docs = spread_underparallel(docs)
     arr = F.regexp_extract_all(
         F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
     )

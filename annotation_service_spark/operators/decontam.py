@@ -109,8 +109,13 @@ def embedding_contamination_check(
     machinery) + this verify on the candidate pairs.
     """
     from .similarity import _vec_dim, as_double, dot
+    from annotation_service_spark.partitioning import spread_underparallel
 
     dim = _vec_dim(corpus, vec_col)
+    # r14 (guide §2.5): the per-pair cosine expressions above the
+    # broadcast cross join are pinned to the corpus scan's task count
+    # (A/B: 0.42x with the spread on a one-row-group input)
+    corpus = spread_underparallel(corpus)
     c = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("ce")
     ).withColumn("cn", F.sqrt(dot("ce", "ce", dim)))

@@ -970,6 +970,12 @@ def simhash_table(
     lane = _SIMHASH_LANE_BITS
     lanes = _SIMHASH_LANES
     n_packs = (bits + lanes - 1) // lanes
+    from annotation_service_spark.partitioning import spread_underparallel
+
+    # r14 (guide §2.5): tokenize + explode + md5/conv + lane-packing
+    # all run below the vote groupBy's exchange — on a one-row-group
+    # scan that is one core (A/B: dedup_simhash cold 0.88x spread)
+    df = spread_underparallel(df)
     sh = shingle_table(df, id_col, text_col, ngram)
     # hash pre-projected ONCE — inlining it into every vote expression
     # defeats CSE and re-runs md5/conv per bit (see docstring)
@@ -2004,7 +2010,15 @@ def incremental_minhash_dedup(
         .select(F.col("new_id").alias("id"))
         .distinct()
     )
-    fresh = sig_new.join(dup_vs_seen, "id", "left_anti")
+    # r14 (guide §2.4/§5): ``fresh`` feeds THREE plan legs — both
+    # sides of the in-batch dominance self-join and the final
+    # left_anti — and its lineage contains the whole vs-seen band
+    # join; uncached, that pipeline re-executed per leg. The relation
+    # is tiny (id + num_hashes longs per surviving doc), so cache it.
+    fresh = scoped_cache(
+        "dedup.incremental_minhash.fresh",
+        sig_new.join(dup_vs_seen, "id", "left_anti"),
+    )
     # in-batch pair dominance among the still-fresh rows: same
     # carried-signature band self-join (the two legs are identical
     # subtrees, so the exchange is planned once and reused)

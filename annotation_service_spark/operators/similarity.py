@@ -145,8 +145,13 @@ def ann_bruteforce_topk(
     Norms are computed ONCE per corpus/query row below the join (not
     per pair), and the per-pair dot product is a dim-unrolled codegen
     expression — together ~10x over the HOF-per-pair form."""
+    from annotation_service_spark.partitioning import spread_underparallel
+
     dim = _vec_dim(embeddings, vec_col)
-    base = embeddings.select(
+    # r14 (guide §2.5): the per-pair dot/round projection above the
+    # cross join is pure expression compute — a one-row-group corpus
+    # scan pins it to one task (A/B: 0.45x with the spread)
+    base = spread_underparallel(embeddings).select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("ce")
     ).withColumn("cn", F.sqrt(dot("ce", "ce", dim)))
     qf = query_filter if query_filter is not None else (F.col(id_col) % 50 == 0)

@@ -116,6 +116,15 @@ def grid_radius_join(
             ).cast("double"),
         ).otherwise(F.col(col_name))
 
+    from annotation_service_spark.partitioning import spread_underparallel
+
+    # r14 (guide §2.5): the haversine verify runs on the joined
+    # candidates BELOW any exchange — an under-parallel left side
+    # (e.g. a one-task upstream scan or Arrow kernel) pins it to that
+    # task count (A/B: annotate_nearest_site cold 0.77x with the
+    # spread). Already-shuffled inputs trip the guard and stay as-is.
+    left = spread_underparallel(left)
+
     lcols = [F.col(c).alias(c + suffixes[0]) for c in left.columns]
     rcols = [F.col(c).alias(c + suffixes[1]) for c in right.columns]
     llat, llon = lat_col + suffixes[0], lon_col + suffixes[0]

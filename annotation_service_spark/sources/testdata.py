@@ -28,6 +28,12 @@ _TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE (r14): the test tables are single-row-group parquet files,
+    # i.e. one-task scans. Repairing that here for every reader was
+    # measured a net ZERO (wins on compute-heavy pipelines cancel
+    # losses on light scan+agg and broadcast-Arrow paths) — the
+    # compute-bound operators call partitioning.spread_underparallel
+    # on their own inputs instead; see that module's docstring.
     from ..session import ensure_shipped
 
     ensure_shipped(spark)

@@ -793,6 +793,12 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the same cap, so the hash gate checks the
     BOUNDED plan, not the unbounded ground-truth one (which remains
     the dedup_ngram_jaccard gate's regime)."""
+    # r14 note: spreading the docs scan here (guide §2.5) measured
+    # 1.08x WORSE in interleaved A/B — the composition's cost sits in
+    # its joins/aggregations, not the scan-side expressions, and the
+    # extra exchange feeds five consumers. Operator-level spreads
+    # (repetition_metrics_table) still apply internally where they
+    # won; the scan stays as-is.
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 100 != 0)
     bench = docs.where(F.col("doc_id") % 100 == 0)

@@ -300,6 +300,13 @@ def repetition_metrics_table(
     from pyspark.sql import Window
     from pyspark.sql import functions as F  # noqa: F811
 
+    # r14 measurement note (guide §1.1): spread_underparallel on the
+    # input was tried here and REVERTED — pipeline_full regressed
+    # ~1.3 s (its repetition branch re-reads the corpus the other
+    # stages consume un-spread, so the extra exchange is pure cost)
+    # and standalone repetition_filter measured par-or-better without
+    # it (the tokenize feeds straight into a map-side-combinable
+    # (id, gram) groupBy whose exchange spreads the heavy work anyway).
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),

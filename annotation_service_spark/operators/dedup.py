@@ -351,6 +351,12 @@ def _span_grams(
     stays deliberately."""
     from pyspark.sql import Window
 
+    from annotation_service_spark.partitioning import spread_underparallel
+
+    # r14 (guide §2.5): the regex tokenize + posexplode feed the
+    # per-doc window's exchange — on a one-row-group scan they run
+    # single-core; spread first (no-op for already-parallel inputs)
+    df = spread_underparallel(df)
     tok = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),

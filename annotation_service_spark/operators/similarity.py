@@ -781,8 +781,15 @@ def _lsh_base_and_candidates(
     # two dim-wide arrays shuffles |cands|·2·dim doubles and hashes
     # arrays (measured 55 s vs 3 s on the all-queries k-NN-graph build
     # at sf0.1); vectors re-attach by two id equi-joins afterwards.
-    banded = base.select("id", F.explode(band_arr).alias("bb")).select(
-        "id", "bb.band", "bb.key"
+    # r14 (guide §2.4/§5): ``banded`` feeds BOTH sides of the band
+    # join; uncached each side replays the Arrow signature kernel
+    # over the corpus. (id, band, key) is three small ints per
+    # (vector x band) — cache it.
+    banded = scoped_cache(
+        "similarity.lsh.banded",
+        base.select("id", F.explode(band_arr).alias("bb")).select(
+            "id", "bb.band", "bb.key"
+        ),
     )
     qf = query_filter if query_filter is not None else (F.col("id") % 50 == 0)
     qb = (
@@ -940,7 +947,14 @@ def ann_quantized_topk(
         embeddings, id_col, vec_col, query_filter, n_planes, bands, seed,
         probe_bits,
     )
-    q = quantize_embeddings(embeddings, id_col, vec_col)
+    # r14 (guide §2.4/§5): the quantized table feeds BOTH re-rank
+    # join legs; uncached each leg replays the interpreted
+    # aggregate/transform quantization over the corpus scan. One int8
+    # vector + a float per row — cache it.
+    q = scoped_cache(
+        "similarity.quantized.q",
+        quantize_embeddings(embeddings, id_col, vec_col),
+    )
 
     def idot(a: str, b: str) -> Column:
         s = F.lit(0).cast("long")

@@ -3662,8 +3662,11 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex/replace Column chain — scan + project, no shuffle; the
     oracle replays the identical 6-step chain in RE2."""
     from annotation_service_spark.functions import html as fh
+    from annotation_service_spark.partitioning import spread_underparallel
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14 (guide §2.5): synth + the 6-step regex chain are the whole
+    # query and run scan-side — spread the one-row-group scan first
+    docs = spread_underparallel(_t(spark, sf_dir, "documents"))
     return fh.extract_html_text(
         docs.select("doc_id", _synth_html().alias("html"))
     ).withColumnRenamed("id", "doc_id")
@@ -3701,6 +3704,10 @@ def q_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from annotation_service_spark.functions import html as fh
     from annotation_service_spark.functions import text as tx
 
+    # r14 note: spread_underparallel on this scan measured 1.18x
+    # WORSE (composition: the docs scan feeds several verdict
+    # branches; same lesson as q_pipeline_full). Bare q_html_extract
+    # keeps its spread — there the regex chain IS the whole query.
     docs = _t(spark, sf_dir, "documents")
     pages = docs.select("doc_id", _synth_html().alias("html"))
     ext = fh.extract_html_text(pages).select(
@@ -3935,6 +3942,10 @@ def _web_pipeline(
     from annotation_service_spark.functions import text as tx
     from annotation_service_spark.functions import url as fu
 
+    # r14 note: spreading this scan measured within drift cold and
+    # par warm (the composition lesson from q_pipeline_full /
+    # q_html_pipeline: multi-consumer scans don't pay for the
+    # exchange) — left un-spread.
     docs = _t(spark, sf_dir, "documents")
     first = fu.dedup_urls_keep_first(
         docs.select("doc_id", _synth_url().alias("url"))

@@ -703,12 +703,21 @@ def pmi_collocations(
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from annotation_service_spark.caching import scoped_cache
+
     big = df.select(F.explode(bigrams).alias("bg"))
-    cab = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
-    uni = (
+    # r14 (guide §2.4/§5): ``cab`` feeds the total and the scored
+    # projection, ``uni`` both unigram lookup joins — uncached, each
+    # leg replays a corpus tokenize+explode. Both are vocab-sized.
+    cab = scoped_cache(
+        "text.pmi.cab",
+        big.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair")),
+    )
+    uni = scoped_cache(
+        "text.pmi.uni",
         df.select(F.explode(tokens(F.col(text_col))).alias("t"))
         .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
     )
     n_tot = cab.agg(F.sum("n_pair").cast("double").alias("n"))
     scored = (
@@ -766,11 +775,20 @@ def source_kl_table(
     """
     from pyspark.sql import functions as F  # noqa: F811
 
+    from annotation_service_spark.caching import scoped_cache
+
     tok = df.select(
         F.col(source_col).alias("src"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     )
-    st = tok.groupBy("src", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    # r14 (guide §2.4/§5): the (src, token) count table feeds the
+    # marginal, the per-source totals, and the smoothed probability
+    # legs — cache the |sources|x|vocab|-bounded relation so the
+    # corpus tokenize runs once.
+    st = scoped_cache(
+        "text.source_kl.st",
+        tok.groupBy("src", "t").agg(F.count(F.lit(1)).alias("c_st")),
+    )
     marg = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
     top = marg.orderBy(F.desc("c_t"), F.asc("t")).limit(top_v)
     # totals restricted to the top-V support (so p and q both

@@ -799,7 +799,8 @@ def token_budget_sample(
 
 
 def _doc_lines(
-    docs: DataFrame, id_col: str, text_col: str, sep: str
+    docs: DataFrame, id_col: str, text_col: str, sep: str,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, n_lines, line_no, line, norm) — documents split into lines
     with a whitespace-collapsed lowercase normalization key. Linear
@@ -816,8 +817,12 @@ def _doc_lines(
     from annotation_service_spark.partitioning import spread_underparallel
 
     # r14: a single-row-group corpus scan pins the split+explode to
-    # one task (A/B: boilerplate_lines cold 0.69x with the spread)
-    docs = spread_underparallel(docs)
+    # one task (A/B: boilerplate_lines cold 0.69x with the spread).
+    # The composed pipelines pass spread=False — their input is a
+    # cached upstream relation and the extra exchange measured ~8%
+    # WORSE there (same lesson as q_pipeline_full's scan).
+    if spread:
+        docs = spread_underparallel(docs)
     arr = F.split(F.col(text_col), sep)
     return (
         docs.select(
@@ -876,7 +881,7 @@ def remove_boilerplate_lines(
     re-split of a cached input is cheaper than materializing a second
     corpus-sized cache (A/B: html_pipeline regressed ~10% with the
     double cache)."""
-    lines = _doc_lines(docs, id_col, text_col, sep)
+    lines = _doc_lines(docs, id_col, text_col, sep, spread=cache_units)
     if cache_units:
         lines = scoped_cache("curation.boilerplate.units", lines)
     hot = scoped_cache(
@@ -1031,7 +1036,8 @@ def _keep_first_units(
 
 
 def _doc_sentences(
-    docs: DataFrame, id_col: str, text_col: str, outer: bool = False
+    docs: DataFrame, id_col: str, text_col: str, outer: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, line_no, line, norm) at SENTENCE granularity — the unit
     table the keep-first core consumes, cut by a deterministic,
@@ -1058,7 +1064,8 @@ def _doc_sentences(
     # r14: parallelize the regex segmentation + explode (A/B:
     # sentence_dedup cold 0.66x). On a STREAMING df the helper's
     # .rdd probe raises and it no-ops — the stream keeps its plan.
-    docs = spread_underparallel(docs)
+    if spread:
+        docs = spread_underparallel(docs)
     arr = F.regexp_extract_all(
         F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
     )

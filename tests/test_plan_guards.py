@@ -377,7 +377,14 @@ def test_html_family_plans(spark):
     Exchange); a hot host pair is a single aggregation key."""
     p = _plan(em.q_html_extract(spark, SF))
     _assert_no_blowups(p)
-    assert "Exchange" not in p and "Join" not in p
+    # r14: exactly ONE RoundRobin exchange is allowed — the guide-§2.5
+    # under-parallel-scan spread (partitioning.spread_underparallel),
+    # which parallelizes the regex chain over a one-row-group input
+    # (A/B 0.74x). Everything else stays projection-only: no joins,
+    # no keyed shuffles.
+    assert "Join" not in p
+    assert p.count("Exchange") <= 1
+    assert "hashpartitioning" not in p
     p2 = _plan(em.q_html_links(spark, SF))
     _assert_no_blowups(p2)
     assert "Join" not in p2
